@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting. All pure
+  * Catalyst expression trees (`org.apache.spark.sql.functions`) — codegen'd,
+  * whole-stage-fused, no UDFs anywhere, so a 100 TB scan stays CPU-bound in
+  * generated code rather than serialization.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count: splits on whitespace AND on transitions
+    * between letter/digit/other classes, approximating subword segmentation
+    * without a vocab (useful as a cheap token budget estimate).
+    */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text),
+      "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])"))
+
+  /** Word n-gram shingles: contiguous n-token windows joined by a space.
+    * Pure higher-order-function pipeline: transform over an index sequence
+    * + slice, no explode until the caller wants rows.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Character n-grams of the normalized string (for language ID / fuzzy
+    * matching). Normalization: lowercase, collapse whitespace.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = lower(regexp_replace(trim(text), "\\s+", " "))
+    when(length(s) < n, array(s))
+      .otherwise(transform(sequence(lit(0), length(s) - n),
+        i => s.substr(i + 1, lit(n))))
+  }
+
+  // -- language ID ----------------------------------------------------------
+
+  /** Tiny per-language stopword lists (public common-word lists). The scoring
+    * is `size(array_intersect(tokens, lexicon))` per language — one codegen'd
+    * expression per language, argmax via a `when` chain. At scale this is a
+    * narrow map over the text column only.
+    */
+  val lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "with", "are", "this", "be"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "qui", "pas"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "den", "von", "zu", "auf", "sich"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "que", "un", "una", "es", "en", "por", "para", "con"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "con", "sono", "del", "le", "si", "non"),
+    "pt" -> Seq("o", "a", "os", "as", "de", "e", "que", "um", "uma", "para", "com", "por", "do", "da"))
+
+  /** Heuristic language ID: the language whose lexicon intersects the token
+    * set most; 'und' (undetermined) when no lexicon hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scores = lexicons.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    // argmax with deterministic (alphabetical) tie-break: fold a struct(max,lang).
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("l"))
+  }
+
+  // -- quality scoring ------------------------------------------------------
+
+  /** Non-alphanumeric (excluding spaces) character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast(DoubleType) / length(text))
+
+  def meanWordLength(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(aggregate(tokens(text), lit(0L),
+        (acc, t) => acc + length(t)).cast(DoubleType) / tokenCount(text))
+
+  def stopwordRatio(text: Column): Column = {
+    val all = lexicons.values.flatten.toSeq.distinct.sorted
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_intersect(array_distinct(toks), array(all.map(lit): _*)))
+        .cast(DoubleType) / size(array_distinct(toks)))
+  }
+
+  /** Composite [0,1] quality heuristic: enough length, not punctuation soup,
+    * plausible word lengths, contains function words — the standard cheap
+    * pre-filter before expensive dedup/classification stages.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast(DoubleType) / 200.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val wordScore = when(meanWordLength(text).between(2.0, 12.0), 1.0).otherwise(0.3)
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore * 0.25 + punctScore * 0.25 + wordScore * 0.25 + stopScore * 0.25), 4)
+  }
+
+  // -- fingerprinting -------------------------------------------------------
+
+  /** Canonical-form document fingerprint: md5 of the lowercased,
+    * whitespace-collapsed, punctuation-stripped text. Exact-dup detection
+    * groups on this instead of the full text (hash shuffle keys stay small
+    * at 100 TB).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** 64-bit rolling-style content hash (xxhash64 of the canonical form) —
+    * cheaper join/shuffle key than the md5 hex string.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
+}

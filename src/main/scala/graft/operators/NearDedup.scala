@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All stages are declarative DataFrame plans:
+  *
+  *  - signatures are computed with higher-order functions over a single
+  *    shingle array (one narrow map, codegen'd, no UDFs);
+  *  - candidate generation is `explode(bands) -> groupBy(band) -> self-join
+  *    within bucket`, the standard LSH shape: the shuffle is on (band-index,
+  *    band-hash), whose cardinality scales with document count, never with
+  *    the quadratic pair space;
+  *  - exact Jaccard verification runs only on candidate pairs.
+  *
+  * At 100 TB this is the only viable shape: brute-force pairwise similarity
+  * is O(n²) and impossible; LSH banding keeps every shuffle linear in input.
+  */
+object NearDedup {
+
+  /** MinHash signature of the shingle set: `numPerms` permutations
+    * h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes, each
+    * reduced with array_min — one expression per permutation over one shared
+    * hashed-shingle array.
+    */
+  def minhashSignature(shingleCol: Column, numPerms: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val p = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
+    val perms = Seq.tabulate(numPerms) { _ =>
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p)
+    }
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /** LSH band keys: the signature cut into `bands` rows of `rowsPerBand`,
+    * each band hashed to one long. Documents sharing any band key are
+    * candidates.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array(Seq.tabulate(bands) { b =>
+      xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b))
+    }: _*)
+
+  /** MinHash-LSH near-dup candidate pairs over (idCol, textCol):
+    * returns (id_a, id_b, jaccard) for candidate pairs whose exact shingle
+    * Jaccard >= threshold, id_a < id_b, deduped across bands.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numPerms: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numPerms))
+      .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
+      .select("band", "id", "sh")
+    // Self-join within band buckets; shuffle key = band hash (linear in docs).
+    val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Keep one representative per near-dup cluster: drop any doc that is the
+    * larger id of a qualifying pair (greedy min-id survivor — the standard
+    * cheap approximation of connected components; exact CC is an iterative
+    * join loop, overkill for dedup).
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numPerms: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val losers = minhashPairs(df, idCol, textCol, shingleSize, numPerms, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over token xxhash64 values: bit j of the result is 1 when
+    * the sum over tokens of ±1 (by bit j of the token hash) is positive.
+    * Pure expression tree: one aggregate per bit over a shared hash array —
+    * wide but flat, fully codegen-compatible.
+    */
+  def simhash64(textCol: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+    val bitSums = Seq.tabulate(64) { j =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the simhash
+    * (any pair within Hamming distance 3 shares at least one exact quarter —
+    * the classic Charikar/Manku chunk trick), then verify Hamming distance.
+    * Shuffle key = (quarter-index, quarter-value): linear, never quadratic.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunked = sigs.withColumn("q", explode(array(Seq.tabulate(4) { q =>
+      struct(lit(q).as("qi"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qv"))
+    }: _*)))
+    val a = chunked.select(col("q"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("q"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact dedup by canonical fingerprint: one representative (min id) per
+    * identical-content group. groupBy on a 64-bit hash — minimal shuffle
+    * width at any scale.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", TextFunctions.fingerprint64(col(textCol)))
+    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)).drop("__fp")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+}

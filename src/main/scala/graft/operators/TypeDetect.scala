@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-type inference over string columns, the Spark-native re-expression
+  * of the reference's per-cell `typedetect` (/root/reference/pybabe/types.py:8-49).
+  *
+  * The reference retypes each CELL independently (a column can end up
+  * heterogeneous); Spark columns are homogeneous, so we decide per COLUMN:
+  * one distributed aggregation pass counts, for every string column, how many
+  * non-null cells match each of the reference's patterns (int, float, date,
+  * datetime — types.py:8-14); a column is narrowed only when ALL its non-null
+  * cells agree (least-upper-bound rules: all-int -> long; all-int-or-float ->
+  * double; all-date -> date; all-date-or-datetime -> timestamp). This is the
+  * documented semantic delta of SURVEY.md §7.3.
+  *
+  * Scale note: the detection pass is a single `agg` over only the string
+  * columns (column pruning reaches the parquet scan), and the cast pass is
+  * pure codegen'd expressions — no UDFs, no driver loops.
+  */
+object TypeDetect {
+
+  // Reference patterns, types.py:8-14 (anchored full-match like `pattern.match(v)$`),
+  // extended with the ISO forms the reference reaches via parse_date/parse_datetime
+  // (timeparse.py:20-54: '/', '-', ',' all normalized to ' ').
+  private val IntRe = "^-?[0-9]+$"
+  private val FloatRe = "^-?[0-9]+\\.[0-9]+$"
+  private val DateRe = "^\\d{2,4}[-/ ]\\d{1,2}[-/ ]\\d{1,2}$"
+  private val DateTimeRe = "^\\d{2,4}[-/ ]\\d{1,2}[-/ ]\\d{1,2}[ T]\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$"
+
+  /** Dates arrive as either year-first or day-first (reference
+    * date_formats = ['%Y %m %d', '%d %m %Y'], timeparse.py:10); year-first
+    * wins on ambiguity ("by order of precedence").
+    */
+  private def parseDateCol(c: Column): Column = {
+    val norm = regexp_replace(c, "[/,]", "-")
+    coalesce(
+      try_to_timestamp(norm, lit("yyyy-M-d")).cast(DateType),
+      try_to_timestamp(norm, lit("d-M-yyyy")).cast(DateType))
+  }
+
+  private def parseDateTimeCol(c: Column): Column = {
+    val norm = regexp_replace(regexp_replace(c, "[/,]", "-"), "T", " ")
+    coalesce(
+      try_to_timestamp(norm, lit("yyyy-M-d H:mm:ss")),
+      try_to_timestamp(norm, lit("yyyy-M-d H:mm")),
+      try_to_timestamp(norm, lit("d-M-yyyy H:mm:ss")),
+      try_to_timestamp(norm, lit("d-M-yyyy H:mm")))
+  }
+
+  /** Returns `df` with every string column (or just `fields` if given)
+    * narrowed to long/double/date/timestamp when all non-null values parse.
+    */
+  def apply(df: DataFrame, fields: Seq[String] = Nil): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name)
+      .filter(n => fields.isEmpty || fields.contains(n))
+    if (stringCols.isEmpty) return df
+
+    def cnt(c: Column): Column = count(when(c, lit(1)))
+    val aggs = stringCols.flatMap { n =>
+      val c = col(n)
+      Seq(
+        count(c).as(s"__nn_$n"),
+        cnt(c.rlike(IntRe)).as(s"__int_$n"),
+        cnt(c.rlike(IntRe) || c.rlike(FloatRe)).as(s"__num_$n"),
+        cnt(c.rlike(DateRe)).as(s"__date_$n"),
+        cnt(c.rlike(DateRe) || c.rlike(DateTimeRe)).as(s"__ts_$n"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def stat(kind: String, n: String): Long = stats.getAs[Long](s"__${kind}_$n")
+
+    val casts: Seq[(String, Column)] = stringCols.toSeq.flatMap { n =>
+      val nn = stat("nn", n)
+      if (nn == 0) None
+      else if (stat("int", n) == nn) Some(n -> col(n).cast(LongType))
+      else if (stat("num", n) == nn) Some(n -> col(n).cast(DoubleType))
+      else if (stat("date", n) == nn) Some(n -> parseDateCol(col(n)))
+      else if (stat("ts", n) == nn) Some(n -> parseDateTimeCol(col(n)))
+      else None
+    }
+    if (casts.isEmpty) df else df.withColumns(casts.toMap)
+  }
+
+  /** Primary-key inference (reference types.py:52-87): the first column whose
+    * values are all distinct. Distributed: one agg of count + countDistinct
+    * per candidate column; returns the leftmost all-distinct column.
+    */
+  def primaryKeyDetect(df: DataFrame): Option[String] = {
+    val cols = df.columns
+    if (cols.isEmpty) return None
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => count_distinct(col(c)).as(s"__d_$c")).toSeq
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getAs[Long]("__n")
+    cols.find(c => r.getAs[Long](s"__d_$c") == n)
+  }
+}
