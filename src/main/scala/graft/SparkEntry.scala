@@ -1,13 +1,596 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.BabeOps._
+import graft.operators.{Grouping, Memoize, OnError, TimeParse, Transforms, TypeDetect, NearDedup}
+import graft.functions.{Enrich, TextFunctions, VectorFunctions}
+import graft.sinks.Sinks
+import graft.sources.{Pull, Sources, SqlDump}
+
+/** Driver contract — one registered query per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline operators), each with a DuckDB oracle
+  * where ANSI SQL can express it. Column names are aligned between the Spark
+  * result and the oracle; numeric outputs avoid engine-specific rounding
+  * except where both engines provably agree.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def tmpDir(): String = {
+    val d = "/root/repo/target/tmp"
+    new java.io.File(d).mkdirs(); d
+  }
+
+  /** Flagship query (driver smoke-checks rows>0 at sf0.001): revenue per
+    * nation — lineitem ⋈ orders ⋈ customer ⋈ nation with broadcast dims,
+    * partial-agg groupBy. The classic star-join shape this engine exists for.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+      .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(cast_double_sum(col("revenue")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc)
+  }
+
+  /** Exact distributive sum for doubles with 2-4 decimal digits: sum in
+    * decimal (order-independent, exact), surface as double.
+    */
+  private def cast_double_sum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  // Lexicon literals for the DuckDB oracles, generated from the same source
+  // of truth the Spark expressions use.
+  private lazy val lexValuesSql: String = TextFunctions.lexicons.toSeq.sortBy(_._1)
+    .map { case (l, ws) => s"('$l', [${ws.map(w => s"'$w'").mkString(", ")}])" }
+    .mkString(", ")
+  private lazy val stopListSql: String = TextFunctions.lexicons.values.flatten.toSeq
+    .distinct.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val uaRows = Seq(
+    (1L, "Mozilla/5.0 (Windows NT 5.1; rv:11.0) Gecko/20100101 Firefox/11.0"),
+    (2L, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+    (3L, "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1"),
+    (4L, "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"),
+    (5L, "Mozilla/5.0 (compatible; MSIE 10.0; Windows NT 6.1; Trident/6.0)"),
+    (6L, "curl/8.4.0"))
+
+  private val geoRows = Seq(
+    ("Flo", "82.231.177.189"), ("Fla", "4.3.1.432"), ("G", "8.8.8.8"),
+    ("Uk", "92.40.1.1"), ("Bad", "300.1.2.3"), ("Jp", "133.7.8.9"))
+
+  private val sqlDumpText =
+    "CREATE TABLE BLABLA;\n" +
+      "INSERT INTO `foobar` VALUES (11,435787,'Yes\\r\\nI\\'m good.','2011-07-03 12:15:44')," +
+      "(13,242393,'Foo','Bar');\n" +
+      "MORE BLABLA;\n"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------------
+    // Projections / column ops (SURVEY §2.3)
+    // ------------------------------------------------------------------
+    "q01_filter_columns" -> ((s, d) =>
+      t(s, d, "lineitem").filterColumns(keep = Seq("l_orderkey", "l_linenumber", "l_quantity"))),
+    "q02_rename" -> ((s, d) =>
+      t(s, d, "lineitem").filterColumns(keep = Seq("l_orderkey", "l_quantity"))
+        .renameColumns("l_orderkey" -> "orderkey", "l_quantity" -> "qty")),
+    "q03_map_insert" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .mapToInsert("revenue" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .filterColumns(keep = Seq("l_orderkey", "l_linenumber", "revenue"))),
+    "q04_replace_value" -> ((s, d) =>
+      t(s, d, "documents").filterColumns(keep = Seq("doc_id", "lang"))
+        .replaceValue("en", "english", fields = Seq("lang"))),
+    "q05_replace_in_string" -> ((s, d) =>
+      t(s, d, "documents").filterColumns(keep = Seq("doc_id", "text"))
+        .replaceInString("the", "THE", "text")),
+    "q06_insert_rows" -> ((s, d) =>
+      t(s, d, "region").insertRows(Seq(Row(5, "NOWHERE")))),
+
+    // ------------------------------------------------------------------
+    // Filters (SURVEY §2.4)
+    // ------------------------------------------------------------------
+    "q07_filter_values" -> ((s, d) =>
+      t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .filterValues("o_orderstatus" -> "F")),
+    "q08_filter_out_null" -> ((s, d) =>
+      t(s, d, "events").filterColumns(keep = Seq("event_id", "value"))
+        .mapToInsert("val2" -> when(col("value") < 50.0, lit(null).cast(DoubleType)).otherwise(col("value")))
+        .filterOutNullValues(Seq("val2"))
+        .filterColumns(keep = Seq("event_id", "val2"))),
+    "q09_filter_regexp" -> ((s, d) =>
+      t(s, d, "part").filterColumns(keep = Seq("p_partkey", "p_name"))
+        .filterByRegexp("p_name", "b")),
+    "q10_dedup" -> ((s, d) =>
+      t(s, d, "customer").filterColumns(keep = Seq("c_nationkey", "c_mktsegment")).dedup()),
+    "q11_dedup_fields" -> ((s, d) =>
+      t(s, d, "orders").filterColumns(keep = Seq("o_custkey", "o_orderkey", "o_totalprice"))
+        .dedupByFields(Seq("o_custkey"), col("o_orderkey"))),
+
+    // ------------------------------------------------------------------
+    // Sorts / limits / top-k (SURVEY §2.8)
+    // ------------------------------------------------------------------
+    "q12_head" -> ((s, d) =>
+      t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_totalprice"))
+        .headBabe(10, Seq(col("o_orderkey")))),
+    "q13_skip" -> ((s, d) =>
+      t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_totalprice"))
+        .skipBabe(100, Seq(col("o_orderkey")))),
+    "q14_maxn" -> ((s, d) =>
+      t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_totalprice"))
+        .maxN("o_totalprice", 10, Seq(col("o_orderkey")))),
+    "q15_minn" -> ((s, d) =>
+      t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_totalprice"))
+        .minN("o_totalprice", 10, Seq(col("o_orderkey")))),
+    "q16_head_per_partition" -> ((s, d) =>
+      t(s, d, "events").filterColumns(keep = Seq("user_id", "event_id", "value"))
+        .headPerPartition(3, Seq("user_id"), Seq(col("value").desc, col("event_id")))),
+
+    // ------------------------------------------------------------------
+    // Join (SURVEY §2.5) — 4 on_error modes
+    // ------------------------------------------------------------------
+    "q17_join_warn" -> ((s, d) =>
+      t(s, d, "customer").filterColumns(keep = Seq("c_custkey", "c_name", "c_nationkey"))
+        .joinBabe(t(s, d, "nation"), "c_nationkey", "n_nationkey", OnError.Warn)),
+    "q18_join_nullpad" -> ((s, d) =>
+      t(s, d, "customer").filterColumns(keep = Seq("c_custkey", "c_name", "c_nationkey"))
+        .joinBabe(t(s, d, "nation").filter(col("n_regionkey") < 2),
+          "c_nationkey", "n_nationkey", OnError.NullPad)),
+
+    // ------------------------------------------------------------------
+    // Aggregation (SURVEY §2.6)
+    // ------------------------------------------------------------------
+    "q19_group" -> ((s, d) =>
+      Grouping.group(t(s, d, "lineitem"), Seq("l_returnflag"),
+        "sum_qty" -> cast_double_sum(col("l_quantity")),
+        "cnt" -> count(lit(1)))),
+    "q20_group_all" -> ((s, d) =>
+      Grouping.groupAll(t(s, d, "orders"),
+        "max_price" -> max(col("o_totalprice")),
+        "min_price" -> min(col("o_totalprice")),
+        "cnt" -> count(lit(1)))),
+    "q21_group_reduce" -> ((s, d) => {
+      val in = t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val outSchema = StructType(Seq(
+        StructField("l_returnflag", StringType), StructField("n", LongType),
+        StructField("sum_qty", DoubleType)))
+      Grouping.groupReduce(in, Seq("l_returnflag"), outSchema) { (k, it) =>
+        var n = 0L
+        var sum = BigDecimal(0)
+        it.foreach { r => n += 1; sum += BigDecimal(java.math.BigDecimal.valueOf(r.getDouble(1))) }
+        Seq(Row(k.getString(0), n, sum.toDouble))
+      }
+    }),
+
+    // ------------------------------------------------------------------
+    // Reshaping (SURVEY §2.3/§2.6)
+    // ------------------------------------------------------------------
+    "q22_pivot" -> ((s, d) =>
+      t(s, d, "events").filterColumns(keep = Seq("user_id", "event_type", "event_id", "value"))
+        .pivotBabe(Seq("user_id"), "event_type", col("event_id"), Seq("value"))),
+    "q23_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filterColumns(keep = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"))
+        .unpivotBabe(Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_discount", "l_tax"))),
+    "q24_transpose" -> ((s, d) =>
+      t(s, d, "region").transposeBabe("r_regionkey")),
+    "q25_split" -> ((s, d) =>
+      t(s, d, "documents").filterColumns(keep = Seq("doc_id", "text"))
+        .splitField("text", " ")),
+
+    // ------------------------------------------------------------------
+    // Window (SURVEY §2.7)
+    // ------------------------------------------------------------------
+    "q26_window_by" -> ((s, d) =>
+      t(s, d, "events").filterColumns(keep = Seq("user_id", "event_id", "value"))
+        .windowMapBy(3, Seq("user_id"), Seq(col("event_id")),
+          "rsum" -> (w => sum(col("value")).over(w)))),
+    "q27_window_global" -> ((s, d) =>
+      t(s, d, "nation").filterColumns(keep = Seq("n_nationkey"))
+        .windowMap(3, Seq(col("n_nationkey")),
+          "rsum" -> (w => sum(col("n_nationkey").cast(LongType)).over(w)))),
+
+    // ------------------------------------------------------------------
+    // Set ops / concat (SURVEY §2.9)
+    // ------------------------------------------------------------------
+    "q28_concat" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filterColumns(keep = Seq("l_orderkey", "l_linenumber", "l_quantity"))
+      Sources.concat(Seq(li.filter(col("l_quantity") < 5.0), li.filter(col("l_quantity") >= 45.0)))
+    }),
+
+    // ------------------------------------------------------------------
+    // Typing / schema inference (SURVEY §1.2, §2.6)
+    // ------------------------------------------------------------------
+    "q29_typedetect" -> ((s, d) => {
+      val strings = t(s, d, "lineitem").select(
+        col("l_orderkey").cast(StringType).as("okey"),
+        col("l_quantity").cast(StringType).as("qty"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("sdate"),
+        col("l_returnflag").as("flag"))
+      TypeDetect(strings)
+    }),
+    "q30_pk_detect" -> ((s, d) => {
+      import s.implicits._
+      val pk = TypeDetect.primaryKeyDetect(
+        t(s, d, "orders").select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey")))
+      Seq(pk.getOrElse("none")).toDF("pk_col")
+    }),
+    "q31_parse_time" -> ((s, d) => {
+      // events.ts surfaces as long nanos (nanosAsLong); `div` keeps the
+      // nanos→micros conversion in exact integer arithmetic.
+      val in = t(s, d, "events").select(col("event_id"),
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss").as("st"))
+      TimeParse(in, "st", inputTimezone = "CET", outputTimezone = "UTC", outputField = "t")
+        .select(col("event_id"), date_format(col("t_time"), "yyyy-MM-dd HH:mm:ss").as("t_str"),
+          col("t_date"), col("t_hour"))
+    }),
+
+    // ------------------------------------------------------------------
+    // UDTF / batched UDF surface (SURVEY §2.12)
+    // ------------------------------------------------------------------
+    "q32_flatmap" -> ((s, d) => {
+      val in = t(s, d, "events").select(col("event_id"), col("value"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("v", DoubleType)))
+      Transforms.flatMapRows(in, schema) { r =>
+        Seq(Row(r.getLong(0), r.getDouble(1)), Row(r.getLong(0), -r.getDouble(1)))
+      }
+    }),
+    "q33_bulkmap" -> ((s, d) => {
+      val in = t(s, d, "events").select(col("event_id"), col("value"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("v2", DoubleType)))
+      Transforms.bulkMap(in, schema, bulkSize = 100) { batch =>
+        batch.map(r => Row(r.getLong(0), r.getDouble(1) * 2.0))
+      }
+    }),
+
+    // ------------------------------------------------------------------
+    // Sources / sinks (SURVEY §2.1, §2.2)
+    // ------------------------------------------------------------------
+    "q34_sqldump" -> ((s, d) => {
+      val path = tmpDir() + "/dump.sql"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sqlDumpText)
+      SqlDump.read(s, path, "foobar", Seq("id", "number", "title", "datetime"))
+    }),
+    "q35_zip_csv" -> ((s, d) => {
+      val path = tmpDir() + "/test.csv.zip"
+      val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+      zos.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+      zos.write("a,b\n1,2\n3,4\n".getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+      Pull(s, path)
+    }),
+    "q36_push_roundtrip" -> ((s, d) => {
+      val out = tmpDir() + s"/roundtrip_csv"
+      val top = t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .maxN("o_totalprice", 5, Seq(col("o_orderkey")))
+      Sinks.push(top, out, format = Some("csv"))
+      Sources.csv(s, out, delimiter = Some(","))
+        .filterColumns(keep = Seq("o_orderkey", "o_orderstatus"))
+    }),
+    "q37_memoize" -> ((s, d) => {
+      val agg = Grouping.group(t(s, d, "lineitem"), Seq("l_returnflag"), "cnt" -> count(lit(1)))
+      Memoize.memoize(agg, tmpDir() + "/memo")
+    }),
+
+    // ------------------------------------------------------------------
+    // Enrichment (SURVEY §2.10)
+    // ------------------------------------------------------------------
+    "q38_user_agent" -> ((s, d) => {
+      import s.implicits._
+      Enrich.userAgent(uaRows.toDF("id", "useragent"), "useragent")
+    }),
+    "q39_geoip" -> ((s, d) => {
+      import s.implicits._
+      Enrich.geoipCountryCode(geoRows.toDF("name", "ip"), "ip")
+        .filterColumns(keep = Seq("name", "ip", "country_code"))
+    }),
+
+    // ------------------------------------------------------------------
+    // LLM-pipeline: text analysis
+    // ------------------------------------------------------------------
+    "q40_wordcount" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      Grouping.group(words, Seq("word"), "cnt" -> count(lit(1)))
+        .maxN("cnt", 20, Seq(col("word")))
+    }),
+    "q41_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.meanWordLength(col("text")).as("mean_word_len"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))),
+    "q42_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"))),
+    "q43_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("score"))),
+    "q44_subword_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
+
+    // ------------------------------------------------------------------
+    // LLM-pipeline: dedup
+    // ------------------------------------------------------------------
+    "q45_exact_dedup" -> ((s, d) => {
+      // documents has no exact dups, so inject copies (doc_id+100000) to
+      // make the dedup path non-trivial; exactDedup keeps the min-id rep.
+      val docs = t(s, d, "documents")
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      NearDedup.exactDedupMd5(docs.unionByName(dups), "doc_id", "text")
+        .filterColumns(keep = Seq("doc_id", "lang", "source", "n_chars"))
+    }),
+    "q46_ngram_jaccard" -> ((s, d) =>
+      NearDedup.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 2000), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)),
+    "q47_minhash_pairs" -> ((s, d) =>
+      NearDedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, numPerms = 32, bands = 8, threshold = 0.7)),
+    "q48_minhash_dedup" -> ((s, d) =>
+      NearDedup.minhashDedup(t(s, d, "documents"), "doc_id", "text")
+        .filterColumns(keep = Seq("doc_id", "lang", "source"))),
+    "q49_simhash_pairs" -> ((s, d) =>
+      NearDedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ------------------------------------------------------------------
+    // LLM-pipeline: similarity search
+    // ------------------------------------------------------------------
+    "q50_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      VectorFunctions.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+    }),
+    "q51_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      VectorFunctions.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 5, bits = 8, tables = 4)
+    }),
+    "q52_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      VectorFunctions.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 32, nProbe = 8)
+    }),
+    "q53_cosine_neardup" -> ((s, d) => {
+      // embeddings has no near-identical pairs, so inject exact copies
+      // (vec_id+100000): sign-LSH must bucket them together (identical
+      // signatures in every table), making this a recall check too.
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val dups = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      VectorFunctions.cosineNearDupPairs(emb.unionByName(dups), "vec_id", "embedding", dim = 64,
+        threshold = 0.95, bits = 8, tables = 4)
+    }))
+
+  // =====================================================================
+  // DuckDB oracles — same column names, deterministic result sets.
+  // Omitted entries (hash-based LSH ops, stubs) get the driver's weaker
+  // rows-only check by design.
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_columns" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q02_rename" ->
+      "SELECT l_orderkey AS orderkey, l_quantity AS qty FROM lineitem",
+    "q03_map_insert" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem",
+    "q04_replace_value" ->
+      "SELECT doc_id, CASE WHEN lang = 'en' THEN 'english' ELSE lang END AS lang FROM documents",
+    "q05_replace_in_string" ->
+      "SELECT doc_id, replace(text, 'the', 'THE') AS text FROM documents",
+    "q06_insert_rows" ->
+      "SELECT r_regionkey, r_name FROM region UNION ALL SELECT 5, 'NOWHERE'",
+    "q07_filter_values" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    "q08_filter_out_null" ->
+      "SELECT event_id, value AS val2 FROM events WHERE value >= 50.0",
+    "q09_filter_regexp" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name IS NOT NULL AND regexp_matches(p_name, '^(?:b)')",
+    "q10_dedup" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "q11_dedup_fields" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1",
+    "q12_head" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+    "q13_skip" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey OFFSET 100",
+    "q14_maxn" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q15_minn" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice ASC, o_orderkey LIMIT 10",
+    "q16_head_per_partition" ->
+      "SELECT user_id, event_id, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3",
+    "q17_join_warn" ->
+      "SELECT c_custkey, c_name, c_nationkey, n_name, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey",
+    "q18_join_nullpad" ->
+      "SELECT c_custkey, c_name, c_nationkey, n_name, n_regionkey FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n ON c_nationkey = n_nationkey",
+    "q19_group" ->
+      "SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q20_group_all" ->
+      "SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price, count(*) AS cnt FROM orders",
+    "q21_group_reduce" ->
+      "SELECT l_returnflag, count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY l_returnflag",
+    "q22_pivot" ->
+      ("SELECT user_id, " +
+        Seq("click", "error", "purchase", "signup", "view").map(v =>
+          s"arg_max(CASE WHEN event_type = '$v' THEN value END, CASE WHEN event_type = '$v' THEN event_id END) AS \"value-$v\"")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id"),
+    "q23_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS field, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"),
+    "q24_transpose" ->
+      ("SELECT 'r_name' AS field, " + (0 to 4).map(k =>
+        s"max(CASE WHEN r_regionkey = $k THEN r_name END) AS \"$k\"").mkString(", ") +
+        " FROM region"),
+    "q25_split" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS text FROM documents",
+    "q26_window_by" ->
+      "SELECT user_id, event_id, value, sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rsum FROM events",
+    "q27_window_global" ->
+      "SELECT n_nationkey, CAST(sum(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum FROM nation",
+    "q28_concat" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5.0 " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45.0"),
+    "q29_typedetect" ->
+      "SELECT l_orderkey AS okey, l_quantity AS qty, CAST(l_shipdate AS DATE) AS sdate, l_returnflag AS flag FROM lineitem",
+    "q30_pk_detect" ->
+      ("SELECT CASE WHEN count(DISTINCT o_orderstatus) = count(*) THEN 'o_orderstatus' " +
+        "WHEN count(DISTINCT o_orderkey) = count(*) THEN 'o_orderkey' " +
+        "WHEN count(DISTINCT o_custkey) = count(*) THEN 'o_custkey' ELSE 'none' END AS pk_col FROM orders"),
+    "q31_parse_time" ->
+      ("WITH p AS (SELECT event_id, strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS nt FROM events), " +
+        "c AS (SELECT event_id, timezone('UTC', timezone('CET', nt)) AS ot FROM p) " +
+        "SELECT event_id, strftime(ot, '%Y-%m-%d %H:%M:%S') AS t_str, CAST(ot AS DATE) AS t_date, CAST(hour(ot) AS INTEGER) AS t_hour FROM c"),
+    "q32_flatmap" ->
+      "SELECT event_id, value AS v FROM events UNION ALL SELECT event_id, -value FROM events",
+    "q33_bulkmap" ->
+      "SELECT event_id, value * 2.0 AS v2 FROM events",
+    "q34_sqldump" ->
+      "SELECT * FROM (VALUES ('11', '435787', 'Yes' || chr(13) || chr(10) || 'I''m good.', '2011-07-03 12:15:44'), ('13', '242393', 'Foo', 'Bar')) AS t(id, \"number\", title, datetime)",
+    "q35_zip_csv" ->
+      "SELECT * FROM (VALUES ('1', '2'), ('3', '4')) AS t(a, b)",
+    "q36_push_roundtrip" ->
+      "SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, o_orderstatus FROM (SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)",
+    "q37_memoize" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q38_user_agent" -> uaOracleSql,
+    "q39_geoip" -> geoOracleSql,
+    "q40_wordcount" ->
+      ("SELECT word, cnt FROM (SELECT word, count(*) AS cnt FROM " +
+        "(SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents) " +
+        "GROUP BY word) ORDER BY cnt DESC, word LIMIT 20"),
+    "q41_text_stats" -> textStatsOracleSql,
+    "q42_lang_id" -> langIdOracleSql,
+    "q43_quality_score" -> qualityOracleSql,
+    "q45_exact_dedup" ->
+      ("WITH all_docs AS (SELECT * FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id < 50) " +
+        "SELECT doc_id, lang, source, n_chars FROM all_docs WHERE doc_id IN " +
+        "(SELECT min(doc_id) FROM all_docs GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"),
+    "q46_ngram_jaccard" -> ngramJaccardOracleSql,
+    "q50_cosine_topk" -> cosineTopkOracleSql)
+
+  private lazy val uaOracleSql: String = {
+    val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")
+    s"""WITH u AS (SELECT * FROM (VALUES $values) AS t(id, useragent))
+SELECT CAST(id AS BIGINT) AS id, useragent,
+  CASE WHEN regexp_matches(useragent, 'iPad') THEN 'iPad'
+       WHEN regexp_matches(useragent, 'iPhone') THEN 'iPhone'
+       WHEN regexp_matches(useragent, 'Android') THEN 'Android'
+       WHEN regexp_matches(useragent, 'Windows') THEN 'Windows'
+       WHEN regexp_matches(useragent, 'Mac OS X|Macintosh') THEN 'Macintosh'
+       WHEN regexp_matches(useragent, 'Linux') THEN 'Linux' END AS os,
+  CASE WHEN regexp_matches(useragent, 'Edg(e|A|iOS)?/') THEN 'Edge'
+       WHEN regexp_matches(useragent, 'OPR/|Opera') THEN 'Opera'
+       WHEN regexp_matches(useragent, 'Firefox/') THEN 'Firefox'
+       WHEN regexp_matches(useragent, 'Chrom(e|ium)/') THEN 'Chrome'
+       WHEN regexp_matches(useragent, 'Safari/') THEN 'Safari'
+       WHEN regexp_matches(useragent, 'MSIE |Trident/') THEN 'Microsoft Internet Explorer' END AS browser,
+  NULLIF(CASE WHEN regexp_matches(useragent, 'Edg(e|A|iOS)?/') THEN regexp_extract(useragent, 'Edg(?:e|A|iOS)?/([0-9.]+)', 1)
+       WHEN regexp_matches(useragent, 'OPR/') THEN regexp_extract(useragent, 'OPR/([0-9.]+)', 1)
+       WHEN regexp_matches(useragent, 'Opera') THEN regexp_extract(useragent, 'Version/([0-9.]+)', 1)
+       WHEN regexp_matches(useragent, 'Firefox/') THEN regexp_extract(useragent, 'Firefox/([0-9.]+)', 1)
+       WHEN regexp_matches(useragent, 'Chrom(e|ium)/') THEN regexp_extract(useragent, 'Chrom(?:e|ium)/([0-9.]+)', 1)
+       WHEN regexp_matches(useragent, 'Safari/') THEN regexp_extract(useragent, 'Version/([0-9.]+)', 1)
+       WHEN regexp_matches(useragent, 'MSIE ') THEN regexp_extract(useragent, 'MSIE ([0-9.]+)', 1)
+       WHEN regexp_matches(useragent, 'Trident/') THEN regexp_extract(useragent, 'rv:([0-9.]+)', 1) END, '') AS browser_version
+FROM u"""
+  }
+
+  private lazy val geoOracleSql: String = {
+    val values = geoRows.map { case (n, ip) => s"('$n', '$ip')" }.mkString(", ")
+    s"""WITH g AS (SELECT * FROM (VALUES $values) AS t(name, ip)),
+n AS (SELECT name, ip,
+  CASE WHEN regexp_matches(ip, '^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$$')
+        AND NOT EXISTS (SELECT 1 FROM unnest(string_split(ip, '.')) AS u(p) WHERE CAST(p AS INTEGER) > 255)
+       THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+          + CAST(string_split(ip, '.')[3] AS BIGINT) * 256 + CAST(string_split(ip, '.')[4] AS BIGINT) END AS x
+  FROM g)
+SELECT name, ip,
+  CASE WHEN x BETWEEN 67108864 AND 83886079 THEN 'US'
+       WHEN x BETWEEN 134744064 AND 134744319 THEN 'US'
+       WHEN x BETWEEN 1390411776 AND 1392508927 THEN 'FR'
+       WHEN x BETWEEN 1546125312 AND 1547698175 THEN 'GB'
+       WHEN x BETWEEN 2231369728 AND 2248146943 THEN 'JP' END AS country_code
+FROM n"""
+  }
+
+  private lazy val textStatsOracleSql: String =
+    s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+  list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mean_word_len,
+  CASE WHEN len(dl) = 0 THEN 0.0 ELSE CAST(len(list_intersect(dl, $stopListSql)) AS DOUBLE) / len(dl) END AS stopword_ratio
+FROM b"""
+
+  private lazy val langIdOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents),
+L AS (SELECT * FROM (VALUES $lexValuesSql) AS v(lang, lex)),
+scores AS (SELECT doc_id, lang, len(list_intersect(t, lex)) AS s FROM toks CROSS JOIN L),
+best AS (SELECT doc_id, s, lang, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn FROM scores)
+SELECT doc_id, CASE WHEN s <= 0 THEN 'und' ELSE lang END AS lang_id FROM best WHERE rn = 1"""
+
+  private lazy val qualityOracleSql: String =
+    s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+  list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl FROM documents),
+m AS (SELECT doc_id, text,
+  CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+  CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS mwl,
+  CASE WHEN len(dl) = 0 THEN 0.0 ELSE CAST(len(list_intersect(dl, $stopListSql)) AS DOUBLE) / len(dl) END AS sr
+  FROM b)
+SELECT doc_id,
+  least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.25
+  + greatest(0.0, 1.0 - pr * 5.0) * 0.25
+  + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.25
+  + least(sr * 4.0, 1.0) * 0.25 AS score
+FROM m"""
+
+  private lazy val ngramJaccardOracleSql: String =
+    s"""WITH sh AS (SELECT doc_id, list_distinct(
+  CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+       THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
+       ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+         i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')) END) AS s
+  FROM documents WHERE doc_id < 2000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""
+
+  private lazy val cosineTopkOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+  CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(v, x -> x * x))) = 0.0 THEN 0.0
+       ELSE list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(v, x -> x * x)))) END AS c
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 5"""
 }

@@ -77,9 +77,11 @@ object TextFunctions {
 
   // -- quality scoring ------------------------------------------------------
 
-  /** Non-alphanumeric (excluding spaces) character count. */
+  /** Non-alphanumeric (excluding spaces) character count: the length of the
+    * text with alphanumerics and spaces stripped.
+    */
   def punctCount(text: Column): Column =
-    length(text) - length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
 
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
@@ -107,7 +109,7 @@ object TextFunctions {
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     val wordScore = when(meanWordLength(text).between(2.0, 12.0), 1.0).otherwise(0.3)
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    round((lenScore * 0.25 + punctScore * 0.25 + wordScore * 0.25 + stopScore * 0.25), 4)
+    lenScore * 0.25 + punctScore * 0.25 + wordScore * 0.25 + stopScore * 0.25
   }
 
   // -- fingerprinting -------------------------------------------------------

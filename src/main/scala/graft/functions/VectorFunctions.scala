@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   * partitioned corpus scan — linear in corpus size, no shuffle until the
   * final per-query top-k (TakeOrdered-style, tiny). The LSH variant buckets
   * both sides by sign-pattern so each query only scans its bucket.
+  *
+  * The hyperplane matrix is carried as ONE nested-array literal
+  * (`typedLit(Seq[Seq[Double]])` — a single Catalyst Literal holding
+  * ArrayData), and the signature is computed with higher-order functions over
+  * it. At dim=768 × 16 bits this is one constant, not 12k+ literal expression
+  * nodes, so the plan and codegen stay small at real embedding dims.
   */
 object VectorFunctions {
 
@@ -50,65 +56,134 @@ object VectorFunctions {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  /** Random-hyperplane signature: `bits` sign bits of projections onto fixed
-    * pseudo-random hyperplanes (deterministic per seed). Cosine-similar
-    * vectors agree on most bits (Charikar 2002 — sign-LSH), so bucketing on
-    * the signature prefix confines each query to a tiny corpus slice.
+  /** The hyperplane matrix for sign-LSH as a single plan literal:
+    * `bits` rows of `dim` pseudo-random Gaussian components (deterministic
+    * per seed).
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column = {
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
-      val proj = aggregate(zip_with(vec, array(plane.map(lit): _*), (x, p) => x * p),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0.0d, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    typedLit(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Random-hyperplane signature: `bits` sign bits of projections onto fixed
+    * pseudo-random hyperplanes (Charikar 2002 — sign-LSH). Cosine-similar
+    * vectors agree on most bits, so bucketing on the signature confines each
+    * query to a tiny corpus slice. Computed as one fold over the literal
+    * plane matrix: sig = Σ_i [dot(vec, plane_i) >= 0] << i.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(dim, bits, seed)
+    val signBits = transform(planes, p =>
+      when(aggregate(zip_with(vec, p, (x, w) => x * w), lit(0.0d), (acc, v) => acc + v) >= 0.0d,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(signBits, sequence(lit(0), lit(bits - 1)),
+        (b, i) => b * pow(lit(2.0d), i).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Explode a (id, vec) side into `tables` (table, signature) bucket rows —
+    * ids only; vectors are re-joined after candidate dedup.
+    */
+  private def bucketRows(side: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, bits: Int, tables: Int, idAs: String): DataFrame =
+    side.select(col(idCol).as(idAs), col(vecCol).as("__v"))
+      .withColumn("__t", explode(array(Seq.tabulate(tables) { t =>
+        struct(lit(t).as("ti"),
+          hyperplaneSignature(col("__v"), dim, bits, seed = 7L + t).as("sig"))
+      }: _*)))
+      .select(col("__t"), col(idAs))
+
   /** LSH-bucketed ANN: both sides keyed by hyperplane signature; candidates
-    * are bucket-mates in any of `tables` independent hash tables, verified by
-    * exact cosine and reduced to per-query top-k. Multi-table union trades
+    * are bucket-mates in any of `tables` independent hash tables — id-only
+    * through the candidate shuffle, vectors re-joined for the exact-cosine
+    * verification, reduced to per-query top-k. Multi-table union trades
     * recall vs cost — the standard sign-LSH arrangement.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, dim: Int, k: Int,
-              bits: Int = 12, tables: Int = 4): DataFrame = {
-    val sigExprs = (side: DataFrame, idAs: String, vecAs: String) =>
-      side.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
-        .withColumn("__t", explode(array(Seq.tabulate(tables) { t =>
-          struct(lit(t).as("ti"),
-            hyperplaneSignature(col(vecAs), dim, bits, seed = 7L + t).as("sig"))
-        }: _*)))
-    val c = sigExprs(corpus, "neighbor_id", "__cv")
-    val q = sigExprs(queries, "query_id", "__qv")
-    val cand = c.join(q, Seq("__t"))
+              bits: Int = 12, tables: Int = 4,
+              maxBucketSize: Int = 100000): DataFrame = {
+    val c = bucketRows(corpus, idCol, vecCol, dim, bits, tables, "neighbor_id")
+    val q = bucketRows(queries, idCol, vecCol, dim, bits, tables, "query_id")
+    // Cap degenerate buckets (e.g. all-zero vectors collapse to one signature).
+    val hot = c.groupBy(col("__t")).count().filter(col("count") > maxBucketSize)
+      .select(col("__t"))
+    val cand = c.join(broadcast(hot), Seq("__t"), "left_anti")
+      .join(q, Seq("__t"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id").dropDuplicates("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = cand.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs whose
     * cosine >= threshold, discovered through shared buckets (no O(n²) scan).
+    * Pair-dedup on ids only; vectors re-joined for verification.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                         threshold: Double, bits: Int = 10, tables: Int = 4): DataFrame = {
-    val sides = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("__t", explode(array(Seq.tabulate(tables) { t =>
-        struct(lit(t).as("ti"),
-          hyperplaneSignature(col("v"), dim, bits, seed = 7L + t).as("sig"))
-      }: _*)))
-    val a = sides.select(col("__t"), col("id").as("id_a"), col("v").as("va"))
-    val b = sides.select(col("__t"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("__t")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+                         threshold: Double, bits: Int = 10, tables: Int = 4,
+                         maxBucketSize: Int = 100000): DataFrame = {
+    val side = bucketRows(df, idCol, vecCol, dim, bits, tables, "id")
+    val hot = side.groupBy(col("__t")).count().filter(col("count") > maxBucketSize)
+      .select(col("__t"))
+    val capped = side.join(broadcast(hot), Seq("__t"), "left_anti")
+    val a = capped.select(col("__t"), col("id").as("id_a"))
+    val b = capped.select(col("__t"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("__t")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val vA = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vB = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(vA, Seq("id_a")).join(vB, Seq("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-style ANN: k-means-lite partitioning via nearest of `nCentroids`
+    * sampled corpus vectors (deterministic sample), then per-query search
+    * restricted to the query's `nProbe` closest centroids' inverted lists.
+    * The coarse quantizer is a broadcast literal; assignment is a narrow map.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    // Coarse centroids: a deterministic sample of corpus vectors (k-means|| at
+    // scale would refine these; nearest-of-sample is the standard cheap IVF
+    // seed and keeps this fully declarative).
+    val cents: Seq[Seq[Double]] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(nCentroids)
+      .collect().map(_.getSeq[Any](1).map(_.toString.toDouble).toSeq).toSeq
+    val centLit = typedLit(cents)
+    def nearestCentroids(vec: Column, n: Int): Column = {
+      val scored = transform(
+        zip_with(centLit, sequence(lit(0), lit(cents.length - 1)), (c, i) => struct(c.as("c"), i.as("i"))),
+        s => struct(
+          aggregate(zip_with(vec, s.getField("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, v) => acc + v).as("d"),
+          s.getField("i").as("i")))
+      slice(transform(array_sort(scored), s => s.getField("i")), 1, n)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", element_at(nearestCentroids(col("__cv"), 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cell", explode(nearestCentroids(col("__qv"), nProbe)))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 }

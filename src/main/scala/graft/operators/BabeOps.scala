@@ -201,29 +201,55 @@ object BabeOps {
       */
     def joinBabe(build: DataFrame, key: String, joinKey: String,
                  onError: OnError = OnError.Warn,
-                 buildOrder: Option[Column] = None): DataFrame = {
+                 buildOrder: Option[Column] = None,
+                 maxBroadcastRows: Long = 10000000L): DataFrame = {
       val dedupedBuild = buildOrder match {
         case Some(ord) =>
           val w = Window.partitionBy(col(joinKey)).orderBy(ord)
           build.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
         case None => build.dropDuplicates(joinKey)
       }
-      val joinType = onError match {
-        case OnError.NullPad => "left"
-        case _               => "inner"
-      }
-      val joined = df.join(broadcast(dedupedBuild), df(key) === dedupedBuild(joinKey), joinType)
-        .drop(dedupedBuild(joinKey))
+      // Broadcast-size guard: the build side is dimension-sized by contract,
+      // but a misuse (fact table as build side) must not OOM the driver.
+      // Above the row cap we fall back to a shuffle join with a warning;
+      // maxBroadcastRows <= 0 skips the guard (and the count) entirely.
+      val hinted =
+        if (maxBroadcastRows <= 0) broadcast(dedupedBuild)
+        else {
+          val n = dedupedBuild.limit((maxBroadcastRows + 1).toInt.max(1)).count()
+          if (n > maxBroadcastRows) {
+            System.err.println(s"[joinBabe] build side has >$maxBroadcastRows rows; " +
+              "falling back to a shuffle join (pass maxBroadcastRows<=0 to force broadcast)")
+            dedupedBuild
+          } else broadcast(dedupedBuild)
+        }
       onError match {
+        case OnError.NullPad =>
+          df.join(hinted, df(key) === dedupedBuild(joinKey), "left")
+            .drop(dedupedBuild(joinKey))
+        case OnError.Skip =>
+          df.join(hinted, df(key) === dedupedBuild(joinKey), "inner")
+            .drop(dedupedBuild(joinKey))
+        case OnError.Warn =>
+          // Reference default logs each dropped probe row (join.py:44-45).
+          // Distributed equivalent: a left join with an observed metric of
+          // unmatched rows (surfaces via QueryExecutionListener after the
+          // next action — no extra pass), then the inner filter.
+          val marked = df.join(hinted, df(key) === dedupedBuild(joinKey), "left")
+          val matchedFlag = dedupedBuild(joinKey).isNotNull
+          marked
+            .observe("joinBabe_warn", sum(when(matchedFlag, 0L).otherwise(1L)).as("unmatched_rows"))
+            .filter(matchedFlag)
+            .drop(dedupedBuild(joinKey))
         case OnError.Fail =>
           // Eager unmatched check (reference raises per row; we check once,
           // distributed, via an anti-join count).
-          val unmatched = df.join(broadcast(dedupedBuild),
+          val unmatched = df.join(hinted,
             df(key) === dedupedBuild(joinKey), "left_anti").count()
           if (unmatched > 0)
             throw new IllegalStateException(s"joinBabe: $unmatched unmatched rows for key '$key'")
-          joined
-        case _ => joined
+          df.join(hinted, df(key) === dedupedBuild(joinKey), "inner")
+            .drop(dedupedBuild(joinKey))
       }
     }
 

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** `memoize` / `tee` (/root/reference/pybabe/base.py:177-253, 196-202).
+  *
+  * In-session reuse is `persist` (the reference's `tee(n)` ≈ cache + reuse).
+  * Cross-session memoize — the reference pickles the stream to disk keyed by
+  * (args, docstring) hash and replays it (base.py:204-242) — becomes a
+  * Parquet cache keyed by the LOGICAL PLAN fingerprint: same plan ⇒ same
+  * data ⇒ replay the parquet; plan changed ⇒ recompute and overwrite.
+  * Parquet replaces the 1000-row pickle chunks (base.py:237) with columnar,
+  * pruned, distributed reads.
+  */
+object Memoize {
+
+  /** In-session memoize: disk-backed persist (spill-safe at scale). */
+  def tee(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Fingerprint of the analyzed logical plan (normalized text — stable for
+    * identical pipelines within a Spark version).
+    */
+  def planFingerprint(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.toString
+      .replaceAll("#\\d+", "#") // strip per-session expression ids
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Cross-session memoize: replay `cacheDir/<fingerprint>` if present, else
+    * compute, write, and read back.
+    */
+  def memoize(df: DataFrame, cacheDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val path = s"$cacheDir/${planFingerprint(df)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+}

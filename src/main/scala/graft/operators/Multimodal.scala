@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media are opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample run as BATCHED
+  * per-partition transforms (`mapPartitions` over row batches — the Scala
+  * analogue of `mapInPandas`: one vectorized call per batch, not per row).
+  *
+  * The actual codec step is STUBBED (media libraries are not in this
+  * container): `decodeStub` produces a deterministic fake decode from the
+  * byte content. The Spark-side plumbing — schema, binaryFile ingestion,
+  * partition sizing, batch shape, output contract — is real and tested;
+  * swapping in a real codec is replacing one function.
+  *
+  * Scale notes: `binaryFile` spreads files across tasks and caps per-file
+  * size at `spark.sql.sources.binaryFile.maxLength`; large media corpora
+  * should be repartitioned by size-bucket before decode so one task doesn't
+  * draw all the 4K videos; decoded features (small arrays) shuffle, raw bytes
+  * never do after the decode stage.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every blob. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modification_time", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType),
+    StructField("media_type", StringType) // image | audio | video | unknown
+  ))
+
+  /** Ingest a directory of media files as (path, mtime, length, content,
+    * media_type) — `binaryFile` source + extension-typed metadata.
+    */
+  def readMedia(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .withColumn("media_type",
+        when(lower(col("path")).rlike("\\.(jpe?g|png|gif|bmp|webp)$"), "image")
+          .when(lower(col("path")).rlike("\\.(wav|mp3|flac|ogg|m4a)$"), "audio")
+          .when(lower(col("path")).rlike("\\.(mp4|mkv|avi|webm|mov)$"), "video")
+          .otherwise("unknown"))
+
+  /** Output schema of the decode stage: per-blob feature record. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Deterministic fake decode: "dimensions" and an 8-float "feature" derived
+    * from the content hash. Replace with a real codec (JavaCV/ImageIO/...)
+    * by swapping this function only — the batch plumbing stays.
+    */
+  def decodeStub(path: String, mediaType: String, content: Array[Byte]): Row = {
+    val h = java.util.Arrays.hashCode(content)
+    val w = 64 + math.abs(h % 1024)
+    val ht = 64 + math.abs((h / 1024) % 1024)
+    val frames = if (mediaType == "video") 1 + math.abs(h % 300) else 1
+    val feat = Array.tabulate(8)(i => ((h >> (i * 4)) & 0xF).toFloat / 15f)
+    Row(path, mediaType, w, ht, frames, feat.toSeq)
+  }
+
+  /** Decode stage: batched per-partition transform. `batchSize` bounds the
+    * bytes held per call (the `mapInPandas` batch-shape contract).
+    */
+  def decode(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    implicit val enc: Encoder[Row] = Encoders.row(decodedSchema)
+    media.select("path", "media_type", "content")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // One call per batch: a real codec would hand `batch` to a native
+          // library in one vectorized invocation.
+          batch.map(r => decodeStub(r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+        }
+      }
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame index up to
+    * `maxFrames` — pure expression, no decode needed to PLAN the sample.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+    decoded.filter(col("media_type") === "video")
+      .withColumn("frame_idx",
+        explode(slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), 1, maxFrames)))
+}

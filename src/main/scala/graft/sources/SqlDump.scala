@@ -45,9 +45,12 @@ object SqlDump {
           pos += 1
           sb.toString
         } else {
+          // Unquoted scalar: numbers incl. exponent floats (1e5, 1.5E-3)
+          // and hex literals (0xFF) — mysqldump emits all of these.
           val s = pos
-          while (pos < line.length && (line.charAt(pos).isDigit || line.charAt(pos) == '.' ||
-            line.charAt(pos) == '-')) pos += 1
+          while (pos < line.length && (line.charAt(pos).isLetterOrDigit ||
+            line.charAt(pos) == '.' || line.charAt(pos) == '-' ||
+            line.charAt(pos) == '+')) pos += 1
           if (pos == s) throw new IllegalArgumentException(
             s"SqlDump parse error at $pos: ${line.slice(pos, pos + 10)}")
           line.substring(s, pos)
@@ -89,11 +92,16 @@ object SqlDump {
     val prefix = s"INSERT INTO `$table` VALUES "
     val arity = fields.length
     val schema = StructType(fields.map(f => StructField(f, StringType, nullable = true)))
-    val rows = spark.read.textFile(path).rdd
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    // Stays on the Dataset API (no RDD drop-out): the parse is a typed
+    // flatMap inside the Dataset pipeline, so downstream projections/filters
+    // still participate in Catalyst planning.
+    spark.read.textFile(path)
       .filter(_.startsWith(prefix))
       .flatMap(line => parseTuples(line, prefix.length, arity)
         .map(a => Row.fromSeq(a.toIndexedSeq)))
-    spark.createDataFrame(rows, schema)
+      .toDF(fields: _*)
   }
 
   /** Parse a dump already held as a string (for tests mirroring the

