@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.NearDedup
+
+/** Text analysis, dedup, and similarity-search operators. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "le chat est sur la table et il dort bien")
+  ).toDF("id", "text")
+
+  test("tokens / shingles / charNgrams") {
+    val df = Seq("a b c d").toDF("t")
+    assert(df.select(TextFunctions.tokenCount(col("t"))).as[Int].head() == 4)
+    assert(df.select(TextFunctions.shingles(col("t"), 2)).as[Seq[String]].head() ==
+      Seq("a b", "b c", "c d"))
+    assert(df.select(TextFunctions.shingles(col("t"), 5)).as[Seq[String]].head() ==
+      Seq("a b c d")) // shorter than n -> single shingle
+    assert(Seq("ab cd").toDF("t").select(TextFunctions.charNgrams(col("t"), 2))
+      .as[Seq[String]].head() == Seq("ab", "b ", " c", "cd"))
+  }
+
+  test("subword count splits on class transitions") {
+    assert(Seq("abc123 x-y").toDF("t").select(TextFunctions.subwordCount(col("t")))
+      .as[Int].head() == 5) // abc|123, x|-|y
+  }
+
+  test("langId identifies languages by stopword lexicons") {
+    val out = Seq(
+      ("the cat is on the table and it was good for me", "en"),
+      ("le chat est sur la table et il est pour moi", "fr"),
+      ("zzz qqq xxx", "und")).toDF("text", "expected")
+      .withColumn("got", TextFunctions.langId(col("text")))
+    assert(out.filter(col("got") =!= col("expected")).count() == 0)
+  }
+
+  test("quality score favors real prose over punctuation soup") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and then it was done for the day with it",
+      "&&& ;;; !!! ### @@@ %%% ^^^ *** ((( )))").toDF("text")
+      .select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(scores(0) > scores(1))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("exact dedup keeps the min-id representative per identical content") {
+    val out = NearDedup.exactDedup(corpus, "id", "text")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+    val outMd5 = NearDedup.exactDedupMd5(corpus, "id", "text")
+    assert(outMd5.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash LSH finds near-dup pairs and dedups them") {
+    val pairs = NearDedup.minhashPairs(corpus, "id", "text",
+      shingleSize = 2, numPerms = 32, bands = 16, threshold = 0.5)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 4L))) // exact dup always found
+    assert(found.contains((1L, 2L)) || found.contains((2L, 4L))) // near-dup
+    assert(!found.exists { case (a, b) => Set(a, b) == Set(3L, 5L) })
+    val kept = NearDedup.minhashDedup(corpus, "id", "text",
+      shingleSize = 2, numPerms = 32, bands = 16, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(3L) && kept.contains(5L) && kept.contains(1L))
+    assert(!kept.contains(4L))
+  }
+
+  test("simhash: identical texts have distance 0, dissimilar texts exceed the cap") {
+    val pairs = NearDedup.simhashPairs(corpus, "id", "text", maxHamming = 3)
+    val found = pairs.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(found.exists { case (a, b, h) => (a, b) == ((1L, 4L)) && h == 0 })
+    assert(!found.exists { case (a, b, _) => Set(a, b) == Set(3L, 5L) })
+  }
+
+  test("ngram jaccard exact pairs") {
+    val pairs = NearDedup.ngramJaccardPairs(corpus, "id", "text", shingleSize = 2,
+      threshold = 0.5)
+    val m = pairs.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((1L, 4L)) == 1.0)
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
+  }
+
+  test("LSH bucket cap drops degenerate buckets") {
+    // 50 identical docs -> one giant bucket; cap 10 means no pairs survive.
+    val many = (1L to 50L).map(i => (i, "same same same same")).toDF("id", "text")
+    val capped = NearDedup.minhashPairs(many, "id", "text",
+      shingleSize = 2, numPerms = 32, bands = 8, threshold = 0.5, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = NearDedup.minhashPairs(many, "id", "text",
+      shingleSize = 2, numPerms = 32, bands = 8, threshold = 0.5)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+
+  test("vector dot / cosine / l2") {
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head() == 8.0)
+    assert(df.select(VectorFunctions.l2Distance(col("a"), col("b"))).as[Double].head() ==
+      math.sqrt(2.0))
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 8.0 / (math.sqrt(5) * math.sqrt(13))) < 1e-12)
+    // zero vector -> cosine 0, not NaN
+    assert(Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head() == 0.0)
+  }
+
+  private val vecs = Seq(
+    (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0)), (3L, Seq(0.0, 1.0, 0.0)),
+    (4L, Seq(0.0, 0.0, 1.0)), (5L, Seq(1.0, 0.05, 0.0))).toDF("id", "v")
+
+  test("brute-force topK ranks by cosine") {
+    val out = VectorFunctions.bruteForceTopK(vecs, vecs.filter(col("id") === 1), "id", "v", 2)
+    assert(out.orderBy("rank").select("neighbor_id").as[Long].collect().toSeq ==
+      Seq(5L, 2L)) // closest to (1,0,0) by cosine
+  }
+
+  test("LSH topK finds the identical-direction vector") {
+    val out = VectorFunctions.lshTopK(vecs, vecs.filter(col("id") === 1), "id", "v",
+      dim = 3, k = 2, bits = 4, tables = 8)
+    assert(out.count() > 0)
+    assert(out.orderBy("rank").select("neighbor_id").as[Long].head() == 5L)
+  }
+
+  test("IVF topK matches brute force on its probed cells") {
+    val out = VectorFunctions.ivfTopK(vecs, vecs.filter(col("id") === 1), "id", "v",
+      k = 2, nCentroids = 5, nProbe = 5)
+    assert(out.orderBy("rank").select("neighbor_id").as[Long].collect().toSeq ==
+      Seq(5L, 2L))
+  }
+
+  test("cosine near-dup pairs recovers duplicate vectors") {
+    val dup = vecs.unionByName(Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("id", "v"))
+    val out = VectorFunctions.cosineNearDupPairs(dup, "id", "v", dim = 3,
+      threshold = 0.999, bits = 4, tables = 8)
+    assert(out.select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((1L, 100L)))
+  }
+}

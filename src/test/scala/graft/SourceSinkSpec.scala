@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+import graft.sources.{Jdbc, Pull, Sources, SqlDump}
+import graft.operators.Memoize
+
+/** Sources (sql-dump, zip, dispatch, sniffer) and sinks (csv golden,
+  * html, push) — /root/reference/tests/test_sql.py:59-73, test_zip.py,
+  * format_csv.py, base.py:330-333/345-358.
+  */
+class SourceSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sql-dump golden: escapes, CRLF, quotes (test_sql.py:59-73)") {
+    val rows = SqlDump.parseString(
+      "CREATE TABLE BLABLA;\n" +
+        "INSERT INTO `foobar` VALUES (11,435787,'Yes\\r\\nI\\'m good.','2011-07-03 12:15:44')," +
+        "(13,242393,'Foo','Bar');\nMORE BLABLA;\n",
+      "foobar", Seq("id", "number", "title", "datetime"))
+    assert(rows == Seq(
+      Seq("11", "435787", "Yes\r\nI'm good.", "2011-07-03 12:15:44"),
+      Seq("13", "242393", "Foo", "Bar")))
+  }
+
+  test("sql-dump NULL and numeric literals (format_sql.py:10-46)") {
+    val rows = SqlDump.parseString(
+      "INSERT INTO `t` VALUES (1,NULL,-2.5),(2,1e5,0xFF);\n", "t", Seq("a", "b", "c"))
+    assert(rows == Seq(Seq("1", null, "-2.5"), Seq("2", "1e5", "0xFF")))
+  }
+
+  test("pull guesses (format, compression) from extension (base.py:345-358)") {
+    assert(Pull.guess("x.csv") == ("csv", None))
+    assert(Pull.guess("x.csv.gz") == ("csv", Some("gz")))
+    assert(Pull.guess("x.txt.zip") == ("txt", Some("zip")))
+    assert(Pull.guess("x.parquet") == ("parquet", None))
+    assert(Pull.guess("dump.sql") == ("sql", None))
+  }
+
+  test("zip pull reads a one-member archive and rejects multi-member (base.py:424-425)") {
+    val dir = tmp("zip")
+    val one = s"$dir/one.csv.zip"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(one))
+    zos.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+    zos.write("a,b\n1,2\n".getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    val df = Pull(spark, one)
+    assert(df.columns.toSeq == Seq("a", "b") && df.count() == 1)
+
+    val two = s"$dir/two.csv.zip"
+    val z2 = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(two))
+    z2.putNextEntry(new java.util.zip.ZipEntry("m1.csv")); z2.write("a\n1\n".getBytes)
+    z2.closeEntry(); z2.putNextEntry(new java.util.zip.ZipEntry("m2.csv"))
+    z2.write("a\n2\n".getBytes); z2.closeEntry(); z2.close()
+    intercept[Exception] { Pull(spark, two).count() }
+  }
+
+  test("csv sniffer finds the delimiter (format_csv.py:50-73)") {
+    val dir = tmp("sniff")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "a\tb\n1\t2\n3\t4\n")
+    assert(Sources.sniffDelimiter(spark, s"$dir/t.csv") == "\t")
+    val df = Sources.csv(spark, s"$dir/t.csv")
+    assert(df.columns.toSeq == Seq("a", "b") && df.count() == 2)
+  }
+
+  test("csv nullValue handling golden (test_transform.py:165-172)") {
+    val dir = tmp("nulls")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/n.csv"),
+      "foo,bar\n1,2\n2,NULL\n")
+    val df = Sources.csv(spark, s"$dir/n.csv", nullValue = "NULL", delimiter = Some(","))
+    assert(golden(df.orderBy("foo")) == "foo,bar\r\n1,2\r\n2,\r\n")
+  }
+
+  test("to_string CSV golden helper quotes and formats like the reference (charset.py:60-67)") {
+    val df = Seq((1, "a,b", "2012-04-03 10:20:30")).toDF("k", "s", "t")
+      .withColumn("t", col("t").cast("timestamp"))
+    assert(golden(df) == "k,s,t\r\n1,\"a,b\",2012-04-03 10:20:30\r\n")
+  }
+
+  test("html push renders header + rows (format_html.py:18-47)") {
+    val html = Sinks.toHtmlString(Seq((1, "<x>")).toDF("a", "b"), name = "s")
+    assert(html.contains("<h2>s</h2>"))
+    assert(html.contains("<th>a</th><th>b</th>"))
+    assert(html.contains("<td>1</td><td>&lt;x&gt;</td>"))
+  }
+
+  test("push csv + pull round-trips (base.py:463-567)") {
+    val dir = tmp("push") + "/out.csv"
+    val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
+    Sinks.push(df, dir, format = Some("csv"))
+    val back = Sources.csv(spark, dir, delimiter = Some(","))
+    assert(back.orderBy("k").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", "x"), Seq("2", "y")))
+  }
+
+  test("push partitionBy writes hive-style partition dirs (base.py:517-541)") {
+    val dir = tmp("part") + "/out"
+    val df = Seq(("2012-04-04", "a", 1), ("2012-04-05", "b", 2)).toDF("date", "name", "value")
+    Sinks.push(df, dir, format = Some("parquet"), partitionBy = Seq("date"))
+    val dirs = new java.io.File(dir).list().filter(_.startsWith("date=")).sorted
+    assert(dirs.toSeq == Seq("date=2012-04-04", "date=2012-04-05"))
+  }
+
+  test("jdbc DDL + partition-delete SQL generation (sql.py:284-305)") {
+    assert(Jdbc.createTableDdl("test_table", Seq("id", "value")) ==
+      "CREATE TABLE test_table (id VARCHAR(255), value VARCHAR(255))")
+    assert(Jdbc.deletePartitionSql("t", Map("date" -> "2012-04-04")) ==
+      "DELETE FROM t WHERE date = '2012-04-04'")
+    assert(Jdbc.deletePartitionSql("t", Map("v" -> "o'x")) ==
+      "DELETE FROM t WHERE v = 'o''x'")
+  }
+
+  test("memoize caches by plan fingerprint and replays (base.py:177-253)") {
+    val dir = tmp("memo")
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val first = Memoize.memoize(df.filter(col("k") > 0), dir)
+    assert(first.count() == 2)
+    val cached = new java.io.File(dir).list()
+    assert(cached.length == 1) // one fingerprint dir
+    val second = Memoize.memoize(df.filter(col("k") > 0), dir)
+    assert(second.count() == 2)
+    assert(new java.io.File(dir).list().length == 1) // same plan -> same cache entry
+    val third = Memoize.memoize(df.filter(col("k") > 1), dir)
+    assert(third.count() == 1)
+    assert(new java.io.File(dir).list().length == 2) // different plan -> new entry
+  }
+}
