@@ -338,8 +338,10 @@ object SparkEntry {
         .filterColumns(keep = Seq("doc_id", "lang", "source", "n_chars"))
     }),
     "q46_ngram_jaccard" -> ((s, d) =>
+      // Exact all-pairs baseline — O(n²) by design, so the audit slice is
+      // bounded (covers all of sf0.01; a 600-doc sample at larger SFs).
       NearDedup.ngramJaccardPairs(
-        t(s, d, "documents").filter(col("doc_id") < 2000), "doc_id", "text",
+        t(s, d, "documents").filter(col("doc_id") < 600), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)),
     "q47_minhash_pairs" -> ((s, d) =>
       NearDedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -380,6 +382,24 @@ object SparkEntry {
         .withColumn("vec_id", col("vec_id") + 100000L)
       VectorFunctions.cosineNearDupPairs(emb.unionByName(dups), "vec_id", "embedding", dim = 64,
         threshold = 0.95, bits = 8, tables = 4)
+    }),
+
+    // ------------------------------------------------------------------
+    // Nested flattening + event-log parsing (SURVEY §2.1 twitter/kontagent)
+    // ------------------------------------------------------------------
+    "q54_flatten_json" -> ((s, d) => {
+      import s.implicits._
+      val df = s.read.json(Seq(
+        """{"id":1,"author":{"name":"flo","geo":{"lat":48.8}}}""",
+        """{"id":2,"author":{"name":"dou","geo":{"lat":51.5}}}""").toDS())
+      graft.operators.Nested.flatten(df)
+    }),
+    "q55_eventlog_parse" -> ((s, d) => {
+      import s.implicits._
+      val lines = Seq("s=123&st=1346806200&n=hello%20world", "s=124&st=1&n=x").toDF("line")
+      val parsed = lines.select(graft.sources.EventLogs.parseQueryStringDecoded(col("line")).as("m"))
+      graft.sources.EventLogs.extractEventColumns(parsed, "m",
+        Seq("s" -> LongType, "st" -> LongType, "n" -> StringType)).drop("m")
     }))
 
   // =====================================================================
@@ -490,7 +510,13 @@ object SparkEntry {
         "SELECT doc_id, lang, source, n_chars FROM all_docs WHERE doc_id IN " +
         "(SELECT min(doc_id) FROM all_docs GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"),
     "q46_ngram_jaccard" -> ngramJaccardOracleSql,
-    "q50_cosine_topk" -> cosineTopkOracleSql)
+    "q50_cosine_topk" -> cosineTopkOracleSql,
+    "q54_flatten_json" ->
+      ("SELECT * FROM (VALUES (48.8, 'flo', CAST(1 AS BIGINT)), (51.5, 'dou', CAST(2 AS BIGINT))) " +
+        "AS t(author_geo_lat, author_name, id)"),
+    "q55_eventlog_parse" ->
+      ("SELECT * FROM (VALUES (CAST(123 AS BIGINT), CAST(1346806200 AS BIGINT), 'hello world'), " +
+        "(CAST(124 AS BIGINT), CAST(1 AS BIGINT), 'x')) AS t(s, st, n)"))
 
   private lazy val uaOracleSql: String = {
     val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")
@@ -575,12 +601,12 @@ FROM m"""
        THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
        ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
          i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')) END) AS s
-  FROM documents WHERE doc_id < 2000)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-FROM sh a, sh b
-WHERE a.doc_id < b.doc_id
-  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""
+  FROM documents WHERE doc_id < 600),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.s, b.s)) AS i, len(a.s) AS n_a, len(b.s) AS n_b
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (n_a + n_b - i), 4) AS jaccard
+FROM pairs WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= 0.5"""
 
   private lazy val cosineTopkOracleSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -112,6 +112,18 @@ object TextFunctions {
     lenScore * 0.25 + punctScore * 0.25 + wordScore * 0.25 + stopScore * 0.25
   }
 
+  // -- charset cleanup ------------------------------------------------------
+
+  /** Undo the classic mojibake (UTF-8 bytes decoded as latin-1: "Ã©" → "é")
+    * — the reference's UTF8RecoderWithCleanup capability
+    * (/root/reference/pybabe/charset.py:10-37). Re-encodes suspect strings
+    * to ISO-8859-1 and re-decodes as UTF-8; guarded by the mojibake marker
+    * characters so clean text passes through untouched.
+    */
+  def fixMojibake(text: Column): Column =
+    when(text.rlike("[Â-Ã]"), decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+
   // -- fingerprinting -------------------------------------------------------
 
   /** Canonical-form document fingerprint: md5 of the lowercased,

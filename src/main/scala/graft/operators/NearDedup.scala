@@ -168,12 +168,14 @@ object NearDedup {
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .withColumn("n", size(col("sh")))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    // |A∪B| = |A|+|B|-|A∩B|: one intersect per pair, no union materialization.
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("i").cast(DoubleType) / (col("n_a") + col("n_b") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

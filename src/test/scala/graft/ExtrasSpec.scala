@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Nested
+import graft.sources.{EventLogs, Protocols}
+import graft.functions.TextFunctions
+
+/** Nested flattening, protocol dispatch, event-log parsing, mojibake. */
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatten structs to parent_child columns (twitter.py:14-22 capability)") {
+    val df = spark.read.json(Seq(
+      """{"id":1,"author":{"name":"flo","geo":{"lat":48.8}},"tags":["a","b"]}""").toDS())
+    val out = Nested.flatten(df)
+    assert(out.columns.sorted.toSeq == Seq("author_geo_lat", "author_name", "id", "tags"))
+    assert(out.select("author_name").as[String].head() == "flo")
+    val exploded = Nested.explodeArray(out, "tags")
+    assert(exploded.count() == 2)
+  }
+
+  test("protocol dispatch: distributed URLs vs spooled") {
+    assert(Protocols.isDistributedUrl("s3a://bucket/key*.csv"))
+    assert(Protocols.isDistributedUrl("/local/path.csv"))
+    assert(!Protocols.isDistributedUrl("http://host/x.csv"))
+  }
+
+  test("query-string event parse with Catalyst built-ins (kontagent.py:99-204)") {
+    val df = Seq("s=123&st=1346806200&n=hello%20world").toDF("line")
+    val parsed = df.select(EventLogs.parseQueryStringDecoded(col("line")).as("m"))
+    val out = EventLogs.extractEventColumns(parsed, "m",
+      Seq("s" -> LongType, "st" -> LongType, "n" -> StringType))
+    val r = out.select("s", "st", "n").as[(Long, Long, String)].head()
+    assert(r == ((123L, 1346806200L, "hello world")))
+  }
+
+  test("base64 JSON payload decode (kontagent.py:139-147)") {
+    val payload = java.util.Base64.getEncoder.encodeToString("""{"k":"v"}""".getBytes)
+    val out = Seq(payload).toDF("data")
+      .select(element_at(EventLogs.decodeJsonPayload(col("data")), "k").as("k"))
+    assert(out.as[String].head() == "v")
+  }
+
+  test("hour-partitioned read prunes partitions (kontagent.py:245-293 shape)") {
+    val root = tmp("logs")
+    Seq("e1").toDF("line").write.text(s"$root/date=2012-04-04/hour=01")
+    Seq("e2").toDF("line").write.text(s"$root/date=2012-04-05/hour=02")
+    val df = EventLogs.readPartitioned(spark, root)
+    assert(df.columns.toSet == Set("value", "date", "hour")) // text source names the line col "value"
+    val pruned = df.filter(col("date") === "2012-04-04")
+    assert(pruned.select("value").as[String].collect().toSeq == Seq("e1"))
+    // partition filter must reach the scan (pruning, not post-filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("date=2012-04-05"))
+  }
+
+  test("mojibake cleanup (charset.py:10-37)") {
+    val moji = new String("é".getBytes("UTF-8"), "ISO-8859-1") // "Ã©"
+    val df = Seq(moji + " caf" + moji.takeRight(0), "clean text").toDF("s")
+    val out = df.select(TextFunctions.fixMojibake(col("s")).as("f")).as[String].collect()
+    assert(out.contains("clean text"))
+    assert(out.exists(_.startsWith("é")))
+  }
+}
