@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions._
+
+/** SQL-surface registration for the native expressions: add
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and the functions are callable
+  * from SQL — `SELECT graft_simhash64(text) FROM docs`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(s"$name must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShinglesExpr(args(0), intArg(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => MinHashSigExpr(args(0),
+        intArg(args(1), "numPerms"),
+        if (args.length > 2) longArg(args(2), "seed") else 42L)))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "graft_hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSigExpr(args(0),
+        intArg(args(1), "dim"), intArg(args(2), "bits"),
+        if (args.length > 3) longArg(args(3), "seed") else 7L)))
+  }
+}

@@ -1,0 +1,234 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the LLM-operator hot paths.
+  *
+  * The declarative formulations (aggregate/transform/zip_with higher-order
+  * functions) are semantically right but Catalyst INTERPRETS lambda
+  * higher-order functions — they sit outside whole-stage codegen, and a
+  * 64-bit simhash becomes 64 interpreted array traversals per row. These
+  * expressions compute the same values in one compiled loop: `doGenCode`
+  * emits a call to a static JVM kernel, so the projection stays inside the
+  * generated code path (one virtual call per row, no closure dispatch).
+  *
+  * Value parity with the expression formulations is exact (same xxhash64
+  * seed/semantics via XxHash64Function, same fold order for doubles), so
+  * swapping implementations never changes results.
+  */
+object Kernels {
+
+  private def xxh64(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, 42L)
+
+  private def pmod(x: Long, p: Long): Long = { val m = x % p; if (m < 0) m + p else m }
+
+  /** SimHash64 over whitespace tokens of the trimmed text — parity with
+    * `aggregate`-based bit sums over xxhash64(token).
+    */
+  def simhash64(text: UTF8String): Long = {
+    val tokens = text.toString.trim.split("\\s+")
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = xxh64(UTF8String.fromString(tokens(t)))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** MinHash signature: min over shingles of pmod(pmod(xxh64(s),p)*a+b, p)
+    * per permutation — parity with the transform/array_min formulation.
+    */
+  def minhashSig(shingles: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val n = shingles.numElements()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = pmod(xxh64(shingles.getUTF8String(i)), p); i += 1 }
+    val sig = new Array[Long](a.length)
+    var k = 0
+    while (k < a.length) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = pmod(hashes(j) * a(k) + b(k), p)
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(k) = if (n == 0) 0L else mn
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Distinct word n-gram shingles of the trimmed text: sliding n-token
+    * windows joined by spaces; fewer than n tokens → the whole text as one
+    * shingle. Parity with
+    * array_distinct(TextFunctions.shingles(text, n)).
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.toString.trim.split("\\s+")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (tokens.length < n) {
+      out.add(UTF8String.fromString(tokens.mkString(" ")))
+    } else {
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i + n <= tokens.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Cosine similarity of two double arrays; 0.0 when either norm is 0 —
+    * parity with the zip_with/aggregate fold (left-to-right sums).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Sign-LSH signature: bit i = [dot(vec, plane_i) >= 0], sig = Σ bit·2^i —
+    * parity with the transform/aggregate formulation.
+    */
+  def hyperplaneSig(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val plane = planes(i)
+      var dot = 0.0
+      var j = 0
+      val n = math.min(vec.numElements(), plane.length)
+      while (j < n) { dot += vec.getDouble(j) * plane(j); j += 1 }
+      if (dot >= 0.0) sig += (1L << i)
+      i += 1
+    }
+    sig
+  }
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.simhash64(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+  private val p = 2147483647L // 2^31-1, matches NearDedup.minhashSignature
+  @transient private lazy val perms: (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val a = new Array[Long](numPerms); val b = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) {
+      a(i) = math.abs(rnd.nextLong()) % (p - 1) + 1
+      b(i) = math.abs(rnd.nextLong()) % p
+      i += 1
+    }
+    (a, b)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(arr: Any): Any =
+    Kernels.minhashSig(arr.asInstanceOf[ArrayData], perms._1, perms._2, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", perms._1, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", perms._2, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.minhashSig($c, $aRef, $bRef, ${p}L);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.shingles(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneSig(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.hyperplaneSig($c, $pRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+}
+
+/** Column-builder surface for the native expressions. */
+object GraftFunctions {
+  def simhash64(c: Column): Column =
+    Shim.column(SimHash64Expr(Shim.expression(c)))
+  def shingles(c: Column, n: Int): Column =
+    Shim.column(ShinglesExpr(Shim.expression(c), n))
+  def minhashSignature(c: Column, numPerms: Int, seed: Long = 42L): Column =
+    Shim.column(MinHashSigExpr(Shim.expression(c), numPerms, seed))
+  def cosine(a: Column, b: Column): Column =
+    Shim.column(CosineSimExpr(Shim.expression(a), Shim.expression(b)))
+  def hyperplaneSignature(c: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
+    Shim.column(HyperplaneSigExpr(Shim.expression(c), dim, bits, seed))
+}

@@ -29,7 +29,15 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity — native codegen'd expression for array<double>
+    * (graft.expressions.CosineSimExpr): one compiled loop instead of three
+    * interpreted HOF folds per pair. 0.0 for zero-norm inputs.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.GraftFunctions.cosine(a, b)
+
+  /** HOF formulation (kept for non-double arrays / reference semantics). */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0.0d, lit(0.0d)).otherwise(d / n)
@@ -71,16 +79,8 @@ object VectorFunctions {
     * query to a tiny corpus slice. Computed as one fold over the literal
     * plane matrix: sig = Σ_i [dot(vec, plane_i) >= 0] << i.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column = {
-    val planes = hyperplanes(dim, bits, seed)
-    val signBits = transform(planes, p =>
-      when(aggregate(zip_with(vec, p, (x, w) => x * w), lit(0.0d), (acc, v) => acc + v) >= 0.0d,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(
-      zip_with(signBits, sequence(lit(0), lit(bits - 1)),
-        (b, i) => b * pow(lit(2.0d), i).cast(LongType)),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
+    graft.expressions.GraftFunctions.hyperplaneSignature(vec, dim, bits, seed)
 
   /** Explode a (id, vec) side into `tables` (table, signature) bucket rows —
     * ids only; vectors are re-joined after candidate dedup.

@@ -32,24 +32,14 @@ object NearDedup {
   /** Default cap on LSH bucket size before the in-bucket self-join. */
   val DefaultMaxBucketSize: Int = 10000
 
-  /** MinHash signature of the shingle set: `numPerms` permutations
-    * h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes, each
-    * reduced with array_min — one expression per permutation over one shared
-    * hashed-shingle array.
+  /** MinHash signature of the shingle set — a native codegen'd expression
+    * (graft.expressions.MinHashSigExpr): numPerms permutations
+    * h_i(x) = (a_i·x + b_i) mod (2^31-1) over xxhash64 shingle hashes,
+    * computed in one compiled loop per row (the HOF formulation is
+    * interpreted by Catalyst and was the hot path at scale).
     */
-  def minhashSignature(shingleCol: Column, numPerms: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    // 2^31 - 1 (Mersenne prime): keeps h*a + b < 2^62, overflow-free in
-    // 64-bit arithmetic under ANSI mode; 31-bit minhash domain is ample.
-    val p = 2147483647L
-    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
-    val perms = Seq.tabulate(numPerms) { _ =>
-      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p)
-    }
-    array(perms.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(p))))
-    }: _*)
-  }
+  def minhashSignature(shingleCol: Column, numPerms: Int, seed: Long = 42L): Column =
+    graft.expressions.GraftFunctions.minhashSignature(shingleCol, numPerms, seed)
 
   /** LSH band keys: the signature cut into `bands` rows of `rowsPerBand`,
     * each band hashed to one long. Documents sharing any band key are
@@ -89,7 +79,7 @@ object NearDedup {
     val rowsPerBand = numPerms / bands
     val shingled = df.select(
       col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
     val banded = shingled
       .withColumn("sig", minhashSignature(col("sh"), numPerms))
       .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
@@ -121,19 +111,11 @@ object NearDedup {
 
   /** 64-bit SimHash over token xxhash64 values: bit j of the result is 1 when
     * the sum over tokens of ±1 (by bit j of the token hash) is positive.
-    * Pure expression tree: one aggregate per bit over a shared hash array —
-    * wide but flat, fully codegen-compatible.
+    * Native codegen'd expression (graft.expressions.SimHash64Expr): one
+    * compiled pass over the tokens instead of 64 interpreted array folds.
     */
-  def simhash64(textCol: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
-    val bitSums = Seq.tabulate(64) { j =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    }
-    bitSums.zipWithIndex.map { case (s, j) =>
-      when(s > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(textCol: Column): Column =
+    graft.expressions.GraftFunctions.simhash64(textCol)
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -167,7 +149,7 @@ object NearDedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
+      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))

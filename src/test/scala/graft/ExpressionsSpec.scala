@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Native codegen'd expressions: value parity with the HOF formulations and
+  * the SQL surface registered via SparkSessionExtensions.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine expression matches the HOF formulation bit-exactly") {
+    val rnd = new scala.util.Random(1)
+    val vecs = Seq.fill(50)((Seq.fill(16)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian())))
+    val df = vecs.toDF("a", "b")
+    val diff = df.select(
+      (GraftFunctions.cosine(col("a"), col("b")) - VectorFunctions.cosineHof(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diff == 0.0)
+  }
+
+  test("simhash expression: same tokens -> same signature; token order matters not") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "fox brown quick the", "other")
+      .toDF("t").select(GraftFunctions.simhash64(col("t")).as("s"))
+    val sigs = df.as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) == sigs(2)) // bag-of-tokens: order-insensitive
+    assert(sigs(0) != sigs(3))
+  }
+
+  test("minhash signature expression is deterministic and length-correct") {
+    val df = Seq(Seq("a b", "b c"), Seq("a b", "b c"), Seq("x y"))
+      .toDF("sh").select(GraftFunctions.minhashSignature(col("sh"), 16).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    val p = 2147483647L
+    assert(sigs.flatten.forall(v => v >= 0 && v < p))
+  }
+
+  test("hyperplane signature expression: identical vectors share all buckets") {
+    val df = Seq(Seq(1.0, 2.0, -1.0), Seq(1.0, 2.0, -1.0), Seq(-1.0, -2.0, 1.0))
+      .toDF("v").select(GraftFunctions.hyperplaneSignature(col("v"), 3, 12).as("s"))
+    val sigs = df.as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    // antipodal vector flips every sign bit
+    assert((sigs(0) ^ sigs(2)) == (1L << 12) - 1)
+  }
+
+  test("SQL surface via SparkSessionExtensions (graft_* functions)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extSession = SparkSession.builder().master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val viaSql = extSession.sql("SELECT graft_simhash64('a b c') AS s, " +
+        "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+        "graft_hyperplane_sig(array(1.0d, 2.0d), 2, 4) AS h, " +
+        "size(graft_minhash_sig(array('x'), 8)) AS m").collect()(0)
+      val viaCol = Seq("a b c").toDF("t")
+        .select(GraftFunctions.simhash64(col("t"))).as[Long].head()
+      assert(viaSql.getLong(0) == viaCol)
+      assert(viaSql.getDouble(1) == 1.0)
+      assert(viaSql.getInt(3) == 8)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
