@@ -37,8 +37,11 @@ object SparkEntry {
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
+    // Scale shapes: lineitem⋈orders and orders⋈customer are fact-to-fact
+    // shuffle joins (co-partitioned on the join keys by the exchange);
+    // only nation — a true dimension — is broadcast.
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(cast_double_sum(col("revenue")).as("revenue"), count(lit(1)).as("n_items"))
