@@ -116,6 +116,39 @@ object Sinks {
     sb.toString
   }
 
+  /** Compose the reference's `mail` final sink as an RFC-2822 MIME message
+    * string (reference mail.py:16-87: HTML body from a row-limited preview,
+    * CSV attachments base64-encoded). Transport is deliberately out of
+    * scope — hand the string to any SMTP client; composing is the
+    * engine-side work.
+    */
+  def mailString(df: DataFrame, from: String, to: Seq[String], subject: String,
+                 name: String = "stream", bodyRowLimit: Int = 20): String = {
+    val boundary = "=_graft_" + java.util.UUID.randomUUID().toString
+    val html = toHtmlString(df.limit(bodyRowLimit), name)
+    val csv = toCsvString(df)
+    val b64 = java.util.Base64.getMimeEncoder(76, "\r\n".getBytes)
+      .encodeToString(csv.getBytes("UTF-8"))
+    s"""From: $from\r
+To: ${to.mkString(", ")}\r
+Subject: $subject\r
+MIME-Version: 1.0\r
+Content-Type: multipart/mixed; boundary="$boundary"\r
+\r
+--$boundary\r
+Content-Type: text/html; charset=UTF-8\r
+\r
+$html\r
+--$boundary\r
+Content-Type: text/csv; charset=UTF-8; name="$name.csv"\r
+Content-Disposition: attachment; filename="$name.csv"\r
+Content-Transfer-Encoding: base64\r
+\r
+$b64\r
+--$boundary--\r
+"""
+  }
+
   /** Passthrough tap (reference `log`, log.py:16-36): attaches named observed
     * metrics (row count + optional per-column aggregates) that surface via
     * QueryExecutionListener after the next action — the scale-correct way to

@@ -110,6 +110,19 @@ class SourceSinkSpec extends SparkSpec {
       "DELETE FROM t WHERE v = 'o''x'")
   }
 
+  test("mail composes a MIME message with html body + csv attachment (mail.py:16-87)") {
+    val msg = Sinks.mailString(Seq((1, "x")).toDF("a", "b"),
+      "a@ex.com", Seq("b@ex.com"), "hello", name = "s")
+    assert(msg.contains("Subject: hello"))
+    assert(msg.contains("Content-Type: multipart/mixed"))
+    assert(msg.contains("<h2>s</h2>"))
+    assert(msg.contains("""filename="s.csv""""))
+    val b64 = msg.split("Content-Transfer-Encoding: base64\r\n\r\n")(1)
+      .split("\r\n--")(0).replace("\r\n", "")
+    assert(new String(java.util.Base64.getDecoder.decode(b64), "UTF-8") ==
+      "a,b\r\n1,x\r\n")
+  }
+
   test("memoize caches by plan fingerprint and replays (base.py:177-253)") {
     val dir = tmp("memo")
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
