@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.operators.BabeOps._
+import graft.operators.KeyNormalize
+import graft.functions.VectorFunctions
+
+/** Property-based invariants (SURVEY §5): laws that must hold for any input,
+  * complementing the golden cases.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Raw-ScalaCheck sampling (the scalatest bridge isn't bundled): run the
+    * body over n generated samples.
+    */
+  private def forAll[A](gen: Gen[A], n: Int = 25)(f: A => Unit): Unit = {
+    var i = 0
+    var tries = 0
+    while (i < n && tries < n * 4) {
+      gen.sample match { case Some(a) => f(a); i += 1 case None => () }
+      tries += 1
+    }
+    assert(i > 0, "generator produced no samples")
+  }
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+  import spark.implicits._
+
+  test("KeyNormalize is idempotent and yields valid identifiers") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val once = KeyNormalize(s)
+      assert(KeyNormalize(once) == once)
+      assert(once.matches("[A-Za-z_][A-Za-z0-9_]*") || once == "_")
+    }
+  }
+
+  test("dedup output is a subset of input and contains each distinct row once") {
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3)))) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("a", "b")
+        val out = df.dedup().as[(Int, Int)].collect().toSeq
+        assert(out.toSet == rows.toSet)
+        assert(out.size == out.toSet.size)
+      }
+    }
+  }
+
+  test("sort is idempotent and a permutation of its input") {
+    forAll(Gen.listOfN(30, Gen.choose(-100, 100))) { xs =>
+      whenever(xs.nonEmpty) {
+        val df = xs.toDF("k")
+        val once = df.sortBabe("k").as[Int].collect().toSeq
+        val twice = df.sortBabe("k").sortBabe("k").as[Int].collect().toSeq
+        assert(once == twice)
+        assert(once.sorted == once)
+        assert(once.groupBy(identity) == xs.groupBy(identity))
+      }
+    }
+  }
+
+  test("maxN + minN partition the extremes: maxN(k) ∪ rest covers input") {
+    forAll(Gen.listOfN(25, Gen.choose(0, 1000))) { xs =>
+      whenever(xs.distinct.size == xs.size && xs.nonEmpty) {
+        val df = xs.toDF("k")
+        val top = df.maxN("k", 5, Seq(col("k"))).as[Int].collect().toSeq
+        assert(top == xs.sorted.reverse.take(5))
+        val bottom = df.minN("k", 5, Seq(col("k"))).as[Int].collect().toSeq
+        assert(bottom == xs.sorted.take(5))
+      }
+    }
+  }
+
+  test("unpivot of a pivoted frame preserves the (group, name, value) triples") {
+    val df = Seq(("g1", 1, 2), ("g2", 3, 4)).toDF("g", "x", "y")
+    val melted = df.unpivotBabe(Seq("g"), Seq("x", "y"))
+    val back = melted.groupBy("g").pivot("field").agg(first("value"))
+    val orig = df.orderBy("g").collect().map(_.toSeq).toSeq
+    val round = back.select("g", "x", "y").orderBy("g").collect().map(_.toSeq).toSeq
+    assert(orig == round)
+  }
+
+  test("cosine is symmetric and bounded for unit-scale vectors") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
+    forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val c1 = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].head()
+      val c2 = df.select(VectorFunctions.cosine(col("b"), col("a"))).as[Double].head()
+      assert(math.abs(c1 - c2) < 1e-12)
+      assert(c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard (statistical)") {
+    // identical sets -> identical signatures; disjoint sets -> signature
+    // agreement is chance-level
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      graft.operators.NearDedup.minhashSignature(
+        graft.expressions.GraftFunctions.shingles(col("text"), 2), 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    assert(agree12 == 64) // jaccard 1.0
+    assert(agree13 < 16)  // jaccard 0.0, allow chance collisions
+  }
+}
