@@ -19,11 +19,15 @@ object Memoize {
   def tee(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Fingerprint of the analyzed logical plan (normalized text — stable for
-    * identical pipelines within a Spark version).
+    * identical pipelines within a Spark version) PLUS the input file set:
+    * the analyzed plan string does NOT print file-source paths, so two runs
+    * of the same pipeline over different directories would otherwise collide
+    * and replay the wrong cache.
     */
   def planFingerprint(df: DataFrame): String = {
     val canon = df.queryExecution.analyzed.toString
-      .replaceAll("#\\d+", "#") // strip per-session expression ids
+      .replaceAll("#\\d+", "#") + // strip per-session expression ids
+      "\n" + df.inputFiles.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -166,19 +166,21 @@ object NearDedup {
     * identical-content group. groupBy on a 64-bit hash — minimal shuffle
     * width at any scale.
     */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("__fp", TextFunctions.fingerprint64(col(textCol)))
-    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)).drop("__fp")
-    df.join(keep, Seq(idCol), "left_semi")
+  private def dedupOnFingerprint(df: DataFrame, idCol: String, fp: Column): DataFrame = {
+    // One scan + one shuffle (vs groupBy + semi-join = two scans + a join):
+    // window the rows by fingerprint, keep the min-id representative.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupOnFingerprint(df, idCol, TextFunctions.fingerprint64(col(textCol)))
 
   /** Exact dedup keyed on the md5 canonical fingerprint (same semantics as
     * `exactDedup`; the md5 key is ANSI-SQL-expressible for oracle checks,
     * the xxhash64 variant is the cheaper production shuffle key).
     */
-  def exactDedupMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)).drop("__fp")
-    df.join(keep, Seq(idCol), "left_semi")
-  }
+  def exactDedupMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupOnFingerprint(df, idCol, TextFunctions.fingerprint(col(textCol)))
 }

@@ -59,22 +59,25 @@ object TypeDetect {
       .filter(n => fields.isEmpty || fields.contains(n))
     if (stringCols.isEmpty) return df
 
-    def cnt(c: Column): Column = count(when(c, lit(1)))
-    val aggs = stringCols.flatMap { n =>
+    // Probe each value ONCE per predicate in a projection (flags), then
+    // aggregate the flags: the naive per-aggregate formulation re-evaluated
+    // each regex/try_to_timestamp 2-3x per row. Parse success (not just the
+    // regex) gates the date/ts counts: a value like `99-99-99` passes DateRe
+    // but fails the cast, which would silently null out cells.
+    val flagCols = stringCols.flatMap { n =>
       val c = col(n)
+      val isInt = c.rlike(IntRe)
+      val isDate = c.rlike(DateRe) && parseDateCol(c).isNotNull
       Seq(
-        count(c).as(s"__nn_$n"),
-        cnt(c.rlike(IntRe)).as(s"__int_$n"),
-        cnt(c.rlike(IntRe) || c.rlike(FloatRe)).as(s"__num_$n"),
-        // Count actual parse successes, not regex matches: a value like
-        // `99-99-99` passes DateRe but fails the cast, which would silently
-        // null out cells after narrowing. The try_to_timestamp count is the
-        // same aggregation pass, just honest.
-        cnt(c.rlike(DateRe) && parseDateCol(c).isNotNull).as(s"__date_$n"),
-        cnt((c.rlike(DateRe) && parseDateCol(c).isNotNull) ||
-          (c.rlike(DateTimeRe) && parseDateTimeCol(c).isNotNull)).as(s"__ts_$n"))
+        c.isNotNull.as(s"__nn_$n"),
+        isInt.as(s"__int_$n"),
+        (isInt || c.rlike(FloatRe)).as(s"__num_$n"),
+        isDate.as(s"__date_$n"),
+        (isDate || (c.rlike(DateTimeRe) && parseDateTimeCol(c).isNotNull)).as(s"__ts_$n"))
     }
-    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val flags = df.select(flagCols.toIndexedSeq: _*)
+    val aggs = flags.columns.map(n => count(when(col(n), lit(1))).as(n)).toSeq
+    val stats = flags.agg(aggs.head, aggs.tail: _*).collect()(0)
     def stat(kind: String, n: String): Long = stats.getAs[Long](s"__${kind}_$n")
 
     val casts: Seq[(String, Column)] = stringCols.toSeq.flatMap { n =>

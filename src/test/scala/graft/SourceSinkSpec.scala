@@ -137,4 +137,17 @@ class SourceSinkSpec extends SparkSpec {
     assert(third.count() == 1)
     assert(new java.io.File(dir).list().length == 2) // different plan -> new entry
   }
+
+  test("memoize fingerprint distinguishes identical plans over different paths") {
+    val dir = tmp("memo_paths")
+    val d1 = tmp("memo_src1"); val d2 = tmp("memo_src2")
+    Seq((1, "a")).toDF("k", "v").write.mode("overwrite").parquet(s"$d1/t")
+    Seq((2, "b"), (3, "c")).toDF("k", "v").write.mode("overwrite").parquet(s"$d2/t")
+    // same pipeline shape, different source dirs — must NOT share a cache entry
+    val r1 = Memoize.memoize(spark.read.parquet(s"$d1/t").groupBy("v").count(), dir)
+    assert(r1.count() == 1)
+    val r2 = Memoize.memoize(spark.read.parquet(s"$d2/t").groupBy("v").count(), dir)
+    assert(r2.count() == 2)
+    assert(new java.io.File(dir).list().length == 2)
+  }
 }
