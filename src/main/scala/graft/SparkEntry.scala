@@ -403,7 +403,11 @@ object SparkEntry {
       val parsed = lines.select(graft.sources.EventLogs.parseQueryStringDecoded(col("line")).as("m"))
       graft.sources.EventLogs.extractEventColumns(parsed, "m",
         Seq("s" -> LongType, "st" -> LongType, "n" -> StringType)).drop("m")
-    }))
+    }),
+    "q56_window_global_twopass" -> ((s, d) =>
+      t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_totalprice"))
+        .windowMapGlobal(5, col("o_orderkey"),
+          "rsum" -> (w => sum(col("o_totalprice")).over(w)))))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -519,7 +523,10 @@ object SparkEntry {
         "AS t(author_geo_lat, author_name, id)"),
     "q55_eventlog_parse" ->
       ("SELECT * FROM (VALUES (CAST(123 AS BIGINT), CAST(1346806200 AS BIGINT), 'hello world'), " +
-        "(CAST(124 AS BIGINT), CAST(1 AS BIGINT), 'x')) AS t(s, st, n)"))
+        "(CAST(124 AS BIGINT), CAST(1 AS BIGINT), 'x')) AS t(s, st, n)"),
+    "q56_window_global_twopass" ->
+      ("SELECT o_orderkey, o_totalprice, sum(o_totalprice) OVER " +
+        "(ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rsum FROM orders"))
 
   private lazy val uaOracleSql: String = {
     val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")

@@ -327,5 +327,40 @@ object BabeOps {
         .orderBy(order: _*).rowsBetween(-(n - 1).toLong, Window.currentRow)
       df.withColumns(aggsOver.map { case (name, f) => name -> f(frame) }.toMap)
     }
+
+    /** Scale-safe GLOBAL trailing window: the unpartitioned `windowMap` is a
+      * single-partition funnel (Spark warns, and at 100 TB it is a
+      * non-starter). This two-pass form keeps the computation distributed:
+      *
+      *  1. range-partition + sort by the order column (Spark's global-sort
+      *     machinery — each task holds one contiguous key range);
+      *  2. every partition lends its LAST n-1 rows to the next partition
+      *     (borrowed rows are tiny: (n-1) × partitions);
+      *  3. the trailing frame runs per-partition including the borrowed
+      *     prefix, which makes it exactly the global frame;
+      *  4. borrowed rows are dropped from the output.
+      *
+      * Requires a duplicate-free order key (ties across a range boundary
+      * would be frame-ambiguous — same caveat as any global order).
+      */
+    def windowMapGlobal(n: Int, orderCol: Column,
+                        aggsOver: (String, org.apache.spark.sql.expressions.WindowSpec => Column)*): DataFrame = {
+      val spark = df.sparkSession
+      val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val ranged = df.repartitionByRange(parts, orderCol)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wDesc = Window.partitionBy(col("__pid")).orderBy(orderCol.desc)
+      val tails = ranged
+        .withColumn("__rn", row_number().over(wDesc))
+        .filter(col("__rn") <= n - 1).drop("__rn")
+        .withColumn("__pid", col("__pid") + 1)
+        .withColumn("__borrowed", lit(true))
+      val all = ranged.withColumn("__borrowed", lit(false)).unionByName(tails)
+      val frame = Window.partitionBy(col("__pid")).orderBy(orderCol)
+        .rowsBetween(-(n - 1).toLong, Window.currentRow)
+      all.withColumns(aggsOver.map { case (name, f) => name -> f(frame) }.toMap)
+        .filter(!col("__borrowed")).drop("__pid", "__borrowed")
+    }
   }
 }

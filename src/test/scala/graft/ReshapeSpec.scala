@@ -59,6 +59,17 @@ class ReshapeSpec extends SparkSpec {
     assert(golden(out) == "a\r\n1\r\n3\r\n6\r\n9\r\n12\r\n15\r\n18\r\n")
   }
 
+  test("windowMapGlobal matches the single-partition global window") {
+    val df = (1 to 5000).map(k => (k, k % 97)).toDF("k", "v")
+    val viaGlobal = df.windowMap(7, Seq(col("k")), "rs" -> (w => sum(col("v")).over(w)))
+      .orderBy("k").select("k", "rs").as[(Int, Long)].collect().toSeq
+    val viaTwoPass = df.windowMapGlobal(7, col("k"), "rs" -> (w => sum(col("v")).over(w)))
+      .orderBy("k").select("k", "rs").as[(Int, Long)].collect().toSeq
+    assert(viaTwoPass == viaGlobal)
+    // and it must actually distribute: >1 partition before the window
+    assert(df.repartitionByRange(8, col("k")).rdd.getNumPartitions > 1)
+  }
+
   test("windowMapBy resets per partition (transform.py per-substream frame)") {
     val df = Seq(("x", 1, 1), ("x", 2, 2), ("y", 3, 5)).toDF("p", "o", "v")
     val out = df.windowMapBy(2, Seq("p"), Seq(col("o")), "rs" -> (w => sum(col("v")).over(w)))
