@@ -407,7 +407,25 @@ object SparkEntry {
     "q56_window_global_twopass" -> ((s, d) =>
       t(s, d, "orders").filterColumns(keep = Seq("o_orderkey", "o_totalprice"))
         .windowMapGlobal(5, col("o_orderkey"),
-          "rsum" -> (w => sum(col("o_totalprice")).over(w)))))
+          "rsum" -> (w => sum(col("o_totalprice")).over(w)))),
+    "q57_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.Joins.asofJoin(views, purchases, "user_id", "ts", "ts",
+        Seq("purchase_value")).drop("ts")
+    }),
+    "q58_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq((0L, 50L, "low"), (50L, 120L, "mid"), (120L, 1000L, "high"))
+        .toDF("s", "e", "band")
+      graft.operators.Joins.rangeJoin(
+        t(s, d, "events").select(col("event_id"), col("value")),
+        "value", bands, "s", "e", bucketWidth = 50L)
+        .select("event_id", "value", "band")
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -526,7 +544,16 @@ object SparkEntry {
         "(CAST(124 AS BIGINT), CAST(1 AS BIGINT), 'x')) AS t(s, st, n)"),
     "q56_window_global_twopass" ->
       ("SELECT o_orderkey, o_totalprice, sum(o_totalprice) OVER " +
-        "(ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rsum FROM orders"))
+        "(ORDER BY o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rsum FROM orders"),
+    "q57_asof_join" ->
+      ("WITH v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase') " +
+        "SELECT v.event_id, v.user_id, v.value, p.purchase_value " +
+        "FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts"),
+    "q58_range_join" ->
+      ("SELECT ev.event_id, ev.value, b.band FROM events ev " +
+        "JOIN (VALUES (0, 50, 'low'), (50, 120, 'mid'), (120, 1000, 'high')) b(s, e, band) " +
+        "ON ev.value >= b.s AND ev.value < b.e"))
 
   private lazy val uaOracleSql: String = {
     val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")

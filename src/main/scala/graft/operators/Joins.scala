@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Joins Spark lacks as primitives, composed from existing operators per the
+  * preference order (compose > custom Expression > custom plan): as-of join
+  * and range join. Neither needs a custom SparkPlan — both reduce to one
+  * shuffle with the right encoding, which is the 100 TB-correct shape.
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, the LATEST right row with
+    * `rightTime <= leftTime` within the same `key` (optionally within
+    * `tolerance`). The classic time-series enrichment (pandas merge_asof,
+    * kdb aj) — Spark has no primitive, and the naive
+    * `join + filter + row_number` explodes to a near-cross-join per key.
+    *
+    * Composition: tag and UNION both sides, sort per key by (time, side)
+    * — right rows first on equal timestamps so exact matches are visible —
+    * then a running `last(non-null)` window carries the most recent right
+    * payload onto each left row. ONE shuffle on the key, no pair blow-up;
+    * rows per task = |left|+|right| of that key range.
+    *
+    * Output: all left columns + the right payload columns (null-padded when
+    * nothing precedes, or the match is outside `tolerance`).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, leftTime: String, rightTime: String,
+               payload: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime).cast(LongType))
+      .withColumn("__src", lit(1))
+      .withColumn("__rv", lit(null).cast(StructType(
+        StructField("__rt", LongType) +:
+          payload.map(p => right.schema(p).copy(name = p)))))
+    val r = right.select(
+      (Seq(col(key),
+        col(rightTime).cast(LongType).as("__t"),
+        lit(0).as("__src"),
+        struct((col(rightTime).cast(LongType).as("__rt") +: payload.map(col)): _*).as("__rv")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val unioned = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+    val within = tolerance match {
+      case Some(tol) => carried.withColumn("__match",
+        when(col("__t") - col("__match").getField("__rt") <= tol, col("__match")))
+      case None => carried
+    }
+    within.select(leftCols.map(col) ++
+      payload.map(p => col("__match").getField(p).as(p)): _*)
+  }
+
+  /** Point-in-range join: left rows whose `valueCol` falls in a right-side
+    * [start, end) interval. The naive theta-join is a nested loop; encoding
+    * ranges into fixed-width buckets makes it an EQUI-join on the bucket id
+    * (+ residual range filter) — a broadcast hash join for dimension-sized
+    * range tables (the geoip /8 trick, generalized). Ranges spanning
+    * multiple buckets are exploded once on the (small) right side.
+    */
+  def rangeJoin(left: DataFrame, valueCol: String,
+                right: DataFrame, startCol: String, endCol: String,
+                bucketWidth: Long, broadcastRight: Boolean = true): DataFrame = {
+    val r = right
+      .withColumn("__b", explode(sequence(
+        floor(col(startCol) / bucketWidth).cast(LongType),
+        floor((col(endCol) - 1) / bucketWidth).cast(LongType))))
+    val rSide = if (broadcastRight) broadcast(r) else r
+    left.withColumn("__b", floor(col(valueCol) / bucketWidth).cast(LongType))
+      .join(rSide, Seq("__b"))
+      .filter(col(valueCol) >= col(startCol) && col(valueCol) < col(endCol))
+      .drop("__b")
+  }
+}

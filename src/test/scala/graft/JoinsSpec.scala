@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** As-of and range joins (composed operators). */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(("a", 5L, 100), ("a", 10L, 101), ("a", 1L, 102),
+    ("a", 4L, 103), ("b", 7L, 104)).toDF("k", "t", "lv")
+  private def right = Seq(("a", 4L, "x"), ("a", 9L, "y"), ("b", 8L, "z"))
+    .toDF("k", "t", "rv")
+
+  test("asof join: latest right at-or-before each left row, per key") {
+    val out = Joins.asofJoin(left, right, "k", "t", "t", Seq("rv"))
+    val m = out.select("lv", "rv").as[(Int, Option[String])].collect().toMap
+    assert(m(100) == Some("x"))  // t=5 -> right t=4
+    assert(m(101) == Some("y"))  // t=10 -> right t=9
+    assert(m(102) == None)       // t=1 -> nothing before
+    assert(m(103) == Some("x"))  // exact match t=4
+    assert(m(104) == None)       // b: right at t=8 is after t=7
+  }
+
+  test("asof join respects tolerance") {
+    val out = Joins.asofJoin(left, right, "k", "t", "t", Seq("rv"), tolerance = Some(0L))
+    val m = out.select("lv", "rv").as[(Int, Option[String])].collect().toMap
+    assert(m(103) == Some("x")) // exact match within tol 0
+    assert(m(100) == None)      // distance 1 > 0
+  }
+
+  test("asof join stays one-shuffle shaped (no join node, one window)") {
+    val plan = Joins.asofJoin(left, right, "k", "t", "t", Seq("rv"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+    assert(plan.contains("Window"))
+  }
+
+  test("range join buckets + residual filter match the theta semantics") {
+    val points = Seq((1, 0.0), (2, 49.9), (3, 50.0), (4, 119.0), (5, 1500.0))
+      .toDF("id", "v")
+    val bands = Seq((0L, 50L, "low"), (50L, 120L, "mid"), (120L, 1000L, "high"))
+      .toDF("s", "e", "band")
+    val out = Joins.rangeJoin(points, "v", bands, "s", "e", bucketWidth = 50L)
+    val m = out.select("id", "band").as[(Int, String)].collect().toMap
+    assert(m == Map(1 -> "low", 2 -> "low", 3 -> "mid", 4 -> "mid"))
+    // id 5 out of all ranges -> absent (inner semantics)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin")) // equi-join on bucket, not nested loop
+  }
+}
