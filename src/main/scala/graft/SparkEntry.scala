@@ -425,7 +425,23 @@ object SparkEntry {
         t(s, d, "events").select(col("event_id"), col("value")),
         "value", bands, "s", "e", bucketWidth = 50L)
         .select("event_id", "value", "band")
-    }))
+    }),
+    "q59_salted_agg" -> ((s, d) =>
+      // salted two-phase rollup must equal the plain groupBy (decimal-exact
+      // sums make the assertion order-independent)
+      graft.operators.Skew.saltedAggregate(t(s, d, "lineitem"), Seq("l_returnflag"), 16,
+        partials = Seq(
+          "sum_qty" -> sum(col("l_quantity").cast(DecimalType(18, 2))),
+          "cnt" -> count(lit(1))),
+        merges = Seq(
+          "sum_qty" -> (n => sum(col(n))),
+          "cnt" -> (n => sum(col(n)))))
+        .select(col("l_returnflag"), col("sum_qty").cast(DoubleType).as("sum_qty"),
+          col("cnt").cast(LongType).as("cnt"))),
+    "q60_distinct_agg" -> ((s, d) =>
+      Grouping.group(t(s, d, "orders"), Seq("o_orderstatus"),
+        "n_cust" -> count_distinct(col("o_custkey")),
+        "n_orders" -> count(lit(1)))))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -553,7 +569,13 @@ object SparkEntry {
     "q58_range_join" ->
       ("SELECT ev.event_id, ev.value, b.band FROM events ev " +
         "JOIN (VALUES (0, 50, 'low'), (50, 120, 'mid'), (120, 1000, 'high')) b(s, e, band) " +
-        "ON ev.value >= b.s AND ev.value < b.e"))
+        "ON ev.value >= b.s AND ev.value < b.e"),
+    "q59_salted_agg" ->
+      ("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem GROUP BY l_returnflag"),
+    "q60_distinct_agg" ->
+      ("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
+        "FROM orders GROUP BY o_orderstatus"))
 
   private lazy val uaOracleSql: String = {
     val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")

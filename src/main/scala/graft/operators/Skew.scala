@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers. AQE's skew-join splitting handles moderate skew
+  * at runtime; these are for the pathological cases a 100 TB pipeline plans
+  * for explicitly (one key = 30% of the data).
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: partial-aggregate on (key, salt) — fanning
+    * one hot key across `saltBuckets` reducers — then final-aggregate on the
+    * key. Correct for DISTRIBUTIVE aggregates (sum/count/min/max): pass the
+    * partial expression and the matching merge expression.
+    *
+    * Example: sum → partial sum(x), merge sum(partial).
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                      partials: Seq[(String, Column)],
+                      merges: Seq[(String, String => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      (rand(42) * saltBuckets).cast("int"))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(merges.head._2(merges.head._1).as(merges.head._1),
+        merges.tail.map { case (n, f) => f(n).as(n) }: _*)
+  }
+
+  /** Salted sum/count convenience: the common hot-key rollup. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     saltBuckets: Int = 16,
+                     sumName: String = "sum", countName: String = "cnt"): DataFrame =
+    saltedAggregate(df, keys, saltBuckets,
+      partials = Seq(sumName -> sum(valueCol), countName -> count(lit(1))),
+      merges = Seq(sumName -> (n => sum(col(n))), countName -> (n => sum(col(n)))))
+}
