@@ -96,6 +96,18 @@ object TypeDetect {
     * values are all distinct. Distributed: one agg of count + countDistinct
     * per candidate column; returns the leftmost all-distinct column.
     */
+  /** Record the detected primary key in the column's StructField metadata
+    * (SURVEY §1.2 mapping: header.primary_key → Metadata) so downstream
+    * tools can read it off the schema.
+    */
+  def withPrimaryKeyMetadata(df: DataFrame): DataFrame =
+    primaryKeyDetect(df) match {
+      case None => df
+      case Some(pk) =>
+        val meta = new MetadataBuilder().putBoolean("graft.primaryKey", true).build()
+        df.withColumn(pk, col(pk).as(pk, meta))
+    }
+
   def primaryKeyDetect(df: DataFrame): Option[String] = {
     val cols = df.columns
     if (cols.isEmpty) return None

@@ -35,6 +35,16 @@ object Streams {
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
 
+  /** Streaming exact dedup bounded by a watermark: the streaming analogue of
+    * the batch `dedup` — state holds only keys younger than the watermark,
+    * so memory is bounded by the dedup horizon instead of the stream's
+    * lifetime (the only viable shape for an unbounded 100 TB/day feed).
+    */
+  def dedupWithinWatermark(events: DataFrame, timeCol: String, watermark: String,
+                           keyCols: Seq[String]): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session output record for `sessionize`. */
   case class SessionOut(key: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                         events: Long)

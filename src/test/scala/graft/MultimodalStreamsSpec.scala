@@ -77,6 +77,30 @@ class MultimodalStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops repeats, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "k")
+    val deduped = graft.streaming.Streams.dedupWithinWatermark(events, "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1L), // dup within watermark
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM streamdedup").as[Long].head() == 2L)
+    } finally q.stop()
+  }
+
+  test("primary-key metadata tagging (TypeDetect.withPrimaryKeyMetadata)") {
+    val df = Seq(("a", 1), ("a", 2)).toDF("dup", "pk")
+    val out = graft.operators.TypeDetect.withPrimaryKeyMetadata(df)
+    assert(out.schema("pk").metadata.getBoolean("graft.primaryKey"))
+    assert(!out.schema("dup").metadata.contains("graft.primaryKey"))
+  }
+
   test("streaming file source reads appended files (Streams.fileStream)") {
     val dir = tmp("stream_src")
     val out = Seq((1L, "x")).toDF("id", "v")
