@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShinglesExpr(args(0), intArg(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("graft_type_probe"),
+      new ExpressionInfo(classOf[TypeProbeExpr].getName, "graft_type_probe"),
+      (args: Seq[Expression]) => TypeProbeExpr(args.head)))
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1))))

@@ -103,6 +103,72 @@ object Kernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Type-shape probe for TypeDetect's stats pass: one char-scan instead of
+    * four java.util.regex matches per value. Bitmask parity with the
+    * TypeDetect regexes:
+    *   1 = int    ^-?[0-9]+$
+    *   2 = float  ^-?[0-9]+\.[0-9]+$
+    *   4 = date   ^\d{2,4}[-/ ]\d{1,2}[-/ ]\d{1,2}$
+    *   8 = ts     ^\d{2,4}[-/ ]\d{1,2}[-/ ]\d{1,2}[ T]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?$
+    * (shape only — TypeDetect still gates date/ts on the actual
+    * try_to_timestamp parse, evaluated only when the shape bit is set).
+    */
+  def typeProbe(text: UTF8String): Int = {
+    val s = text.toString
+    val len = s.length
+    var mask = 0
+    // int / float
+    var i = if (len > 0 && s.charAt(0) == '-') 1 else 0
+    val digitsStart = i
+    while (i < len && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    if (i > digitsStart) {
+      if (i == len) mask |= 1
+      else if (s.charAt(i) == '.') {
+        val fs = i + 1
+        var j = fs
+        while (j < len && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+        if (j > fs && j == len) mask |= 2
+      }
+    }
+    // date / ts
+    def digits(from: Int, lo: Int, hi: Int): Int = {
+      var j = from
+      while (j < len && j - from < hi && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+      if (j - from >= lo) j else -1
+    }
+    def sep(at: Int): Boolean =
+      at < len && (s.charAt(at) == '-' || s.charAt(at) == '/' || s.charAt(at) == ' ')
+    var p = digits(0, 2, 4)
+    if (p > 0 && sep(p)) {
+      val m = digits(p + 1, 1, 2)
+      if (m > 0 && sep(m)) {
+        val d = digits(m + 1, 1, 2)
+        if (d > 0) {
+          if (d == len) mask |= 4
+          else if (s.charAt(d) == ' ' || s.charAt(d) == 'T') {
+            val h = digits(d + 1, 1, 2)
+            if (h > 0 && h < len && s.charAt(h) == ':') {
+              val mi = digits(h + 1, 2, 2)
+              if (mi > 0) {
+                var q = mi
+                if (q < len && s.charAt(q) == ':') {
+                  val sec = digits(q + 1, 2, 2)
+                  if (sec > 0) q = sec
+                }
+                if (q < len && s.charAt(q) == '.') {
+                  val fr = digits(q + 1, 1, Int.MaxValue)
+                  if (fr > 0) q = fr
+                }
+                if (q == len) mask |= 8
+              }
+            }
+          }
+        }
+      }
+    }
+    mask
+  }
+
   /** Cosine similarity of two double arrays; 0.0 when either norm is 0 —
     * parity with the zip_with/aggregate fold (left-to-right sums).
     */
@@ -188,6 +254,17 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class TypeProbeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_type_probe"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.typeProbe(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.typeProbe($c)")
+  override protected def withNewChildInternal(newChild: Expression): TypeProbeExpr =
+    copy(child = newChild)
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -225,6 +302,8 @@ object GraftFunctions {
     Shim.column(SimHash64Expr(Shim.expression(c)))
   def shingles(c: Column, n: Int): Column =
     Shim.column(ShinglesExpr(Shim.expression(c), n))
+  def typeProbe(c: Column): Column =
+    Shim.column(TypeProbeExpr(Shim.expression(c)))
   def minhashSignature(c: Column, numPerms: Int, seed: Long = 42L): Column =
     Shim.column(MinHashSigExpr(Shim.expression(c), numPerms, seed))
   def cosine(a: Column, b: Column): Column =

@@ -59,21 +59,25 @@ object TypeDetect {
       .filter(n => fields.isEmpty || fields.contains(n))
     if (stringCols.isEmpty) return df
 
-    // Probe each value ONCE per predicate in a projection (flags), then
-    // aggregate the flags: the naive per-aggregate formulation re-evaluated
-    // each regex/try_to_timestamp 2-3x per row. Parse success (not just the
-    // regex) gates the date/ts counts: a value like `99-99-99` passes DateRe
-    // but fails the cast, which would silently null out cells.
+    // Probe each value ONCE via the native shape kernel (one char-scan
+    // replaces four java.util.regex matches — graft_type_probe, bit parity
+    // with IntRe/FloatRe/DateRe/DateTimeRe asserted in ExpressionsSpec),
+    // then aggregate the flags. Parse success (not just the shape) gates the
+    // date/ts counts: a value like `99-99-99` passes the date SHAPE but
+    // fails the cast, which would silently null out cells; try_to_timestamp
+    // is evaluated only on shape-matching rows (And short-circuits).
     val flagCols = stringCols.flatMap { n =>
       val c = col(n)
-      val isInt = c.rlike(IntRe)
-      val isDate = c.rlike(DateRe) && parseDateCol(c).isNotNull
+      val probe = graft.expressions.GraftFunctions.typeProbe(c)
+      val isInt = probe.bitwiseAND(1) =!= 0
+      val isDate = (probe.bitwiseAND(4) =!= 0) && parseDateCol(c).isNotNull
       Seq(
         c.isNotNull.as(s"__nn_$n"),
         isInt.as(s"__int_$n"),
-        (isInt || c.rlike(FloatRe)).as(s"__num_$n"),
+        (isInt || (probe.bitwiseAND(2) =!= 0)).as(s"__num_$n"),
         isDate.as(s"__date_$n"),
-        (isDate || (c.rlike(DateTimeRe) && parseDateTimeCol(c).isNotNull)).as(s"__ts_$n"))
+        (isDate || ((probe.bitwiseAND(8) =!= 0) && parseDateTimeCol(c).isNotNull))
+          .as(s"__ts_$n"))
     }
     val flags = df.select(flagCols.toIndexedSeq: _*)
     val aggs = flags.columns.map(n => count(when(col(n), lit(1))).as(n)).toSeq

@@ -50,6 +50,30 @@ class ExpressionsSpec extends SparkSpec {
     assert((sigs(0) ^ sigs(2)) == (1L << 12) - 1)
   }
 
+  test("type probe bitmask has exact parity with the TypeDetect regexes") {
+    val IntRe = "^-?[0-9]+$".r
+    val FloatRe = "^-?[0-9]+\\.[0-9]+$".r
+    val DateRe = "^\\d{2,4}[-/ ]\\d{1,2}[-/ ]\\d{1,2}$".r
+    val DateTimeRe = ("^\\d{2,4}[-/ ]\\d{1,2}[-/ ]\\d{1,2}[ T]" +
+      "\\d{1,2}:\\d{2}(:\\d{2})?(\\.\\d+)?$").r
+    val cases = Seq(
+      "1", "-42", "007", "1.5", "-0.25", "1.", ".5", "-", "", "x", "1e5",
+      "2012-04-03", "12-4-3", "99-99-99", "2012/04/03", "2012 04 03",
+      "12345-1-1", "123-4-5", "2012-123-4", "1-1-1", "2012-04-03 10:20",
+      "2012-04-03T10:20:30", "2012-04-03 10:20:30.123", "2012-04-03 10:20.5",
+      "2012-04-03 100:20", "2012-04-03 10:2", "2012-04-03 10:20:3",
+      "2012-04-0310:20", "10:20", "a-b-c", " 1", "1 ", "--1", "1.2.3")
+    cases.foreach { s =>
+      val mask = graft.expressions.Kernels.typeProbe(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      def bit(b: Int) = (mask & b) != 0
+      assert(bit(1) == IntRe.matches(s), s"int parity for '$s'")
+      assert(bit(2) == FloatRe.matches(s), s"float parity for '$s'")
+      assert(bit(4) == DateRe.matches(s), s"date parity for '$s'")
+      assert(bit(8) == DateTimeRe.matches(s), s"ts parity for '$s'")
+    }
+  }
+
   test("SQL surface via SparkSessionExtensions (graft_* functions)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
