@@ -27,22 +27,31 @@ object Joins {
     * Output: all left columns + the right payload columns (null-padded when
     * nothing precedes, or the match is outside `tolerance`).
     */
+  /** Numeric time axis: timestamps become epoch MICROS (a plain long cast
+    * would truncate to seconds and break sub-second ordering/tolerance).
+    */
+  private def timeAxis(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case TimestampType | TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+    case DateType                         => unix_date(col(c)).cast(LongType)
+    case _                                => col(c).cast(LongType)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, leftTime: String, rightTime: String,
                payload: Seq[String],
                tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
-      .withColumn("__t", col(leftTime).cast(LongType))
+      .withColumn("__t", timeAxis(left, leftTime))
       .withColumn("__src", lit(1))
       .withColumn("__rv", lit(null).cast(StructType(
         StructField("__rt", LongType) +:
           payload.map(p => right.schema(p).copy(name = p)))))
     val r = right.select(
       (Seq(col(key),
-        col(rightTime).cast(LongType).as("__t"),
+        timeAxis(right, rightTime).as("__t"),
         lit(0).as("__src"),
-        struct((col(rightTime).cast(LongType).as("__rt") +: payload.map(col)): _*).as("__rv")) ++
+        struct((timeAxis(right, rightTime).as("__rt") +: payload.map(col)): _*).as("__rv")) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val unioned = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__src"))

@@ -36,6 +36,18 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("asof join keeps sub-second ordering for timestamp time columns") {
+    val l = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00.500")))
+      .toDF("id", "t")
+    val r = Seq(
+      ("a1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00.400")),
+      ("a2", java.sql.Timestamp.valueOf("2024-01-01 00:00:00.600")))
+      .toDF("rv", "t").withColumn("k", lit(1))
+    val out = Joins.asofJoin(l.withColumn("k", lit(1)), r, "k", "t", "t", Seq("rv"))
+    // a plain seconds-granular cast would see all three at t=0 and pick a2
+    assert(out.select("rv").as[String].head() == "a1")
+  }
+
   test("range join buckets + residual filter match the theta semantics") {
     val points = Seq((1, 0.0), (2, 49.9), (3, 50.0), (4, 119.0), (5, 1500.0))
       .toDF("id", "v")
