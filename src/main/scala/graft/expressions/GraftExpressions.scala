@@ -217,7 +217,11 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
 case class MinHashSigExpr(child: Expression, numPerms: Int, seed: Long)
     extends UnaryExpression {
-  private val p = 2147483647L // 2^31-1, matches NearDedup.minhashSignature
+  // Canonical MinHash prime: 2^31-1. An earlier HOF formulation used 2^61-1,
+  // which risked silent long overflow in h*a under ANSI-off eval; signatures
+  // produced under that prime are NOT comparable to these — any persisted
+  // signature caches (Memoize/parquet) from before the switch must be rebuilt.
+  private val p = 2147483647L
   @transient private lazy val perms: (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
     val a = new Array[Long](numPerms); val b = new Array[Long](numPerms)

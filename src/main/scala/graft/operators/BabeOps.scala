@@ -44,6 +44,12 @@ object KeyNormalize {
   */
 object BabeOps {
 
+  /** Observed-metric names must be unique within one query plan (Spark's
+    * CheckAnalysis rejects two CollectMetrics nodes with the same name over
+    * different children), so every Warn-mode join gets a fresh suffix.
+    */
+  private val warnSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   implicit class RichBabe(val df: DataFrame) extends AnyVal {
 
     // ------------------------------------------------------------------
@@ -238,7 +244,8 @@ object BabeOps {
           val marked = df.join(hinted, df(key) === dedupedBuild(joinKey), "left")
           val matchedFlag = dedupedBuild(joinKey).isNotNull
           marked
-            .observe("joinBabe_warn", sum(when(matchedFlag, 0L).otherwise(1L)).as("unmatched_rows"))
+            .observe(s"joinBabe_warn_${KeyNormalize(key)}_${BabeOps.warnSeq.incrementAndGet()}",
+              sum(when(matchedFlag, 0L).otherwise(1L)).as("unmatched_rows"))
             .filter(matchedFlag)
             .drop(dedupedBuild(joinKey))
         case OnError.Fail =>
@@ -273,9 +280,14 @@ object BabeOps {
       * driver, which any pivot requires (column count must be plan-time).
       */
     def pivotBabe(group: Seq[String], pivotCol: String, orderCol: Column,
-                  valueCols: Seq[String] = Nil): DataFrame = {
+                  valueCols: Seq[String] = Nil, maxValues: Int = 10000): DataFrame = {
+      // Fail fast on a high-cardinality pivot column: the value list must fit
+      // on the driver (column count is plan-time), so fetch at most one row
+      // past the cap instead of collecting an unbounded distinct set.
       val vals = df.groupBy(col(pivotCol)).agg(min(orderCol).as("__o"))
-        .orderBy(col("__o")).select(pivotCol).collect().map(_.get(0))
+        .orderBy(col("__o")).select(pivotCol).limit(maxValues + 1).collect().map(_.get(0))
+      require(vals.length <= maxValues,
+        s"pivotBabe: pivot column '$pivotCol' has more than maxValues=$maxValues distinct values")
       val valueFields =
         if (valueCols.nonEmpty) valueCols
         else df.columns.filterNot(group.contains).filterNot(_ == pivotCol).toSeq
@@ -347,20 +359,52 @@ object BabeOps {
                         aggsOver: (String, org.apache.spark.sql.expressions.WindowSpec => Column)*): DataFrame = {
       val spark = df.sparkSession
       val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // Eager localCheckpoint instead of persist: the ranged input is read
+      // three times (counts, tails, main pass); RDD-level caching is reclaimed
+      // by the ContextCleaner once the plan is unreferenced, so repeated calls
+      // never accumulate entries in the session CacheManager. (Tradeoff:
+      // localCheckpoint blocks recovery from executor loss mid-query — the
+      // standard caveat; acceptable for a materialize-once scratch stage.)
       val ranged = df.repartitionByRange(parts, orderCol)
         .withColumn("__pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val wDesc = Window.partitionBy(col("__pid")).orderBy(orderCol.desc)
-      val tails = ranged
+        .localCheckpoint()
+      // Borrowing the predecessor's tail is only exact when every lending
+      // partition holds >= n-1 rows. Range partitions can be short or empty
+      // (skewed keys, small inputs), so coalesce contiguous partitions into
+      // GROUPS of >= n-1 rows first — the per-partition count is a tiny
+      // driver-side list (<= `parts` rows).
+      val counts = ranged.groupBy(col("__pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) {
+        // Empty input: the plain window is free and shape-correct.
+        val frame = Window.orderBy(orderCol).rowsBetween(-(n - 1).toLong, Window.currentRow)
+        return df.withColumns(aggsOver.map { case (name, f) => name -> f(frame) }.toMap)
+      }
+      val maxPid = counts.keys.max
+      val gidOfPid = new Array[Int](maxPid + 1)
+      var gid = 0
+      var acc = 0L
+      for (pid <- 0 to maxPid) {
+        gidOfPid(pid) = gid
+        acc += counts.getOrElse(pid, 0L)
+        // Close the group once it can lend a full n-1 tail; a short TRAILING
+        // group is fine (it only borrows, never lends).
+        if (acc >= (n - 1).toLong) { gid += 1; acc = 0L }
+      }
+      val numGroups = gidOfPid(maxPid) + 1
+      val grouped = ranged.withColumn("__gid",
+        element_at(array(gidOfPid.toSeq.map(g => lit(g)): _*), col("__pid") + 1))
+      val wDesc = Window.partitionBy(col("__gid")).orderBy(orderCol.desc)
+      val tails = grouped
         .withColumn("__rn", row_number().over(wDesc))
-        .filter(col("__rn") <= n - 1).drop("__rn")
-        .withColumn("__pid", col("__pid") + 1)
+        .filter(col("__rn") <= n - 1 && col("__gid") < numGroups - 1).drop("__rn")
+        .withColumn("__gid", col("__gid") + 1)
         .withColumn("__borrowed", lit(true))
-      val all = ranged.withColumn("__borrowed", lit(false)).unionByName(tails)
-      val frame = Window.partitionBy(col("__pid")).orderBy(orderCol)
+      val all = grouped.withColumn("__borrowed", lit(false)).unionByName(tails)
+      val frame = Window.partitionBy(col("__gid")).orderBy(orderCol)
         .rowsBetween(-(n - 1).toLong, Window.currentRow)
       all.withColumns(aggsOver.map { case (name, f) => name -> f(frame) }.toMap)
-        .filter(!col("__borrowed")).drop("__pid", "__borrowed")
+        .filter(!col("__borrowed")).drop("__pid", "__gid", "__borrowed")
     }
   }
 }

@@ -32,6 +32,11 @@ object NearDedup {
   /** Default cap on LSH bucket size before the in-bucket self-join. */
   val DefaultMaxBucketSize: Int = 10000
 
+  /** Observed-metric names must be unique per plan (CheckAnalysis rejects
+    * duplicate CollectMetrics names), so each candidate stage gets a suffix.
+    */
+  private val dropSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** MinHash signature of the shingle set — a native codegen'd expression
     * (graft.expressions.MinHashSigExpr): numPerms permutations
     * h_i(x) = (a_i·x + b_i) mod (2^31-1) over xxhash64 shingle hashes,
@@ -60,8 +65,17 @@ object NearDedup {
       .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
     // Oversized buckets are degenerate content (empty docs, boilerplate):
     // joining them is quadratic and their pairs are rarely meaningful dups
-    // of each other beyond what smaller buckets already surface.
-    val kept = sized.filter(col("n") <= maxBucketSize)
+    // of each other beyond what smaller buckets already surface. The dropped
+    // volume is surfaced via an observed metric (readable from a
+    // QueryExecutionListener after the action — no extra pass). Caveat: if
+    // EVERY bucket is dropped, AQE's empty-relation propagation can prune the
+    // CollectMetrics node from the final plan and the metric is not reported
+    // for that action.
+    val kept = sized
+      .observe(s"lsh_dropped_buckets_${dropSeq.incrementAndGet()}",
+        sum(when(col("n") > maxBucketSize, lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
+        sum(when(col("n") > maxBucketSize, col("n")).otherwise(lit(0L))).as("dropped_rows"))
+      .filter(col("n") <= maxBucketSize)
     val a = kept.select(col(bucketCol), explode(col("ids")).as("id_a"))
     val b = kept.select(col(bucketCol), explode(col("ids")).as("id_b"))
     a.join(b, Seq(bucketCol)).filter(col("id_a") < col("id_b"))

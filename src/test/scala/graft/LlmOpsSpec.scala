@@ -98,6 +98,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("oversized-bucket drops surface an observed metric") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var droppedBuckets = -1L
+    @volatile var droppedRows = -1L
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("lsh_dropped_buckets_")) {
+            droppedBuckets = row.getAs[Long]("dropped_buckets")
+            droppedRows = row.getAs[Long]("dropped_rows")
+          }
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    // AQE's empty-relation propagation prunes the CollectMetrics node when
+    // EVERY bucket is dropped (candidate side becomes a runtime empty
+    // relation), so pin AQE off to observe the degenerate all-dropped case.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val many = (1L to 50L).map(i => (i, "same same same same")).toDF("id", "text")
+      NearDedup.minhashPairs(many, "id", "text",
+        shingleSize = 2, numPerms = 32, bands = 8, threshold = 0.5, maxBucketSize = 10).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (droppedBuckets < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(droppedBuckets > 0, "dropped-bucket metric never observed")
+      assert(droppedRows >= droppedBuckets)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("vector dot / cosine / l2") {
     val df = Seq((Seq(1.0, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
     assert(df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head() == 8.0)

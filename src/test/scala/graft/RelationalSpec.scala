@@ -51,6 +51,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.select("country_name").as[String].collect().toSeq == Seq("France"))
   }
 
+  test("two Warn-mode joins compose in one query (unique observe metric names)") {
+    // Regression: a shared hardcoded metric name made CheckAnalysis reject
+    // any plan with two default-mode joins ("Multiple definitions of
+    // observed metrics").
+    val cityDim = Seq(("Paris", "75"), ("London", "NW"), ("Lyon", "69"))
+      .toDF("city_code", "zip")
+    val out = facts.joinBabe(dims, "country", "country_code")
+      .joinBabe(cityDim, "city", "city_code")
+    assert(out.count() == 3)
+  }
+
   test("group sum-by-key golden (test_group.py:7-10)") {
     val df = Seq((1, 2), (3, 4), (1, 4)).toDF("a", "b")
     val out = Grouping.group(df, Seq("a"), "b" -> sum(col("b")).cast(IntegerType)).orderBy("a")

@@ -70,6 +70,38 @@ class ReshapeSpec extends SparkSpec {
     assert(df.repartitionByRange(8, col("k")).rdd.getNumPartitions > 1)
   }
 
+  test("windowMapGlobal is exact when range partitions are shorter than n-1") {
+    // 10 rows over 4 shuffle partitions → every partition holds < n-1 = 4
+    // rows; naive predecessor-tail borrowing truncates frames here.
+    val df = (1 to 10).map(k => (k, k)).toDF("k", "v")
+    val expected = df.windowMap(5, Seq(col("k")), "rs" -> (w => sum(col("v")).over(w)))
+      .orderBy("k").select("k", "rs").as[(Int, Long)].collect().toSeq
+    val got = df.windowMapGlobal(5, col("k"), "rs" -> (w => sum(col("v")).over(w)))
+      .orderBy("k").select("k", "rs").as[(Int, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("windowMapGlobal on an empty input keeps the output shape") {
+    val df = spark.emptyDataset[(Int, Int)].toDF("k", "v")
+    val out = df.windowMapGlobal(3, col("k"), "rs" -> (w => sum(col("v")).over(w)))
+    assert(out.columns.toSeq == Seq("k", "v", "rs"))
+    assert(out.count() == 0)
+  }
+
+  test("windowMapGlobal leaves nothing in the session cache across calls") {
+    val df = (1 to 100).map(k => (k, 1)).toDF("k", "v")
+    df.windowMapGlobal(4, col("k"), "rs" -> (w => sum(col("v")).over(w))).count()
+    df.windowMapGlobal(4, col("k"), "rs" -> (w => sum(col("v")).over(w))).count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("pivot fails fast on a high-cardinality pivot column") {
+    val df = (1 to 100).map(k => ("g", s"v$k", k, k)).toDF("g", "c", "idx", "d")
+    intercept[IllegalArgumentException] {
+      df.pivotBabe(Seq("g"), "c", col("idx"), Seq("d"), maxValues = 10)
+    }
+  }
+
   test("windowMapBy resets per partition (transform.py per-substream frame)") {
     val df = Seq(("x", 1, 1), ("x", 2, 2), ("y", 3, 5)).toDF("p", "o", "v")
     val out = df.windowMapBy(2, Seq("p"), Seq(col("o")), "rs" -> (w => sum(col("v")).over(w)))
