@@ -50,8 +50,10 @@ object Streams {
                         events: Long)
 
   /** Custom-state sessionization via flatMapGroupsWithState: groups events by
-    * key, closes a session after `gapMs` of event-time silence (processing-
-    * time timeout drives emission). The `KeyValueGroupedDataset` state path —
+    * key; a session closes when consecutive events (sorted by event time) are
+    * more than `gapMs` apart — closed sessions are emitted in the same batch —
+    * and the trailing OPEN session is closed by the processing-time timeout
+    * once the stream goes silent. The `KeyValueGroupedDataset` state path —
     * the engine's general stateful surface (SURVEY §2.11 extension).
     */
   def sessionize(events: Dataset[(Long, java.sql.Timestamp)], gapMs: Long): Dataset[SessionOut] = {
@@ -67,13 +69,26 @@ object Streams {
             state.remove()
             Iterator(SessionOut(key, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n))
           } else {
-            val ts = rows.map(_._2.getTime).toSeq
-            val (s0, e0, n0) = state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L))
-            val merged = (math.min(s0, ts.min), math.max(e0, ts.max), n0 + ts.size)
-            // Close the session if the gap is exceeded inside the batch.
-            state.update(merged)
+            // Walk the batch's timestamps in event-time order, extending the
+            // open session or closing it when the gap is exceeded; only the
+            // trailing session stays in state.
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            ts.foreach { t =>
+              open = open match {
+                case Some((s, e, n)) if t - e > gapMs =>
+                  closed += SessionOut(key, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n)
+                  Some((t, t, 1L))
+                case Some((s, e, n)) =>
+                  Some((s, math.max(e, t), n + 1))
+                case None =>
+                  Some((t, t, 1L))
+              }
+            }
+            open.foreach(state.update)
             state.setTimeoutDuration(gapMs)
-            Iterator.empty
+            closed.result().iterator
           }
         })
   }

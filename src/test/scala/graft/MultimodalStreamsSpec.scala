@@ -94,6 +94,63 @@ class MultimodalStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** With ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
+    * shouldRunAnotherBatch=true forever, so `noNewData` is never signaled and
+    * `processAllAvailable` would block indefinitely — the query self-triggers
+    * continuously instead, so tests poll the sink with a deadline.
+    */
+  private def pollUntil(deadlineMs: Long)(done: => Boolean): Unit = {
+    val limit = System.currentTimeMillis() + deadlineMs
+    while (!done && System.currentTimeMillis() < limit) Thread.sleep(100)
+  }
+
+  test("sessionize splits two bursts in ONE batch into two sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // gap = 10 minutes; bursts 3x the gap apart inside a single micro-batch
+    val sessions = graft.streaming.Streams.sessionize(mem.toDS(), gapMs = 600000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_split")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (7L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00")),
+        (7L, java.sql.Timestamp.valueOf("2024-01-01 00:35:00")),
+        (7L, java.sql.Timestamp.valueOf("2024-01-01 00:36:00")))
+      pollUntil(60000) { spark.table("sess_split").count() >= 1 }
+      // the first burst must close in-batch; the second stays open in state
+      // (its processing-time timeout is 10 min away — far past this test)
+      val closed = spark.table("sess_split")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+      assert(closed == Seq((7L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize processing-time timeout closes the trailing session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    // gap must exceed the events' 1s event-time spacing (so they merge into
+    // one session) while staying small enough for a quick real-time timeout
+    val sessions = graft.streaming.Streams.sessionize(mem.toDS(), gapMs = 5000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+      // the query triggers continuously; after ~5s of silence the state
+      // times out and the open session is emitted
+      pollUntil(60000) { spark.table("sess_timeout").count() >= 1 }
+      val out = spark.table("sess_timeout")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+      assert(out == Seq((1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 2L)))
+    } finally q.stop()
+  }
+
   test("primary-key metadata tagging (TypeDetect.withPrimaryKeyMetadata)") {
     val df = Seq(("a", 1), ("a", 2)).toDF("dup", "pk")
     val out = graft.operators.TypeDetect.withPrimaryKeyMetadata(df)
