@@ -366,14 +366,17 @@ object SparkEntry {
     "q51_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      // bits/tables validated by RecallSpec: recall@5 >= 0.8 vs q50's brute
+      // force even on this near-orthogonal noise corpus (the LSH worst case)
       VectorFunctions.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, k = 5, bits = 8, tables = 4)
+        dim = 64, k = 5, bits = 4, tables = 16)
     }),
     "q52_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      // nProbe validated by RecallSpec: recall@5 >= 0.8 vs q50 on raw noise
       VectorFunctions.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nCentroids = 32, nProbe = 8)
+        k = 5, nCentroids = 32, nProbe = 20)
     }),
     "q53_cosine_neardup" -> ((s, d) => {
       // embeddings has no near-identical pairs, so inject exact copies
@@ -441,7 +444,50 @@ object SparkEntry {
     "q60_distinct_agg" -> ((s, d) =>
       Grouping.group(t(s, d, "orders"), Seq("o_orderstatus"),
         "n_cust" -> count_distinct(col("o_custkey")),
-        "n_orders" -> count(lit(1)))))
+        "n_orders" -> count(lit(1)))),
+
+    // ------------------------------------------------------------------
+    // Deterministic recall gates for the hash-seeded approximate paths:
+    // inject EXACT copies (id + 100000) and restrict the output to the
+    // injected pairs. Identical content guarantees identical signatures in
+    // every band/table/cell, so the approximate operator MUST surface every
+    // injected pair — making the result deterministic and SQL-oracle-able
+    // even though the machinery (minhash banding, simhash chunks, sign-LSH,
+    // IVF cells) is the same code the rows-only queries exercise.
+    // ------------------------------------------------------------------
+    "q61_minhash_exact_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      NearDedup.minhashPairs(docs.unionByName(dups), "doc_id", "text",
+        shingleSize = 3, numPerms = 32, bands = 8, threshold = 0.7)
+        .filter(col("id_b") === col("id_a") + 100000L)
+    }),
+    "q62_simhash_exact_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dups = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      NearDedup.simhashPairs(docs.unionByName(dups), "doc_id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 100000L)
+    }),
+    "q63_lsh_self_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val dups = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      VectorFunctions.lshTopK(emb.unionByName(dups), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", dim = 64, k = 1, bits = 8, tables = 4)
+        .filter(col("neighbor_id") === col("query_id") + 100000L)
+    }),
+    "q64_ivf_self_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val dups = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      VectorFunctions.ivfTopK(emb.unionByName(dups), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 1, nCentroids = 32, nProbe = 8)
+        .filter(col("neighbor_id") === col("query_id") + 100000L)
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -545,6 +591,13 @@ object SparkEntry {
     "q41_text_stats" -> textStatsOracleSql,
     "q42_lang_id" -> langIdOracleSql,
     "q43_quality_score" -> qualityOracleSql,
+    // subwordCount's lookahead split = counting maximal class runs (letter+,
+    // digit+, other+ non-space), which IS RE2-expressible via extract_all —
+    // the lookaheads themselves are not.
+    "q44_subword_count" ->
+      ("SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST(1 AS BIGINT) ELSE " +
+        "CAST(len(regexp_extract_all(trim(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) " +
+        "END AS n_subwords FROM documents"),
     "q45_exact_dedup" ->
       ("WITH all_docs AS (SELECT * FROM documents UNION ALL " +
         "SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id < 50) " +
@@ -575,7 +628,25 @@ object SparkEntry {
         "count(*) AS cnt FROM lineitem GROUP BY l_returnflag"),
     "q60_distinct_agg" ->
       ("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
-        "FROM orders GROUP BY o_orderstatus"))
+        "FROM orders GROUP BY o_orderstatus"),
+    // Injected-exact-copy recall gates: the expected result is exactly the
+    // injected pair set (identical content can never be missed by the
+    // banding/chunking/bucketing, and exact jaccard/hamming/cosine of
+    // identical content is exactly 1 / 0 / 1.0).
+    "q61_minhash_exact_recall" ->
+      ("SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS jaccard " +
+        "FROM documents WHERE doc_id < 50"),
+    "q62_simhash_exact_recall" ->
+      ("SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS INTEGER) AS hamming " +
+        "FROM documents WHERE doc_id < 50"),
+    "q63_lsh_self_recall" ->
+      ("SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, " +
+        "CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank " +
+        "FROM embeddings WHERE vec_id < 20"),
+    "q64_ivf_self_recall" ->
+      ("SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, " +
+        "CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank " +
+        "FROM embeddings WHERE vec_id < 20"))
 
   private lazy val uaOracleSql: String = {
     val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")

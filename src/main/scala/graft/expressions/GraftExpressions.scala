@@ -185,6 +185,42 @@ object Kernels {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Indices of the `n` nearest centroids to `vec` by squared L2 distance,
+    * nearest first, ties broken by lower index — parity with sorting
+    * (distance, index) structs via array_sort. One compiled loop over
+    * (dim × centroids) per row; the IVF assignment hot path.
+    */
+  def nearestCentroids(vec: ArrayData, cents: Array[Array[Double]], n: Int): ArrayData = {
+    val k = cents.length
+    val d = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      var s = 0.0
+      var j = 0
+      val m = math.min(vec.numElements(), c.length)
+      while (j < m) { val diff = vec.getDouble(j) - c(j); s += diff * diff; j += 1 }
+      d(i) = s
+      i += 1
+    }
+    val idx = Array.tabulate(k)(identity)
+    val nn = math.min(n, k)
+    // partial selection sort: nn smallest distances to the front
+    var a = 0
+    while (a < nn) {
+      var best = a
+      var b = a + 1
+      while (b < k) {
+        if (d(idx(b)) < d(idx(best)) ||
+          (d(idx(b)) == d(idx(best)) && idx(b) < idx(best))) best = b
+        b += 1
+      }
+      val t = idx(a); idx(a) = idx(best); idx(best) = t
+      a += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(idx, nn))
+  }
+
   /** Sign-LSH signature: bit i = [dot(vec, plane_i) >= 0], sig = Σ bit·2^i —
     * parity with the transform/aggregate formulation.
     */
@@ -300,6 +336,21 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nearestCentroids(v.asInstanceOf[ArrayData], cents, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.nearestCentroids($c, $cRef, $n);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
 /** Column-builder surface for the native expressions. */
 object GraftFunctions {
   def simhash64(c: Column): Column =
@@ -314,4 +365,6 @@ object GraftFunctions {
     Shim.column(CosineSimExpr(Shim.expression(a), Shim.expression(b)))
   def hyperplaneSignature(c: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
     Shim.column(HyperplaneSigExpr(Shim.expression(c), dim, bits, seed))
+  def nearestCentroids(c: Column, cents: Array[Array[Double]], n: Int): Column =
+    Shim.column(NearestCentroidsExpr(Shim.expression(c), cents, n))
 }

@@ -155,24 +155,20 @@ object VectorFunctions {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
-    val spark = corpus.sparkSession
-    // Coarse centroids: a deterministic sample of corpus vectors (k-means|| at
-    // scale would refine these; nearest-of-sample is the standard cheap IVF
-    // seed and keeps this fully declarative).
-    val cents: Seq[Seq[Double]] = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(col("id")).limit(nCentroids)
-      .collect().map(_.getSeq[Any](1).map(_.toString.toDouble).toSeq).toSeq
-    val centLit = typedLit(cents)
-    def nearestCentroids(vec: Column, n: Int): Column = {
-      val scored = transform(
-        zip_with(centLit, sequence(lit(0), lit(cents.length - 1)), (c, i) => struct(c.as("c"), i.as("i"))),
-        s => struct(
-          aggregate(zip_with(vec, s.getField("c"), (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (acc, v) => acc + v).as("d"),
-          s.getField("i").as("i")))
-      slice(transform(array_sort(scored), s => s.getField("i")), 1, n)
-    }
+    // Coarse centroids: a HASH-SPREAD deterministic sample of corpus vectors —
+    // ordering by xxhash64(id) decorrelates the sample from insertion/sort
+    // order (first-N-by-id seeds collapse to one region of a sorted corpus),
+    // and TakeOrderedAndProject keeps the pick a single linear scan + heap.
+    // (k-means|| at scale would refine these; nearest-of-a-spread-sample is
+    // the standard cheap IVF seed.)
+    val cents: Array[Array[Double]] = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(nCentroids)
+      .collect().map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
+    // Cell assignment is a native codegen'd kernel (one compiled
+    // dim×centroids loop per row) instead of interpreted HOF folds.
+    def nearestCentroids(vec: Column, n: Int): Column =
+      graft.expressions.GraftFunctions.nearestCentroids(vec, cents, n)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cell", element_at(nearestCentroids(col("__cv"), 1), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))

@@ -50,6 +50,26 @@ class ExpressionsSpec extends SparkSpec {
     assert((sigs(0) ^ sigs(2)) == (1L << 12) - 1)
   }
 
+  test("nearestCentroids expression matches the HOF (distance, index) sort") {
+    val rnd = new scala.util.Random(5)
+    val cents: Array[Array[Double]] = Array.fill(10)(Array.fill(8)(rnd.nextGaussian()))
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    def hofNearest(vec: org.apache.spark.sql.Column, n: Int) = {
+      val scored = transform(
+        zip_with(centLit, sequence(lit(0), lit(cents.length - 1)), (c, i) => struct(c.as("c"), i.as("i"))),
+        s => struct(
+          aggregate(zip_with(vec, s.getField("c"), (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (acc, v) => acc + v).as("d"),
+          s.getField("i").as("i")))
+      slice(transform(array_sort(scored), s => s.getField("i")), 1, n)
+    }
+    val vecs = Seq.fill(40)(Seq.fill(8)(rnd.nextGaussian())).toDF("v")
+    val out = vecs.select(
+      GraftFunctions.nearestCentroids(col("v"), cents, 3).as("native"),
+      hofNearest(col("v"), 3).as("hof"))
+    assert(out.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("type probe bitmask has exact parity with the TypeDetect regexes") {
     val IntRe = "^-?[0-9]+$".r
     val FloatRe = "^-?[0-9]+\\.[0-9]+$".r

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NearDedup
+import graft.functions.VectorFunctions
+
+/** Recall of the approximate (minhash/simhash/sign-LSH/IVF) paths against
+  * their exact baselines on the sf0.01 test tables — the hard-verification
+  * layer for the hash-seeded queries the DuckDB oracle cannot reproduce.
+  *
+  * The embedding table is RANDOM near-orthogonal noise (avg pairwise cosine
+  * ~0.003, max ~0.39) — the information-theoretic worst case for any LSH,
+  * since "nearest neighbors" are barely more similar than the bulk. Real
+  * embedding corpora cluster heavily (the regime LSH exists for), so recall
+  * is asserted both on planted structure (near-dup copies — the production
+  * dedup case) and, with wider probe settings, on the raw noise.
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+
+  test("minhash candidates contain >=95% of exact pairs at jaccard >= 0.75") {
+    // plant near-dups: drop each doc's first token (shingle jaccard ~0.95
+    // at typical doc lengths), ids offset by 100000
+    val perturbed = docs
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", regexp_replace(trim(col("text")), "^\\S+\\s+", ""))
+    val slice = docs.unionByName(perturbed)
+    val exact = NearDedup.ngramJaccardPairs(slice, "doc_id", "text",
+      shingleSize = 3, threshold = 0.75)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 100, s"exact baseline unexpectedly small: ${exact.size} pairs")
+    // same banding parameters as the registered q47/q48
+    val cand = NearDedup.minhashPairs(slice, "doc_id", "text",
+      shingleSize = 3, numPerms = 32, bands = 8, threshold = 0.75)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cand.subsetOf(exact)) // verification filter => no false positives
+    val recall = cand.intersect(exact).size.toDouble / exact.size
+    info(f"minhash containment: $recall%.4f over ${exact.size} exact pairs")
+    assert(recall >= 0.95, f"minhash recall $recall%.4f < 0.95")
+  }
+
+  test("simhash finds every exact-duplicate pair (hamming 0)") {
+    val copies = docs.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val found = NearDedup.simhashPairs(docs.unionByName(copies), "doc_id", "text",
+      maxHamming = 3)
+      .filter(col("id_b") === col("id_a") + 100000L && col("hamming") === 0)
+    assert(found.count() == 100)
+  }
+
+  test("sign-LSH topK recall@5 >= 0.8 vs brute force on the raw noise corpus") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val brute = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = VectorFunctions.lshTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 5, bits = 4, tables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"sign-LSH recall@5: $recall%.4f (bits=4, tables=16)")
+    assert(recall >= 0.8, f"sign-LSH recall@5 $recall%.4f < 0.8")
+  }
+
+  test("IVF topK recall@5 >= 0.8 vs brute force on the raw noise corpus") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val brute = VectorFunctions.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorFunctions.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCentroids = 32, nProbe = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@5: $recall%.4f (nCentroids=32, nProbe=20)")
+    assert(recall >= 0.8, f"IVF recall@5 $recall%.4f < 0.8")
+  }
+
+  test("sign-LSH and IVF recall 100% of planted near-identical neighbors") {
+    // the production near-dup regime: each query's true neighbor is a copy
+    // at cosine ~1 — both approximate paths must put it at rank 1
+    val dups = emb.filter(col("vec_id") < 30)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val corpus = emb.unionByName(dups)
+    val queries = emb.filter(col("vec_id") < 30)
+    val lsh = VectorFunctions.lshTopK(corpus, queries, "vec_id", "embedding",
+      dim = 64, k = 1, bits = 8, tables = 4)
+      .filter(col("neighbor_id") === col("query_id") + 100000L)
+    assert(lsh.count() == 30)
+    val ivf = VectorFunctions.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 1, nCentroids = 32, nProbe = 8)
+      .filter(col("neighbor_id") === col("query_id") + 100000L)
+    assert(ivf.count() == 30)
+  }
+}
