@@ -23,6 +23,13 @@ object Xlsx {
     s
   }
 
+  /** 0-based column index from a cell reference like "C5" (inverse of
+    * colRef; the row digits are ignored).
+    */
+  private def colIndex(ref: String): Int =
+    ref.takeWhile(_.isLetter).foldLeft(0)((acc, ch) =>
+      acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+
   private def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -96,12 +103,23 @@ object Xlsx {
     val rows: Seq[Seq[String]] = (0 until rowNodes.getLength).map { r =>
       val row = rowNodes.item(r).asInstanceOf[org.w3c.dom.Element]
       val cells = row.getElementsByTagName("c")
-      (0 until cells.getLength).map { c =>
+      // Writers (Excel included) omit empty cells entirely, so values are
+      // placed by each cell's `r` column letters, padding gaps with "";
+      // cells without an `r` attribute fall back to the next position.
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var next = 0
+      (0 until cells.getLength).foreach { c =>
         val cell = cells.item(c).asInstanceOf[org.w3c.dom.Element]
         val t = cell.getAttribute("t")
         val text = cell.getTextContent
-        if (t == "s") shared(text.trim.toInt) else text
-      }.toSeq
+        val value = if (t == "s") shared(text.trim.toInt) else text
+        val ref = cell.getAttribute("r")
+        val idx = if (ref != null && ref.exists(_.isLetter)) colIndex(ref) else next
+        while (buf.length < idx) buf += ""
+        if (buf.length == idx) buf += value else buf(idx) = value
+        next = idx + 1
+      }
+      buf.toSeq
     }.takeWhile(_.exists(_.nonEmpty)) // stop at first all-empty row
     require(rows.nonEmpty, s"xlsx: empty sheet in $path")
     val header = rows.head.map(graft.operators.KeyNormalize(_))
