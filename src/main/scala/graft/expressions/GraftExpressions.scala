@@ -103,15 +103,27 @@ object Kernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  private def daysInMonth(y: Int, m: Int): Int = m match {
+    case 4 | 6 | 9 | 11 => 30
+    case 2              => if (y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)) 29 else 28
+    case _              => 31
+  }
+
   /** Type-shape probe for TypeDetect's stats pass: one char-scan instead of
     * four java.util.regex matches per value. Bitmask parity with the
     * TypeDetect regexes:
-    *   1 = int    ^-?[0-9]+$
-    *   2 = float  ^-?[0-9]+\.[0-9]+$
-    *   4 = date   ^\d{2,4}[-/ ]\d{1,2}[-/ ]\d{1,2}$
-    *   8 = ts     ^\d{2,4}[-/ ]\d{1,2}[-/ ]\d{1,2}[ T]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?$
-    * (shape only — TypeDetect still gates date/ts on the actual
-    * try_to_timestamp parse, evaluated only when the shape bit is set).
+    *    1 = int    ^-?[0-9]+$
+    *    2 = float  ^-?[0-9]+\.[0-9]+$
+    *    4 = date   ^\d{2,4}[-/ ]\d{1,2}[-/ ]\d{1,2}$
+    *    8 = ts     ^\d{2,4}[-/ ]\d{1,2}[-/ ]\d{1,2}[ T]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?$
+    *   16 = date KNOWN-VALID: 4-digit year >= 1, '-'/'/' separators, real
+    *        proleptic-Gregorian calendar day — guarantees the
+    *        try_to_timestamp('yyyy-M-d') parse succeeds, so TypeDetect can
+    *        skip it (the hot-path win for ISO data). Conservative: anything
+    *        uncertain (2-3 digit years, space separators) leaves the bit
+    *        unset and falls back to the real parse.
+    *   32 = ts KNOWN-VALID: bit-16 date part, ' '/'T' time separator,
+    *        h<=23, mm<=59, ss<=59, no fractional seconds.
     */
   def typeProbe(text: UTF8String): Int = {
     val s = text.toString
@@ -138,28 +150,54 @@ object Kernels {
     }
     def sep(at: Int): Boolean =
       at < len && (s.charAt(at) == '-' || s.charAt(at) == '/' || s.charAt(at) == ' ')
+    def num(from: Int, to: Int): Int = {
+      var v = 0; var j = from
+      while (j < to) { v = v * 10 + (s.charAt(j) - '0'); j += 1 }
+      v
+    }
     var p = digits(0, 2, 4)
     if (p > 0 && sep(p)) {
       val m = digits(p + 1, 1, 2)
       if (m > 0 && sep(m)) {
         val d = digits(m + 1, 1, 2)
         if (d > 0) {
-          if (d == len) mask |= 4
-          else if (s.charAt(d) == ' ' || s.charAt(d) == 'T') {
+          // bit-16 precondition: the normalized value ('/'->'-') must parse
+          // under 'yyyy-M-d', so space separators and short years opt out.
+          def dateValid: Boolean = {
+            if (p != 4 || s.charAt(p) == ' ' || s.charAt(m) == ' ') false
+            else {
+              val y = num(0, 4); val mo = num(p + 1, m); val dy = num(m + 1, d)
+              y >= 1 && mo >= 1 && mo <= 12 && dy >= 1 && dy <= daysInMonth(y, mo)
+            }
+          }
+          if (d == len) {
+            mask |= 4
+            if (dateValid) mask |= 16
+          } else if (s.charAt(d) == ' ' || s.charAt(d) == 'T') {
             val h = digits(d + 1, 1, 2)
             if (h > 0 && h < len && s.charAt(h) == ':') {
               val mi = digits(h + 1, 2, 2)
               if (mi > 0) {
                 var q = mi
+                var secEnd = -1
                 if (q < len && s.charAt(q) == ':') {
                   val sec = digits(q + 1, 2, 2)
-                  if (sec > 0) q = sec
+                  if (sec > 0) { secEnd = sec; q = sec }
                 }
+                var frac = false
                 if (q < len && s.charAt(q) == '.') {
                   val fr = digits(q + 1, 1, Int.MaxValue)
-                  if (fr > 0) q = fr
+                  if (fr > 0) { q = fr; frac = true }
                 }
-                if (q == len) mask |= 8
+                if (q == len) {
+                  mask |= 8
+                  // the 'yyyy-M-d H:mm[:ss]' patterns carry no fraction
+                  if (!frac && dateValid) {
+                    val hv = num(d + 1, h); val miv = num(h + 1, mi)
+                    val sv = if (secEnd > 0) num(mi + 1, secEnd) else 0
+                    if (hv <= 23 && miv <= 59 && sv <= 59) mask |= 32
+                  }
+                }
               }
             }
           }

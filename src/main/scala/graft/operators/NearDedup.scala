@@ -183,9 +183,14 @@ object NearDedup {
   private def dedupOnFingerprint(df: DataFrame, idCol: String, fp: Column): DataFrame = {
     // One scan + one shuffle (vs groupBy + semi-join = two scans + a join):
     // window the rows by fingerprint, keep the min-id representative.
+    // The fingerprint is materialized as a column FIRST so the canonicalize+
+    // hash expression is evaluated once below the exchange, not re-derived in
+    // both the partition key and the shuffle write.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(fp).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__fp")
   }
 
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

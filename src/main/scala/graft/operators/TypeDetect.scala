@@ -35,20 +35,36 @@ object TypeDetect {
     * wins on ambiguity ("by order of precedence").
     */
   private def parseDateCol(c: Column): Column = {
-    val norm = regexp_replace(c, "[/,]", "-")
+    // translate == regexp_replace("[/,]","-") for single chars, minus the
+    // per-row java.util.regex cost
+    val norm = translate(c, "/,", "--")
     coalesce(
       try_to_timestamp(norm, lit("yyyy-M-d")).cast(DateType),
       try_to_timestamp(norm, lit("d-M-yyyy")).cast(DateType))
   }
 
   private def parseDateTimeCol(c: Column): Column = {
-    val norm = regexp_replace(regexp_replace(c, "[/,]", "-"), "T", " ")
+    val norm = translate(c, "/,T", "-- ")
     coalesce(
       try_to_timestamp(norm, lit("yyyy-M-d H:mm:ss")),
       try_to_timestamp(norm, lit("yyyy-M-d H:mm")),
       try_to_timestamp(norm, lit("d-M-yyyy H:mm:ss")),
       try_to_timestamp(norm, lit("d-M-yyyy H:mm")))
   }
+
+  /** Cast-pass variants with a native-cast fast arm. Only used AFTER a
+    * column passed the stats gate (every value known formatter-parseable):
+    * under that invariant, whenever the native string cast succeeds on a
+    * gate-shaped dash-normalized value it yields the same y-M-d/timestamp
+    * value as the formatter, and layouts it cannot read (d-M-yyyy) fall
+    * through to the formatter arms. Not safe as the GATE itself — the native
+    * cast accepts shapes the formatter rejects.
+    */
+  private def castDateCol(c: Column): Column =
+    coalesce(translate(c, "/,", "--").try_cast(DateType), parseDateCol(c))
+
+  private def castDateTimeCol(c: Column): Column =
+    coalesce(translate(c, "/,T", "-- ").try_cast(TimestampType), parseDateTimeCol(c))
 
   /** Returns `df` with every string column (or just `fields` if given)
     * narrowed to long/double/date/timestamp when all non-null values parse.
@@ -64,20 +80,25 @@ object TypeDetect {
     // with IntRe/FloatRe/DateRe/DateTimeRe asserted in ExpressionsSpec),
     // then aggregate the flags. Parse success (not just the shape) gates the
     // date/ts counts: a value like `99-99-99` passes the date SHAPE but
-    // fails the cast, which would silently null out cells; try_to_timestamp
-    // is evaluated only on shape-matching rows (And short-circuits).
+    // fails the cast, which would silently null out cells. The kernel's
+    // KNOWN-VALID bits (16/32: full calendar check in the compiled scan)
+    // prove the parse redundant for strict-ISO values — the common case —
+    // so try_to_timestamp runs only on shape-matching values the kernel
+    // could not certify (Or/And short-circuit).
     val flagCols = stringCols.flatMap { n =>
       val c = col(n)
       val probe = graft.expressions.GraftFunctions.typeProbe(c)
       val isInt = probe.bitwiseAND(1) =!= 0
-      val isDate = (probe.bitwiseAND(4) =!= 0) && parseDateCol(c).isNotNull
+      val isDate = (probe.bitwiseAND(4) =!= 0) &&
+        ((probe.bitwiseAND(16) =!= 0) || parseDateCol(c).isNotNull)
+      val isTs = isDate || ((probe.bitwiseAND(8) =!= 0) &&
+        ((probe.bitwiseAND(32) =!= 0) || parseDateTimeCol(c).isNotNull))
       Seq(
         c.isNotNull.as(s"__nn_$n"),
         isInt.as(s"__int_$n"),
         (isInt || (probe.bitwiseAND(2) =!= 0)).as(s"__num_$n"),
         isDate.as(s"__date_$n"),
-        (isDate || ((probe.bitwiseAND(8) =!= 0) && parseDateTimeCol(c).isNotNull))
-          .as(s"__ts_$n"))
+        isTs.as(s"__ts_$n"))
     }
     val flags = df.select(flagCols.toIndexedSeq: _*)
     val aggs = flags.columns.map(n => count(when(col(n), lit(1))).as(n)).toSeq
@@ -89,8 +110,8 @@ object TypeDetect {
       if (nn == 0) None
       else if (stat("int", n) == nn) Some(n -> col(n).cast(LongType))
       else if (stat("num", n) == nn) Some(n -> col(n).cast(DoubleType))
-      else if (stat("date", n) == nn) Some(n -> parseDateCol(col(n)))
-      else if (stat("ts", n) == nn) Some(n -> parseDateTimeCol(col(n)))
+      else if (stat("date", n) == nn) Some(n -> castDateCol(col(n)))
+      else if (stat("ts", n) == nn) Some(n -> castDateTimeCol(col(n)))
       else None
     }
     if (casts.isEmpty) df else df.withColumns(casts.toMap)

@@ -94,6 +94,41 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("type probe KNOWN-VALID bits imply try_to_timestamp success") {
+    // bits 16/32 let TypeDetect SKIP the parse, so they must never be set on
+    // a value the parser would reject (the converse — parser accepts, bit
+    // unset — is fine: it just falls back to the parse).
+    val cases = Seq(
+      // valid ISO dates (bit 16 expected)
+      "2012-04-03", "2012/04/03", "1996-02-29", "2012-1-5", "9999-12-31",
+      // calendar-invalid or uncertifiable (bit 16 must be off)
+      "1994-02-29", "1900-02-29", "2012-13-01", "2012-00-10", "2012-04-31",
+      "2012-04-00", "99-04-03", "123-4-5", "2012 04 03", "0000-01-01",
+      // valid timestamps (bit 32 expected)
+      "2012-04-03 10:20", "2012-04-03T23:59:59", "2012/04/03 0:00:00",
+      // invalid or uncertifiable timestamps (bit 32 must be off)
+      "2012-04-03 24:00", "2012-04-03 10:60", "2012-04-03 10:20:60",
+      "2012-04-03 10:20:30.5", "1994-02-29 10:20", "99-04-03 10:20")
+    val df = cases.toDF("v").select(
+      col("v"),
+      graft.expressions.GraftFunctions.typeProbe(col("v")).as("mask"),
+      try_to_timestamp(translate(col("v"), "/,", "--"), lit("yyyy-M-d")).isNotNull.as("d_ok"),
+      coalesce(
+        try_to_timestamp(translate(col("v"), "/,T", "-- "), lit("yyyy-M-d H:mm:ss")),
+        try_to_timestamp(translate(col("v"), "/,T", "-- "), lit("yyyy-M-d H:mm"))).isNotNull.as("t_ok"))
+    df.collect().foreach { r =>
+      val (v, mask, dOk, tOk) =
+        (r.getString(0), r.getInt(1), r.getBoolean(2), r.getBoolean(3))
+      if ((mask & 16) != 0) assert(dOk, s"bit16 set but date parse fails for '$v'")
+      if ((mask & 32) != 0) assert(tOk, s"bit32 set but ts parse fails for '$v'")
+    }
+    // and the fast path actually fires on the common case
+    def mask(s: String) = graft.expressions.Kernels.typeProbe(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert((mask("2012-04-03") & 16) != 0)
+    assert((mask("2012-04-03 10:20:30") & 32) != 0)
+  }
+
   test("SQL surface via SparkSessionExtensions (graft_* functions)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
