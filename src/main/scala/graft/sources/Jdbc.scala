@@ -26,7 +26,8 @@ object Jdbc {
     if (user.nonEmpty) props.setProperty("user", user)
     if (password.nonEmpty) props.setProperty("password", password)
     val table =
-      if (tableOrQuery.trim.toLowerCase.startsWith("select")) s"($tableOrQuery) AS __q"
+      // alias must not start with '_' (Derby and friends reject it)
+      if (tableOrQuery.trim.toLowerCase.startsWith("select")) s"($tableOrQuery) AS graft_subq"
       else tableOrQuery
     partitionColumn match {
       case Some(c) => spark.read.jdbc(url, table, c, lowerBound, upperBound, numPartitions, props)
@@ -35,17 +36,21 @@ object Jdbc {
   }
 
   /** All-varchar DDL like the reference emits (sql.py:284-290: every column
-    * `varchar(255)`). Exposed for tests and for engines where we pre-create.
+    * `varchar(255)`). Column names are ANSI-quoted (case-preserved) so a
+    * pre-created table lines up with Spark's quoted JDBC inserts.
     */
   def createTableDdl(table: String, fields: Seq[String]): String =
-    s"CREATE TABLE $table (" + fields.map(f => s"$f VARCHAR(255)").mkString(", ") + ")"
+    s"CREATE TABLE $table (" + fields.map(f => s""""$f" VARCHAR(255)""").mkString(", ") + ")"
 
   /** Partition-delete statement for idempotent reload
     * (sql.py:292-305: `DELETE FROM t WHERE part='v'` per substream).
+    * Column names are ANSI-quoted: Spark's JDBC writer creates quoted
+    * (case-preserved) identifiers, so an unquoted WHERE column would be
+    * case-folded by the engine and miss the table's actual column.
     */
   def deletePartitionSql(table: String, partition: Map[String, String]): String =
     s"DELETE FROM $table WHERE " +
-      partition.map { case (k, v) => s"$k = '${v.replace("'", "''")}'" }.mkString(" AND ")
+      partition.map { case (k, v) => s""""$k" = '${v.replace("'", "''")}'""" }.mkString(" AND ")
 
   /** `push_sql` (sql.py:253-342): drop/create via SaveMode, append via
     * per-executor JDBC batches. `deletePartition` reproduces the reference's

@@ -103,11 +103,11 @@ class SourceSinkSpec extends SparkSpec {
 
   test("jdbc DDL + partition-delete SQL generation (sql.py:284-305)") {
     assert(Jdbc.createTableDdl("test_table", Seq("id", "value")) ==
-      "CREATE TABLE test_table (id VARCHAR(255), value VARCHAR(255))")
+      """CREATE TABLE test_table ("id" VARCHAR(255), "value" VARCHAR(255))""")
     assert(Jdbc.deletePartitionSql("t", Map("date" -> "2012-04-04")) ==
-      "DELETE FROM t WHERE date = '2012-04-04'")
+      """DELETE FROM t WHERE "date" = '2012-04-04'""")
     assert(Jdbc.deletePartitionSql("t", Map("v" -> "o'x")) ==
-      "DELETE FROM t WHERE v = 'o''x'")
+      """DELETE FROM t WHERE "v" = 'o''x'""")
   }
 
   test("mail composes a MIME message with html body + csv attachment (mail.py:16-87)") {
