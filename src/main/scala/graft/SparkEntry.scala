@@ -487,6 +487,12 @@ object SparkEntry {
       VectorFunctions.ivfTopK(emb.unionByName(dups), emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 1, nCentroids = 32, nProbe = 8)
         .filter(col("neighbor_id") === col("query_id") + 100000L)
+    }),
+    "q65_mongo_dump" -> ((s, d) => {
+      import s.implicits._
+      graft.sources.Mongo.pullMongoDumpLines(Seq(
+        """{"_id":{"$oid":"507f1f77bcf86cd799439011"},"rown":{"$numberLong":"1"},"f":4.3,"s":"coucou"}""",
+        """{"_id":{"$oid":"507f1f77bcf86cd799439012"},"rown":{"$numberLong":"2"},"f":4.2,"s":"salut"}""").toDS())
     }))
 
   // =====================================================================
@@ -646,7 +652,12 @@ object SparkEntry {
     "q64_ivf_self_recall" ->
       ("SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, " +
         "CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank " +
-        "FROM embeddings WHERE vec_id < 20"))
+        "FROM embeddings WHERE vec_id < 20"),
+    "q65_mongo_dump" ->
+      ("SELECT * FROM (VALUES " +
+        "('507f1f77bcf86cd799439011', CAST(4.3 AS DOUBLE), CAST(1 AS BIGINT), 'coucou'), " +
+        "('507f1f77bcf86cd799439012', CAST(4.2 AS DOUBLE), CAST(2 AS BIGINT), 'salut')) " +
+        "AS t(_id, f, rown, s)"))
 
   private lazy val uaOracleSql: String = {
     val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")

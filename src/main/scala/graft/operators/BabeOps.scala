@@ -249,13 +249,20 @@ object BabeOps {
             .filter(matchedFlag)
             .drop(dedupedBuild(joinKey))
         case OnError.Fail =>
-          // Eager unmatched check (reference raises per row; we check once,
-          // distributed, via an anti-join count).
-          val unmatched = df.join(hinted,
-            df(key) === dedupedBuild(joinKey), "left_anti").count()
-          if (unmatched > 0)
-            throw new IllegalStateException(s"joinBabe: $unmatched unmatched rows for key '$key'")
-          df.join(hinted, df(key) === dedupedBuild(joinKey), "inner")
+          // Single pass: a left join whose projection raises on the first
+          // unmatched probe row (the reference raises while streaming,
+          // join.py:40-41). assert_true evaluates inside the scan — no
+          // second probe pass, and the query dies at action time exactly
+          // when a row has no build match.
+          val marked = df.join(hinted, df(key) === dedupedBuild(joinKey), "left")
+          val matchedFlag = dedupedBuild(joinKey).isNotNull
+          // The raise lives in the Filter condition so it cannot be pruned:
+          // matched rows short-circuit to true, unmatched rows evaluate
+          // raise_error and kill the query in place.
+          marked
+            .filter(when(matchedFlag, lit(true)).otherwise(
+              raise_error(concat(lit(s"joinBabe: unmatched row for key '$key': value "),
+                df(key).cast(StringType))).cast("boolean")))
             .drop(dedupedBuild(joinKey))
       }
     }

@@ -79,6 +79,34 @@ class ExtrasSpec extends SparkSpec {
     assert(q.as[(String, String)].collect().toSeq == Seq(("c", "3")))
   }
 
+  test("mongo dump pull: extended-JSON wrappers, nesting, sorted fields (mongo.py:30-53)") {
+    val dir = tmp("mongo_pull")
+    val lines = Seq(
+      """{"_id":{"$oid":"507f1f77bcf86cd799439011"},"rown":{"$numberLong":"1"},"f":4.3,"s":"coucou","meta":{"ts":{"$date":"2024-01-02T03:04:05Z"}}}""",
+      """{"_id":{"$oid":"507f1f77bcf86cd799439012"},"rown":{"$numberLong":"2"},"f":4.2,"s":"salut","meta":{"ts":{"$date":"2024-01-02T03:04:06Z"}}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/dump.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = graft.sources.Mongo.pullMongoDump(spark, s"$dir/dump.json")
+    // fields keynormalized and sorted, like the reference's determinism rule
+    assert(df.columns.toSeq == Seq("_id", "f", "meta_ts", "rown", "s"))
+    assert(df.schema("rown").dataType == LongType)
+    assert(df.schema("meta_ts").dataType == TimestampType)
+    val r = df.orderBy("rown").collect()
+    assert(r(0).getAs[String]("_id") == "507f1f77bcf86cd799439011")
+    assert(r(0).getAs[Long]("rown") == 1L && r(1).getAs[String]("s") == "salut")
+  }
+
+  test("mongo dump push -> pull round-trip with auto _id (test_mongo.py shape)") {
+    val dir = tmp("mongo_rt")
+    val df = Seq((1L, 4.3, "coucou2"), (2L, 4.2, "salut2")).toDF("rown", "f", "s")
+    graft.sources.Mongo.pushMongoDump(df, s"$dir/coll", primaryKey = Some("rown"))
+    val back = graft.sources.Mongo.pullMongoDump(spark, s"$dir/coll")
+    assert(back.columns.toSeq == Seq("_id", "f", "rown", "s"))
+    assert(back.orderBy("rown").select("rown", "f", "s").as[(Long, Double, String)]
+      .collect().toSeq == Seq((1L, 4.3, "coucou2"), (2L, 4.2, "salut2")))
+    assert(back.select("_id").as[String].collect().sorted.toSeq == Seq("1", "2"))
+  }
+
   test("query-string event parse with Catalyst built-ins (kontagent.py:99-204)") {
     val df = Seq("s=123&st=1346806200&n=hello%20world").toDF("line")
     val parsed = df.select(EventLogs.parseQueryStringDecoded(col("line")).as("m"))

@@ -38,9 +38,15 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("join Fail raises on unmatched (join.py:40-41)") {
-    intercept[IllegalStateException] {
+    intercept[Exception] {
       facts.joinBabe(dimsBis, "country", "country_code", OnError.Fail).count()
     }
+  }
+
+  test("join Fail passes fully matched rows in one probe pass") {
+    val out = facts.joinBabe(dims, "country", "country_code", OnError.Fail).orderBy("city")
+    assert(golden(out) ==
+      "city,country,country_name\r\nLondon,UK,United Kingdom\r\nLyon,FR,France\r\nParis,FR,France\r\n")
   }
 
   test("join build side first-wins under buildOrder (join.py:14-16)") {
