@@ -51,10 +51,13 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
     StructField("feature", ArrayType(FloatType))))
 
   /** Deterministic fake decode: "dimensions" and an 8-float "feature" derived
-    * from the content hash. Replace with a real codec (JavaCV/ImageIO/...)
+    * from the content hash — the fallback for formats whose payload needs a
+    * codec library (JPEG entropy data, MP3, H.264). Replace with a real codec
     * by swapping this function only — the batch plumbing stays.
     */
   def decodeStub(path: String, mediaType: String, content: Array[Byte]): Row = {
@@ -63,7 +66,37 @@ object Multimodal {
     val ht = 64 + math.abs((h / 1024) % 1024)
     val frames = if (mediaType == "video") 1 + math.abs(h % 300) else 1
     val feat = Array.tabulate(8)(i => ((h >> (i * 4)) & 0xF).toFloat / 15f)
-    Row(path, mediaType, w, ht, frames, feat.toSeq)
+    Row(path, mediaType, w, ht, frames, 0, 0L, feat.toSeq)
+  }
+
+  /** Decode one blob: REAL parsing where no codec library is needed
+    * (PNG/GIF/BMP/JPEG header dims, BMP pixel histograms, PCM WAV info +
+    * RMS envelope, MP4 stts frame count — see MediaCodecs), deterministic
+    * stub otherwise.
+    */
+  def decodeOne(path: String, mediaType: String, content: Array[Byte]): Row = mediaType match {
+    case "image" =>
+      MediaCodecs.imageDims(content) match {
+        case Some((w, h)) =>
+          val feat = MediaCodecs.bmpLuminanceHistogram(content)
+            .map(_.toSeq)
+            .getOrElse(decodeStub(path, mediaType, content).getAs[Seq[Float]](7))
+          Row(path, mediaType, w, h, 1, 0, 0L, feat)
+        case None => decodeStub(path, mediaType, content)
+      }
+    case "audio" =>
+      MediaCodecs.wavInfo(content) match {
+        case Some(w) =>
+          Row(path, mediaType, 0, 0, 1, w.sampleRate, w.durationMs, w.rmsEnvelope.toSeq)
+        case None => decodeStub(path, mediaType, content)
+      }
+    case "video" =>
+      MediaCodecs.mp4FrameCount(content) match {
+        case Some(n) => Row(path, mediaType, 0, 0, n, 0, 0L,
+          decodeStub(path, mediaType, content).getAs[Seq[Float]](7))
+        case None => decodeStub(path, mediaType, content)
+      }
+    case _ => decodeStub(path, mediaType, content)
   }
 
   /** Decode stage: batched per-partition transform. `batchSize` bounds the
@@ -76,7 +109,32 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // One call per batch: a real codec would hand `batch` to a native
           // library in one vectorized invocation.
-          batch.map(r => decodeStub(r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+          batch.map(r => decodeOne(r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+        }
+      }
+  }
+
+  /** Real image resize over the media frame: 24-bit BMPs are resized
+    * (nearest-neighbor, no libraries); other formats pass through unchanged
+    * with `resized=false`. Batched like `decode`.
+    */
+  def resizeImages(media: DataFrame, newW: Int, newH: Int, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("media_type", StringType),
+      StructField("content", BinaryType),
+      StructField("resized", BooleanType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media.select("path", "media_type", "content")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val bytes = r.getAs[Array[Byte]](2)
+            MediaCodecs.bmpResize(bytes, newW, newH) match {
+              case Some(out) => Row(r.getString(0), r.getString(1), out, true)
+              case None      => Row(r.getString(0), r.getString(1), bytes, false)
+            }
+          }
         }
       }
   }

@@ -37,6 +37,121 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(frames.select("frame_idx").as[Int].collect().forall(_ >= 0))
   }
 
+  // ---- hand-built media fixtures (no codec libs exist to write them) ----
+
+  /** 24-bit bottom-up BMP: w x h, pixel (x,y) = rgb(x,y) as (r,g,b). */
+  private def makeBmp(w: Int, h: Int)(rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * h)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    out(0) = 'B'; out(1) = 'M'; le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h); le16(26, 1); le16(28, 24); le32(34, stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      val o = 54 + (h - 1 - y) * stride + x * 3
+      out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+    }
+    out
+  }
+
+  /** Mono 16-bit PCM WAV at `rate` Hz from the given samples. */
+  private def makeWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def tag(i: Int, s: String): Unit = (0 until 4).foreach(k => out(i + k) = s(k).toByte)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1); le32(24, rate)
+    le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      out(44 + i * 2) = s.toByte; out(45 + i * 2) = (s >> 8).toByte }
+    out
+  }
+
+  /** Minimal MP4: moov > trak > [mdia > hdlr(vide), minf > stbl > stts]. */
+  private def makeMp4(frameCounts: Seq[Int]): Array[Byte] = {
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    // hdlr payload: version/flags, pre_defined, handler_type at offset 8
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val stts = box("stts", be32(0) ++ be32(frameCounts.length) ++
+      frameCounts.toArray.flatMap(n => be32(n) ++ be32(1000)))
+    val trak = box("trak", box("mdia", hdlr) ++ box("minf", box("stbl", stts)))
+    box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++ box("moov", trak)
+  }
+
+  test("real header parsing: PNG/GIF/BMP/JPEG dims, WAV info, MP4 frames") {
+    import graft.operators.MediaCodecs
+    // PNG signature + IHDR with dims 640x360
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 2, 0x80.toByte, 0, 0, 1, 0x68, 8, 6, 0, 0, 0)
+    assert(MediaCodecs.imageDims(png).contains((640, 360)))
+    // GIF89a 320x200
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00, 0, 0, 0, 0)
+    assert(MediaCodecs.imageDims(gif).contains((320, 200)))
+    // JPEG: SOI, APP0 (empty), SOF0 with 100x50
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0, 4, 0, 0, // APP0 len=4
+      0xFF.toByte, 0xC0.toByte, 0, 11, 8, 0, 50, 0, 100, 1, 0, 0x11, 0)
+    assert(MediaCodecs.imageDims(jpeg).contains((100, 50)))
+    // BMP 6x4
+    val bmp = makeBmp(6, 4)((x, y) => (40 * x, 40 * x, 40 * x))
+    assert(MediaCodecs.imageDims(bmp).contains((6, 4)))
+    // WAV: 8000 Hz, 8000 samples = 1000 ms, constant amplitude
+    val wav = makeWav(8000, Array.fill(8000)(16384.toShort))
+    val info = MediaCodecs.wavInfo(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.durationMs == 1000L)
+    assert(info.rmsEnvelope.forall(v => math.abs(v - 0.5f) < 0.01f))
+    // MP4 with 24 + 6 frames in stts
+    assert(MediaCodecs.mp4FrameCount(makeMp4(Seq(24, 6))).contains(30))
+  }
+
+  test("bmp pixel feature and resize are real") {
+    import graft.operators.MediaCodecs
+    // left half black, right half white -> histogram mass in bins 0 and 7
+    val bmp = makeBmp(8, 8)((x, _) => if (x < 4) (0, 0, 0) else (255, 255, 255))
+    val hist = MediaCodecs.bmpLuminanceHistogram(bmp).get
+    assert(math.abs(hist(0) - 0.5f) < 1e-6 && math.abs(hist(7) - 0.5f) < 1e-6)
+    assert(hist.slice(1, 7).forall(_ == 0f))
+    val small = MediaCodecs.bmpResize(bmp, 4, 4).get
+    assert(MediaCodecs.imageDims(small).contains((4, 4)))
+    // resized image keeps the half-black/half-white structure
+    val smallHist = MediaCodecs.bmpLuminanceHistogram(small).get
+    assert(math.abs(smallHist(0) - 0.5f) < 1e-6 && math.abs(smallHist(7) - 0.5f) < 1e-6)
+  }
+
+  test("decode stage uses real parsers per media type; resizeImages end-to-end") {
+    val dir = tmp("media_real")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bmp"),
+      makeBmp(16, 9)((x, y) => (x * 10, y * 20, 128)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.wav"),
+      makeWav(16000, Array.fill(1600)(8192.toShort)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.mp4"),
+      makeMp4(Seq(48)))
+    val media = Multimodal.readMedia(spark, s"$dir/*")
+    val decoded = Multimodal.decode(media).collect().map(r =>
+      r.getAs[String]("path").split('/').last -> r).toMap
+    assert(decoded("img.bmp").getAs[Int]("width") == 16 &&
+      decoded("img.bmp").getAs[Int]("height") == 9)
+    assert(decoded("sound.wav").getAs[Int]("sample_rate") == 16000 &&
+      decoded("sound.wav").getAs[Long]("duration_ms") == 100L)
+    assert(decoded("clip.mp4").getAs[Int]("n_frames") == 48)
+    val resized = Multimodal.resizeImages(media, 8, 4).collect()
+      .map(r => r.getAs[String]("path").split('/').last -> r).toMap
+    assert(resized("img.bmp").getAs[Boolean]("resized"))
+    assert(graft.operators.MediaCodecs.imageDims(
+      resized("img.bmp").getAs[Array[Byte]]("content")).contains((8, 4)))
+    assert(!resized("sound.wav").getAs[Boolean]("resized"))
+  }
+
   test("bulkMap batches rows through mapPartitions (transform.py:66-95)") {
     val df = (1 to 10).toDF("k")
     val schema = StructType(Seq(StructField("k", IntegerType), StructField("bs", IntegerType)))
