@@ -1,0 +1,210 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal dependency-free legacy-BIFF8 `.xls` reader — the reference's xls
+  * format plugin (/root/reference/pybabe/format_xls.py:10-26, which uses
+  * xlrd: first sheet, first row = field names). Implements the subset a
+  * data-exchange spreadsheet uses, per the public [MS-CFB] and [MS-XLS]
+  * specs:
+  *
+  *  - OLE2 compound file: FAT chains, directory, miniFAT/ministream (streams
+  *    under 4096 bytes — i.e. most real .xls files' Workbook stream);
+  *  - BIFF8 records: BOF/EOF, BOUNDSHEET (first sheet), SST + LABELSST,
+  *    LABEL, NUMBER, RK, MULRK, BLANK/MULBLANK.
+  *
+  * Not covered (documented): CONTINUE-split SSTs (very large string tables),
+  * BIFF5 and earlier, formulas, encryption. Driver-side by design, like
+  * `Xlsx` — spreadsheets are a small-data exchange format.
+  */
+object Xls {
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  private val EndOfChain = 0xFFFFFFFE
+  private val FreeSect = 0xFFFFFFFF
+
+  /** Extract the Workbook/Book stream bytes from the OLE2 container. */
+  private[sinks] def workbookStream(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 512 &&
+      (b(0) & 0xFF) == 0xD0 && (b(1) & 0xFF) == 0xCF && (b(2) & 0xFF) == 0x11 && (b(3) & 0xFF) == 0xE0,
+      "xls: not an OLE2 compound file")
+    val ssz = 1 << le16(b, 30)
+    val msz = 1 << le16(b, 32)
+    val numFat = le32(b, 44)
+    val dirStart = le32(b, 48)
+    val miniCutoff = le32(b, 56)
+    val miniFatStart = le32(b, 60)
+
+    def sector(s: Int): Array[Byte] = {
+      val off = 512 + s.toLong * ssz
+      java.util.Arrays.copyOfRange(b, off.toInt, math.min(off + ssz, b.length.toLong).toInt)
+    }
+    // FAT sector list: 109 DIFAT slots in the header (DIFAT sectors beyond
+    // that are out of scope for the sizes this reader targets)
+    val fatSectors = (0 until math.min(numFat, 109)).map(i => le32(b, 76 + 4 * i))
+    val fat: Array[Int] = fatSectors.toArray.flatMap { s =>
+      val sec = sector(s); (0 until ssz / 4).map(i => le32(sec, i * 4))
+    }
+    def chain(start: Int): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var s = start
+      var guard = 0
+      while (s != EndOfChain && s != FreeSect && s >= 0 && s < fat.length && guard < fat.length + 1) {
+        out += s; s = fat(s); guard += 1
+      }
+      out.result()
+    }
+    def streamBytes(start: Int, size: Long): Array[Byte] = {
+      val all = chain(start).toArray.flatMap(sector)
+      java.util.Arrays.copyOfRange(all, 0, math.min(size, all.length.toLong).toInt)
+    }
+
+    // directory: 128-byte entries; scan for the workbook (tree order ignored)
+    val dir = chain(dirStart).toArray.flatMap(sector)
+    case class Entry(name: String, objType: Int, start: Int, size: Long)
+    val entries = (0 until dir.length / 128).map { k =>
+      val o = k * 128
+      val nameLen = le16(dir, o + 64)
+      val name = if (nameLen >= 2)
+        new String(dir, o, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+      else ""
+      Entry(name, dir(o + 66) & 0xFF, le32(dir, o + 116), le32(dir, o + 120).toLong & 0xFFFFFFFFL)
+    }
+    val root = entries.find(_.objType == 5).getOrElse(sys.error("xls: no root entry"))
+    val wb = entries.find(e => e.objType == 2 && (e.name == "Workbook" || e.name == "Book"))
+      .getOrElse(sys.error("xls: no Workbook stream"))
+
+    if (wb.size >= miniCutoff) streamBytes(wb.start, wb.size)
+    else {
+      // ministream (root entry's stream) addressed by the miniFAT in 64-byte sectors
+      val mini = streamBytes(root.start, root.size)
+      val miniFatBytes = chain(miniFatStart).toArray.flatMap(sector)
+      val miniFat = (0 until miniFatBytes.length / 4).map(i => le32(miniFatBytes, i * 4)).toArray
+      val out = Seq.newBuilder[Byte]
+      var s = wb.start
+      var guard = 0
+      while (s != EndOfChain && s != FreeSect && s >= 0 && s < miniFat.length && guard < miniFat.length + 1) {
+        val off = s * msz
+        out ++= java.util.Arrays.copyOfRange(mini, off, math.min(off + msz, mini.length))
+        s = miniFat(s); guard += 1
+      }
+      java.util.Arrays.copyOfRange(out.result().toArray, 0, wb.size.toInt)
+    }
+  }
+
+  /** BIFF8 XLUnicodeRichExtendedString at offset i; returns (text, end). */
+  private def readString(b: Array[Byte], i: Int): (String, Int) = {
+    val cch = le16(b, i)
+    val flags = b(i + 2) & 0xFF
+    var p = i + 3
+    val cRun = if ((flags & 0x08) != 0) { val n = le16(b, p); p += 2; n } else 0
+    val cbExt = if ((flags & 0x04) != 0) { val n = le32(b, p); p += 4; n } else 0
+    val text =
+      if ((flags & 0x01) != 0) { // uncompressed UTF-16LE
+        val s = new String(b, p, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+        p += cch * 2; s
+      } else { // compressed: low bytes only
+        val s = new String(b, p, cch, java.nio.charset.StandardCharsets.ISO_8859_1)
+        p += cch; s
+      }
+    (text, p + cRun * 4 + cbExt)
+  }
+
+  /** RK-encoded number (30-bit int or truncated double, optional /100). */
+  private def rkValue(rk: Int): Double = {
+    val div = (rk & 0x01) != 0
+    val v =
+      if ((rk & 0x02) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if (div) v / 100.0 else v
+  }
+
+  private def numStr(d: Double): String =
+    if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  /** Parse the first worksheet of a BIFF8 workbook stream into rows. */
+  private[sinks] def parseBiff(wb: Array[Byte]): Seq[Seq[String]] = {
+    // pass 1 (globals): SST strings + first BOUNDSHEET offset
+    val sst = Seq.newBuilder[String]
+    var sheetOffset = -1
+    var i = 0
+    var inGlobals = true
+    while (inGlobals && i + 4 <= wb.length) {
+      val typ = le16(wb, i); val len = le16(wb, i + 2)
+      val p = i + 4
+      typ match {
+        case 0x00FC => // SST: [cstTotal][cstUnique] then strings (no CONTINUE support)
+          val unique = le32(wb, p + 4)
+          var q = p + 8
+          var k = 0
+          while (k < unique && q < p + len) {
+            val (s, e) = readString(wb, q); sst += s; q = e; k += 1
+          }
+        case 0x0085 => if (sheetOffset < 0) sheetOffset = le32(wb, p) // BOUNDSHEET
+        case 0x000A => inGlobals = false // EOF of globals substream
+        case _ =>
+      }
+      i = p + len
+    }
+    require(sheetOffset >= 0, "xls: no BOUNDSHEET record")
+    val strings = sst.result().toIndexedSeq
+
+    // pass 2: the sheet substream's cell records
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), String]
+    var maxRow = -1; var maxCol = -1
+    def put(r: Int, c: Int, v: String): Unit = {
+      cells((r, c)) = v
+      if (r > maxRow) maxRow = r
+      if (c > maxCol) maxCol = c
+    }
+    i = sheetOffset
+    var inSheet = true
+    while (inSheet && i + 4 <= wb.length) {
+      val typ = le16(wb, i); val len = le16(wb, i + 2)
+      val p = i + 4
+      typ match {
+        case 0x00FD => // LABELSST
+          put(le16(wb, p), le16(wb, p + 2), strings(le32(wb, p + 6)))
+        case 0x0204 => // LABEL (inline string)
+          put(le16(wb, p), le16(wb, p + 2), readString(wb, p + 6)._1)
+        case 0x0203 => // NUMBER: IEEE double
+          val bits = (0 until 8).foldRight(0L)((k, acc) => (acc << 8) | (wb(p + 6 + k) & 0xFFL))
+          put(le16(wb, p), le16(wb, p + 2), numStr(java.lang.Double.longBitsToDouble(bits)))
+        case 0x027E => // RK
+          put(le16(wb, p), le16(wb, p + 2), numStr(rkValue(le32(wb, p + 6))))
+        case 0x00BD => // MULRK: row, colFirst, [xf+rk]*, colLast
+          val row = le16(wb, p); val colFirst = le16(wb, p + 2)
+          val n = (len - 6) / 6
+          (0 until n).foreach(k =>
+            put(row, colFirst + k, numStr(rkValue(le32(wb, p + 4 + k * 6 + 2)))))
+        case 0x000A => inSheet = false
+        case _ =>
+      }
+      i = p + len
+    }
+    if (maxRow < 0) return Nil
+    (0 to maxRow).map(r => (0 to maxCol).map(c => cells.getOrElse((r, c), "")).toSeq)
+      .takeWhile(_.exists(_.nonEmpty))
+  }
+
+  /** Read the first sheet of a legacy .xls into a string DataFrame; first
+    * row = field names (reference format_xls.py:10-26).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val rows = parseBiff(workbookStream(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+    require(rows.nonEmpty, s"xls: empty sheet in $path")
+    val header = rows.head.map(graft.operators.KeyNormalize(_))
+    val data = rows.tail.map(_.padTo(header.length, ""))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      data.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava,
+      org.apache.spark.sql.types.StructType(header.map(h =>
+        org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType))))
+  }
+}

@@ -29,6 +29,8 @@ object Pull {
       case Some("json")            => "json"
       case Some("parquet")         => "parquet"
       case Some("sql")             => "sql"
+      case Some("xls")             => "xls"
+      case Some("xlsx")            => "xlsx"
       case _                       => "csv"
     }
     (fmt, compress)
@@ -63,6 +65,17 @@ object Pull {
       case ("sql", _)     => SqlDump.read(spark, path,
         table.getOrElse(throw new IllegalArgumentException("pull(format=sql) needs table=")),
         fields)
+      case ("xlsx", _)    => graft.sinks.Xlsx.read(spark, path)
+      case ("xls", _)     =>
+        // sniff the container: legacy OLE2 magic -> BIFF reader; otherwise
+        // it is a modern OOXML file with a .xls extension -> xlsx reader
+        val head = new Array[Byte](8)
+        val in = new java.io.FileInputStream(path)
+        try in.read(head) finally in.close()
+        if ((head(0) & 0xFF) == 0xD0 && (head(1) & 0xFF) == 0xCF &&
+            (head(2) & 0xFF) == 0x11 && (head(3) & 0xFF) == 0xE0)
+          graft.sinks.Xls.read(spark, path)
+        else graft.sinks.Xlsx.read(spark, path)
       case (other, _)     => throw new IllegalArgumentException(s"pull: unknown format '$other'")
     }
   }
