@@ -123,6 +123,45 @@ class SourceSinkSpec extends SparkSpec {
       "a,b\r\n1,x\r\n")
   }
 
+  test("mail delivers over SMTP to a loopback stub server (mail.py:80-87)") {
+    // in-JVM stub SMTP server: accepts one session, records the DATA payload
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var received: String = null
+    @volatile var sawAuth = false
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+      def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+      reply("220 stub ready")
+      var line = in.readLine()
+      val buf = new StringBuilder
+      var inData = false
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; received = buf.toString; reply("250 ok") }
+          else buf.append(line).append("\r\n")
+        } else if (line.startsWith("EHLO")) reply("250 stub")
+        else if (line.startsWith("AUTH PLAIN")) { sawAuth = true; reply("235 ok") }
+        else if (line.startsWith("MAIL") || line.startsWith("RCPT")) reply("250 ok")
+        else if (line == "DATA") { inData = true; reply("354 go") }
+        else if (line == "QUIT") { reply("221 bye"); line = null }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.start()
+    try {
+      graft.sinks.Smtp.mail(Seq((1, "x")).toDF("a", "b"),
+        "127.0.0.1", server.getLocalPort, "a@ex.com", Seq("b@ex.com"), "hello",
+        name = "s", login = "user", password = "pw")
+      t.join(15000)
+      assert(sawAuth)
+      assert(received != null && received.contains("Subject: hello"))
+      assert(received.contains("""filename="s.csv""""))
+    } finally server.close()
+  }
+
   test("memoize caches by plan fingerprint and replays (base.py:177-253)") {
     val dir = tmp("memo")
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
