@@ -28,10 +28,64 @@ object Protocols {
         case s  => s
       }
     val target = Files.createTempFile("graft_pull_", suffix)
-    val in = new java.net.URI(url).toURL.openStream()
-    try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    if (url.startsWith("ftp://")) ftpFetch(url, target)
+    else {
+      val in = new java.net.URI(url).toURL.openStream()
+      try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
     target.toString
+  }
+
+  /** Minimal RFC 959 passive-mode GET — the same dialogue the reference
+    * drives through ftplib (protocol_ftp.py:25-31). Hand-rolled because
+    * Hadoop's URL factory shadows the JDK ftp handler with FTPFileSystem,
+    * which wants cluster configuration rather than a URL.
+    */
+  private def ftpFetch(url: String, target: java.nio.file.Path): Unit = {
+    val u = new java.net.URI(url)
+    val port = if (u.getPort > 0) u.getPort else 21
+    val (user, pass) = Option(u.getUserInfo) match {
+      case Some(ui) => ui.split(":", 2) match {
+        case Array(a, b) => (a, b)
+        case Array(a)    => (a, "")
+      }
+      case None => ("anonymous", "graft@")
+    }
+    val s = new java.net.Socket(u.getHost, port)
+    try {
+      s.setSoTimeout(30000)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+      def reply(ok: Int*): String = {
+        var line = in.readLine()
+        if (line == null) sys.error("ftp: connection closed")
+        while (line.length >= 4 && line.charAt(3) == '-') line = in.readLine()
+        val code = line.take(3).toIntOption.getOrElse(-1)
+        require(ok.contains(code), s"ftp: expected ${ok.mkString("/")}, got '$line'")
+        line
+      }
+      def cmd(c: String, ok: Int*): String = {
+        out.write(c + "\r\n"); out.flush(); reply(ok: _*)
+      }
+      reply(220)
+      if (cmd(s"USER $user", 331, 230).startsWith("331")) cmd(s"PASS $pass", 230)
+      cmd("TYPE I", 200)
+      val pasv = cmd("PASV", 227)
+      val nums = "\\d+".r.findAllIn(pasv.dropWhile(_ != '(')).map(_.toInt).toSeq
+      require(nums.length >= 6, s"ftp: bad PASV reply '$pasv'")
+      val dataHost = nums.slice(nums.length - 6, nums.length - 2).mkString(".")
+      val dataPort = nums(nums.length - 2) * 256 + nums(nums.length - 1)
+      out.write(s"RETR ${u.getPath.stripPrefix("/")}\r\n"); out.flush()
+      val data = new java.net.Socket(dataHost, dataPort)
+      try {
+        reply(150, 125)
+        Files.copy(data.getInputStream, target, StandardCopyOption.REPLACE_EXISTING)
+      } finally data.close()
+      reply(226, 250)
+      cmd("QUIT", 221)
+    } finally s.close()
   }
 
   /** Universal protocol-aware pull: distributed URLs scan in place; http/ftp

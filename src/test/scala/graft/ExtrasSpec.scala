@@ -48,6 +48,51 @@ class ExtrasSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("ftp pull spools via a loopback stub FTP server") {
+    // minimal PASV-mode FTP server on 127.0.0.1; the JDK URL handler is the
+    // client (Protocols.spool uses url.openStream) — zero egress
+    val body = "a,b\n5,q\n".getBytes("UTF-8")
+    val ctrl = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val t = new Thread(() => {
+      val s = ctrl.accept()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+      def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+      var data: java.net.ServerSocket = null
+      reply("220 stub")
+      var line = in.readLine()
+      while (line != null) {
+        val cmd = line.takeWhile(_ != ' ').toUpperCase
+        cmd match {
+          case "USER" => reply("331 pw")
+          case "PASS" => reply("230 ok")
+          case "TYPE" => reply("200 ok")
+          case "CWD"  => reply("250 ok")
+          case "EPSV" => reply("502 no")
+          case "PASV" =>
+            data = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+            val p = data.getLocalPort
+            reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
+          case "RETR" =>
+            reply("150 sending")
+            val d = data.accept()
+            d.getOutputStream.write(body); d.close()
+            reply("226 done")
+          case "QUIT" => reply("221 bye"); line = null
+          case _      => reply("200 ok")
+        }
+        if (line != null) line = in.readLine()
+      }
+      s.close()
+    })
+    t.start()
+    try {
+      val df = Protocols.pull(spark, s"ftp://127.0.0.1:${ctrl.getLocalPort}/data.csv")
+      assert(df.columns.toSeq == Seq("a", "b"))
+      assert(df.collect().map(_.toSeq).toSeq == Seq(Seq("5", "q")))
+    } finally { ctrl.close(); t.join(2000) }
+  }
+
   test("JDBC push/pull round-trip with idempotent partition reload (test_sql.py:13-25 shape)") {
     // embedded Derby (on the Spark jars classpath) — a real JDBC engine,
     // no network: insert -> re-push same partition (delete+append) -> read
