@@ -493,7 +493,24 @@ object SparkEntry {
       graft.sources.Mongo.pullMongoDumpLines(Seq(
         """{"_id":{"$oid":"507f1f77bcf86cd799439011"},"rown":{"$numberLong":"1"},"f":4.3,"s":"coucou"}""",
         """{"_id":{"$oid":"507f1f77bcf86cd799439012"},"rown":{"$numberLong":"2"},"f":4.2,"s":"salut"}""").toDS())
-    }))
+    }),
+    "q66_repetition" -> ((s, d) =>
+      // Gopher/C4 repetition quality signals; lines synthesized from the
+      // flat text so the line-dup paths are non-trivially exercised
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.duplicateLineFraction(regexp_replace(col("text"), "\\. ", ".\n"))
+          .as("dup_line_frac"),
+        TextFunctions.duplicateLineCharFraction(regexp_replace(col("text"), "\\. ", ".\n"))
+          .as("dup_char_frac"),
+        TextFunctions.topNgramCharFraction(col("text"), 2).as("top2gram_frac"))),
+    "q67_redact_pii" -> ((s, d) =>
+      // inject PII shapes so every row exercises all three redactions
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.redactPii(concat(col("text"),
+          lit(" contact bob@example.com at 10.1.2.3 or +12025550123 now")))
+          .as("clean"))))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -657,7 +674,45 @@ object SparkEntry {
       ("SELECT * FROM (VALUES " +
         "('507f1f77bcf86cd799439011', CAST(4.3 AS DOUBLE), CAST(1 AS BIGINT), 'coucou'), " +
         "('507f1f77bcf86cd799439012', CAST(4.2 AS DOUBLE), CAST(2 AS BIGINT), 'salut')) " +
-        "AS t(_id, f, rown, s)"))
+        "AS t(_id, f, rown, s)"),
+    "q66_repetition" -> repetitionOracleSql,
+    "q67_redact_pii" ->
+      ("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(""" +
+        """text || ' contact bob@example.com at 10.1.2.3 or +12025550123 now', """ +
+        """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
+        """'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), """ +
+        """'\+[0-9]{7,15}\b', '<PHONE>', 'g') AS clean FROM documents"""))
+
+  // s-interpolator on purpose: it processes \\ escapes inside triple quotes,
+  // so '\\s+' reaches DuckDB as '\s+' (a plain triple-quoted string would
+  // ship the double backslash verbatim and the regex would never match)
+  private lazy val repetitionOracleSql: String =
+    s"""WITH base AS (SELECT doc_id, text,
+  list_filter(string_split(regexp_replace(text, '\\. ', '.' || chr(10), 'g'), chr(10)),
+              x -> length(trim(x)) > 0) AS ls,
+  regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+g AS (SELECT doc_id, text, ls,
+  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS grams,
+  len(toks) AS ntoks
+  FROM base),
+m AS (SELECT doc_id, text, ls, grams, ntoks,
+  COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) AS total_chars,
+  COALESCE(list_sum(list_transform(list_distinct(ls),
+    d -> CASE WHEN len(list_filter(ls, x -> x = d)) > 1
+              THEN len(list_filter(ls, x -> x = d)) * length(d) ELSE 0 END)), 0) AS dup_chars,
+  list_max(list_transform(list_distinct(grams),
+    g2 -> {'c': len(list_filter(grams, x -> x = g2)), 'g': g2})) AS best
+  FROM g)
+SELECT doc_id,
+  CASE WHEN len(ls) = 0 THEN 0.0
+       ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dup_line_frac,
+  CASE WHEN total_chars = 0 THEN 0.0
+       ELSE CAST(dup_chars AS DOUBLE) / total_chars END AS dup_char_frac,
+  CASE WHEN ntoks < 2 OR length(text) = 0 OR best IS NULL THEN 0.0
+       ELSE least(CAST(best.c AS DOUBLE) * length(best.g) / length(text), 1.0) END AS top2gram_frac
+FROM m"""
 
   private lazy val uaOracleSql: String = {
     val values = uaRows.map { case (id, ua) => s"($id, '${ua.replace("'", "''")}')" }.mkString(", ")

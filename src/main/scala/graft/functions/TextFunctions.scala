@@ -124,6 +124,64 @@ object TextFunctions {
     when(text.rlike("[Â-Ã]"), decode(encode(text, "ISO-8859-1"), "UTF-8"))
       .otherwise(text)
 
+  // ------------------------------------------------------------------
+  // Repetition signals (the Gopher/C4 quality-filter family): documents
+  // dominated by repeated lines or one repeated n-gram are boilerplate.
+  // All pure expression trees over one split — no explode, no shuffle.
+  // ------------------------------------------------------------------
+
+  /** Non-empty lines of the text. */
+  private def textLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-empty lines that repeat an earlier line
+    * (1 - distinct/total; 0 for line-less documents).
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = textLines(text)
+    when(size(ls) === 0, lit(0.0d))
+      .otherwise(lit(1.0d) - size(array_distinct(ls)).cast(DoubleType) / size(ls))
+  }
+
+  /** Fraction of line characters belonging to lines that occur more than
+    * once (char-weighted duplicate-line mass).
+    */
+  def duplicateLineCharFraction(text: Column): Column = {
+    val ls = textLines(text)
+    val total = aggregate(ls, lit(0L), (acc, l) => acc + length(l).cast(LongType))
+    val dup = aggregate(array_distinct(ls), lit(0L), (acc, d) => {
+      val cnt = size(filter(ls, l => l === d))
+      acc + when(cnt > 1, cnt.cast(LongType) * length(d).cast(LongType)).otherwise(lit(0L))
+    })
+    when(total === 0L, lit(0.0d)).otherwise(dup.cast(DoubleType) / total.cast(DoubleType))
+  }
+
+  /** Fraction of text characters covered by the single most common word
+    * n-gram (count × gram length / text length; most-common ties resolved
+    * to the lexicographically LARGEST gram so engines agree).
+    */
+  def topNgramCharFraction(text: Column, n: Int): Column = {
+    val grams = shingles(text, n)
+    val best = array_max(transform(array_distinct(grams),
+      g => struct(size(filter(grams, x => x === g)).as("c"), g.as("g"))))
+    val chars = best.getField("c").cast(DoubleType) * length(best.getField("g")).cast(DoubleType)
+    // documents shorter than n tokens have no real n-gram: no signal
+    when(size(tokens(text)) < n || length(text) === 0 || best.isNull, lit(0.0d))
+      .otherwise(least(chars / length(text).cast(DoubleType), lit(1.0d)))
+  }
+
+  /** Redact common PII shapes — emails, IPv4 addresses, international-format
+    * phone numbers — with typed placeholders. Patterns are deliberately
+    * RE2-compatible (no lookarounds) so external engines can reproduce them.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+[0-9]{7,15}\\b", "<PHONE>")
+  }
+
   // -- fingerprinting -------------------------------------------------------
 
   /** Canonical-form document fingerprint: md5 of the lowercased,

@@ -168,7 +168,12 @@ object NearDedup {
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
     // |A∪B| = |A|+|B|-|A∩B|: one intersect per pair, no union materialization.
+    // Size-ratio prune first: jaccard <= min/max, so pairs whose set sizes
+    // differ by more than the threshold ratio can never qualify — the
+    // intersect (the expensive part) is skipped for them. Result-identical.
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast(DoubleType) >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
       .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("i").cast(DoubleType) / (col("n_a") + col("n_b") - col("i")))

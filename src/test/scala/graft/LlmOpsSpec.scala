@@ -50,6 +50,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("repetition signals: duplicate lines and dominant n-grams") {
+    val df = Seq(
+      "unique one\nunique two\nunique three",          // no repetition
+      "same line\nsame line\nsame line\nother",        // 3 of 4 lines repeat
+      "spam spam spam spam spam spam"                  // one dominant 2-gram
+    ).toDF("text").select(
+      TextFunctions.duplicateLineFraction(col("text")).as("dlf"),
+      TextFunctions.duplicateLineCharFraction(col("text")).as("dcf"),
+      TextFunctions.topNgramCharFraction(col("text"), 2).as("tgf"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 0.0 && rows(0).getDouble(1) == 0.0)
+    assert(math.abs(rows(1).getDouble(0) - 0.5) < 1e-9)       // 1 - 2/4
+    assert(rows(1).getDouble(1) > 0.8)                        // 27 of 32 chars
+    assert(rows(2).getDouble(2) > 0.4)                        // 'spam spam' dominates
+    // empty text is all-zero signal
+    val z = Seq("").toDF("text").select(
+      TextFunctions.duplicateLineFraction(col("text")),
+      TextFunctions.duplicateLineCharFraction(col("text")),
+      TextFunctions.topNgramCharFraction(col("text"), 2)).head()
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0)
+  }
+
+  test("PII redaction replaces emails, IPv4s, phone numbers") {
+    val out = Seq("mail a.b+c@ex-site.org or 192.168.0.1 or +4915123456789 end")
+      .toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].head()
+    assert(out == "mail <EMAIL> or <IP> or <PHONE> end")
+    // clean text unchanged
+    assert(Seq("no pii here 12.5 degrees a@b").toDF("t")
+      .select(TextFunctions.redactPii(col("t"))).as[String].head() ==
+      "no pii here 12.5 degrees a@b")
+  }
+
   test("exact dedup keeps the min-id representative per identical content") {
     val out = NearDedup.exactDedup(corpus, "id", "text")
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
