@@ -504,6 +504,13 @@ object SparkEntry {
         TextFunctions.duplicateLineCharFraction(regexp_replace(col("text"), "\\. ", ".\n"))
           .as("dup_char_frac"),
         TextFunctions.topNgramCharFraction(col("text"), 2).as("top2gram_frac"))),
+    "q68_sessionize_batch" -> ((s, d) =>
+      // 30-minute gap; microsecond time axis (DuckDB truncates the nanos
+      // parquet timestamps to micros, so the oracle compares at micros)
+      graft.operators.Sessionize.sessions(
+        t(s, d, "events").select(col("user_id"),
+          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
+        "user_id", "ts_us", 1800L * 1000 * 1000)),
     "q67_redact_pii" -> ((s, d) =>
       // inject PII shapes so every row exercises all three redactions
       t(s, d, "documents").select(
@@ -676,6 +683,14 @@ object SparkEntry {
         "('507f1f77bcf86cd799439012', CAST(4.2 AS DOUBLE), CAST(2 AS BIGINT), 'salut')) " +
         "AS t(_id, f, rown, s)"),
     "q66_repetition" -> repetitionOracleSql,
+    "q68_sessionize_batch" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t) > 1800000000 THEN 1 ELSE 0 END AS nw FROM e), " +
+        "s AS (SELECT user_id, t, SUM(nw) OVER (PARTITION BY user_id ORDER BY t " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_seq, min(t) AS session_start, " +
+        "max(t) AS session_end, count(*) AS events FROM s GROUP BY user_id, sid"),
     "q67_redact_pii" ->
       ("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(""" +
         """text || ' contact bob@example.com at 10.1.2.3 or +12025550123 now', """ +

@@ -136,10 +136,19 @@ object TypeDetect {
   def primaryKeyDetect(df: DataFrame): Option[String] = {
     val cols = df.columns
     if (cols.isEmpty) return None
-    val aggs = count(lit(1)).as("__n") +:
-      cols.map(c => count_distinct(col(c)).as(s"__d_$c")).toSeq
-    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = r.getAs[Long]("__n")
-    cols.find(c => r.getAs[Long](s"__d_$c") == n)
+    // Two-phase: approx_count_distinct (one cheap HLL pass over all columns)
+    // prunes columns that cannot be all-distinct; the exact count_distinct —
+    // the expensive shuffle-heavy aggregate — runs only on the survivors
+    // (typically one or two columns). HLL standard error is 5% at the
+    // default precision, so the 0.8 cutoff never prunes a true key.
+    val approxAggs = count(lit(1)).as("__n") +:
+      cols.map(c => approx_count_distinct(col(c)).as(s"__a_$c")).toSeq
+    val a = df.agg(approxAggs.head, approxAggs.tail: _*).collect()(0)
+    val n = a.getAs[Long]("__n")
+    val candidates = cols.filter(c => a.getAs[Long](s"__a_$c") >= (n * 0.8).toLong)
+    if (candidates.isEmpty) return None
+    val exactAggs = candidates.map(c => count_distinct(col(c)).as(s"__d_$c")).toSeq
+    val r = df.agg(exactAggs.head, exactAggs.tail: _*).collect()(0)
+    candidates.find(c => r.getAs[Long](s"__d_$c") == n)
   }
 }

@@ -34,6 +34,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("redactPii is idempotent; repetition fractions stay in [0,1]") {
+    import graft.functions.TextFunctions
+    forAll(Gen.listOfN(6, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const("a@b.co 1.2.3.4 +12345678"),
+      Gen.const("dup line\ndup line\nx y x y x y"))), n = 8) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.toDF("t")
+        val once = df.select(TextFunctions.redactPii(col("t")).as("r"))
+        val twice = once.select(TextFunctions.redactPii(col("r")).as("r"))
+        assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+        val fracs = df.select(
+          TextFunctions.duplicateLineFraction(col("t")),
+          TextFunctions.duplicateLineCharFraction(col("t")),
+          TextFunctions.topNgramCharFraction(col("t"), 2)).collect()
+        fracs.foreach { r =>
+          (0 until 3).foreach { i =>
+            assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"frac out of range: $r")
+          }
+        }
+      }
+    }
+  }
+
+  test("batch sessionize: gap splits, counts conserve, bounds nest") {
+    import graft.operators.Sessionize
+    // events for one key: bursts at 0-2, 100-101, 300 with gap 10
+    val ev = Seq((1L, 0L), (1L, 2L), (1L, 100L), (1L, 101L), (1L, 300L), (2L, 5L))
+      .toDF("k", "t")
+    val out = Sessionize.sessions(ev, "k", "t", gapUnits = 10L)
+      .orderBy("k", "session_seq").collect()
+    assert(out.map(_.getAs[Long]("events")).sum == 6L) // every event in exactly one session
+    val k1 = out.filter(_.getAs[Long]("k") == 1L)
+    assert(k1.length == 3)
+    assert(k1.map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+      r.getAs[Long]("events"))).toSeq ==
+      Seq((0L, 2L, 2L), (100L, 101L, 2L), (300L, 300L, 1L)))
+    assert(out.filter(_.getAs[Long]("k") == 2L).map(_.getAs[Long]("events")).toSeq == Seq(1L))
+  }
+
   test("dedup output is a subset of input and contains each distinct row once") {
     forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 3)))) { rows =>
       whenever(rows.nonEmpty) {
