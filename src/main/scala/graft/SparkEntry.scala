@@ -511,6 +511,29 @@ object SparkEntry {
         t(s, d, "events").select(col("user_id"),
           expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
         "user_id", "ts_us", 1800L * 1000 * 1000)),
+    "q69_set_ops" -> ((s, d) => {
+      // §2.9: INTERSECT / EXCEPT extensions over the reference's
+      // union-only surface (distinct semantics, like SQL)
+      val a = t(s, d, "orders").filter(col("o_orderkey") < 2000).select("o_custkey")
+      val b = t(s, d, "orders").filter(col("o_orderkey") >= 1000).select("o_custkey")
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_low")))
+    }),
+    "q70_corpus_clean" -> ((s, d) => {
+      // composite C4-style cleaning pipeline: language filter -> quality
+      // floor -> repetition cap -> exact dedup -> PII redaction; every
+      // stage individually oracle-verified (q42/q43/q66/q45/q67)
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lang_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.duplicateLineFraction(regexp_replace(col("text"), "\\. ", ".\n"))
+          .as("dlf"))
+      val kept = scored
+        .filter(col("lang_id") === "en" && col("quality") >= 0.5 && col("dlf") <= 0.3)
+      NearDedup.exactDedupMd5(kept, "doc_id", "text")
+        .select(col("doc_id"), TextFunctions.redactPii(col("text")).as("clean_text"))
+    }),
     "q67_redact_pii" -> ((s, d) =>
       // inject PII shapes so every row exercises all three redactions
       t(s, d, "documents").select(
@@ -683,6 +706,13 @@ object SparkEntry {
         "('507f1f77bcf86cd799439012', CAST(4.2 AS DOUBLE), CAST(2 AS BIGINT), 'salut')) " +
         "AS t(_id, f, rown, s)"),
     "q66_repetition" -> repetitionOracleSql,
+    "q69_set_ops" ->
+      ("SELECT o_custkey, 'both' AS op FROM (SELECT o_custkey FROM orders WHERE o_orderkey < 2000 " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderkey >= 1000) " +
+        "UNION ALL " +
+        "SELECT o_custkey, 'only_low' AS op FROM (SELECT o_custkey FROM orders WHERE o_orderkey < 2000 " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderkey >= 1000)"),
+    "q70_corpus_clean" -> corpusCleanOracleSql,
     "q68_sessionize_batch" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
@@ -697,6 +727,40 @@ object SparkEntry {
         """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
         """'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), """ +
         """'\+[0-9]{7,15}\b', '<PHONE>', 'g') AS clean FROM documents"""))
+
+  /** Composite C4-style pipeline: each stage reuses the SQL of its
+    * already-verified standalone oracle (q42 langid, q43 quality, q66
+    * dup-line fraction, q45 canonical dedup, q67 redaction).
+    */
+  private lazy val corpusCleanOracleSql: String =
+    s"""WITH b AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+  list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl FROM documents),
+lang AS (
+  SELECT doc_id, CASE WHEN s <= 0 THEN 'und' ELSE lang END AS lang_id FROM (
+    SELECT doc_id, s, lang, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+    FROM (SELECT b.doc_id, L.lang, len(list_intersect(b.dl, L.lex)) AS s
+          FROM b CROSS JOIN (SELECT * FROM (VALUES $lexValuesSql) AS v(lang, lex)) L))
+  WHERE rn = 1),
+q AS (SELECT doc_id,
+  least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.25
+  + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0) * 0.25
+  + (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.25
+  + least((CASE WHEN len(dl) = 0 THEN 0.0 ELSE CAST(len(list_intersect(dl, $stopListSql)) AS DOUBLE) / len(dl) END) * 4.0, 1.0) * 0.25 AS quality
+  FROM b),
+rep AS (SELECT doc_id,
+  CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS dlf
+  FROM (SELECT doc_id, list_filter(string_split(regexp_replace(text, '\\. ', '.' || chr(10), 'g'), chr(10)),
+        x -> length(trim(x)) > 0) AS ls FROM documents)),
+kept AS (SELECT d.doc_id, d.text FROM documents d
+  JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN rep USING (doc_id)
+  WHERE lang.lang_id = 'en' AND q.quality >= 0.5 AND rep.dlf <= 0.3),
+deduped AS (SELECT doc_id, text FROM kept WHERE doc_id IN
+  (SELECT min(doc_id) FROM kept GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+  '\\+[0-9]{7,15}\\b', '<PHONE>', 'g') AS clean_text
+FROM deduped"""
 
   // s-interpolator on purpose: it processes \\ escapes inside triple quotes,
   // so '\\s+' reaches DuckDB as '\s+' (a plain triple-quoted string would
