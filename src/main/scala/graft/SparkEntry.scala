@@ -494,16 +494,19 @@ object SparkEntry {
         """{"_id":{"$oid":"507f1f77bcf86cd799439011"},"rown":{"$numberLong":"1"},"f":4.3,"s":"coucou"}""",
         """{"_id":{"$oid":"507f1f77bcf86cd799439012"},"rown":{"$numberLong":"2"},"f":4.2,"s":"salut"}""").toDS())
     }),
-    "q66_repetition" -> ((s, d) =>
-      // Gopher/C4 repetition quality signals; lines synthesized from the
+    "q66_repetition" -> ((s, d) => {
+      // Gopher/C4 repetition quality signals via the one-pass native kernel
+      // (HOF-parity asserted in ExpressionsSpec); lines synthesized from the
       // flat text so the line-dup paths are non-trivially exercised
+      val lined = TextFunctions.repetitionStats(
+        regexp_replace(col("text"), "\\. ", ".\n"), 2)
+      val flat = TextFunctions.repetitionStats(col("text"), 2)
       t(s, d, "documents").select(
         col("doc_id"),
-        TextFunctions.duplicateLineFraction(regexp_replace(col("text"), "\\. ", ".\n"))
-          .as("dup_line_frac"),
-        TextFunctions.duplicateLineCharFraction(regexp_replace(col("text"), "\\. ", ".\n"))
-          .as("dup_char_frac"),
-        TextFunctions.topNgramCharFraction(col("text"), 2).as("top2gram_frac"))),
+        element_at(lined, 1).as("dup_line_frac"),
+        element_at(lined, 2).as("dup_char_frac"),
+        element_at(flat, 3).as("top2gram_frac"))
+    }),
     "q68_sessionize_batch" -> ((s, d) =>
       // 30-minute gap; microsecond time axis (DuckDB truncates the nanos
       // parquet timestamps to micros, so the oracle compares at micros)
@@ -527,8 +530,8 @@ object SparkEntry {
       val scored = docs.select(col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).as("lang_id"),
         TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.duplicateLineFraction(regexp_replace(col("text"), "\\. ", ".\n"))
-          .as("dlf"))
+        element_at(TextFunctions.repetitionStats(
+          regexp_replace(col("text"), "\\. ", ".\n"), 2), 1).as("dlf"))
       val kept = scored
         .filter(col("lang_id") === "en" && col("quality") >= 0.5 && col("dlf") <= 0.3)
       NearDedup.exactDedupMd5(kept, "doc_id", "text")

@@ -207,6 +207,77 @@ object Kernels {
     mask
   }
 
+  /** One-pass repetition signals: (duplicateLineFraction,
+    * duplicateLineCharFraction, topNgramCharFraction) as a 3-double array —
+    * value parity with the TextFunctions HOF formulations (same line
+    * filtering, same (count, gram)-max tie-break), but one compiled scan
+    * with hash maps instead of O(distinct × lines) interpreted array folds
+    * per row. `lineSep` lets callers synthesize lines (e.g. "\\. " → ".\n")
+    * before the split, matching the HOF call sites.
+    */
+  def repetitionStats(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // Catalyst's trim strips SPACES only (not \t/\n like java.lang.String
+    // .trim) and split keeps trailing empty tokens — both replicated here,
+    // or parity with the HOF formulations breaks on exotic whitespace.
+    def spaceTrim(x: String): String = {
+      var b = 0; var e = x.length
+      while (b < e && x.charAt(b) == ' ') b += 1
+      while (e > b && x.charAt(e - 1) == ' ') e -= 1
+      x.substring(b, e)
+    }
+    // --- duplicate-line fractions over non-empty (trimmed) lines ---
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var nLines = 0
+    var totalChars = 0L
+    s.split("\n", -1).foreach { l =>
+      if (spaceTrim(l).nonEmpty) {
+        nLines += 1
+        totalChars += l.length
+        lineCounts.merge(l, 1, (a, b) => a + b)
+      }
+    }
+    var dupChars = 0L
+    val it = lineCounts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > 1) dupChars += e.getValue.toLong * e.getKey.length
+    }
+    val dlf = if (nLines == 0) 0.0
+      else 1.0 - lineCounts.size.toDouble / nLines
+    val dcf = if (totalChars == 0) 0.0 else dupChars.toDouble / totalChars
+    // --- top word-n-gram char fraction ---
+    val toks = spaceTrim(s).split("\\s+", -1)
+    var tgf = 0.0
+    if (toks.length >= n && s.length > 0) {
+      val gramCounts = new java.util.HashMap[String, Int]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        gramCounts.merge(sb.toString, 1, (a, b) => a + b)
+        i += 1
+      }
+      // max by (count, gram) — identical to array_max over (c, g) structs;
+      // gram ties compare as UTF8String (binary order), matching Catalyst's
+      // string ordering rather than Java's UTF-16 code-unit order
+      var bestC = -1
+      var bestG: String = null
+      val git = gramCounts.entrySet().iterator()
+      while (git.hasNext) {
+        val e = git.next()
+        if (e.getValue > bestC || (e.getValue == bestC &&
+            UTF8String.fromString(e.getKey).compareTo(UTF8String.fromString(bestG)) > 0)) {
+          bestC = e.getValue; bestG = e.getKey
+        }
+      }
+      if (bestC > 0) tgf = math.min(bestC.toDouble * bestG.length / s.length, 1.0)
+    }
+    new GenericArrayData(Array[Double](dlf, dcf, tgf))
+  }
+
   /** Cosine similarity of two double arrays; 0.0 when either norm is 0 —
     * parity with the zip_with/aggregate fold (left-to-right sums).
     */
@@ -374,6 +445,17 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
     copy(child = newChild)
 }
 
+case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.repetitionStats(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Double]], n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -405,4 +487,6 @@ object GraftFunctions {
     Shim.column(HyperplaneSigExpr(Shim.expression(c), dim, bits, seed))
   def nearestCentroids(c: Column, cents: Array[Array[Double]], n: Int): Column =
     Shim.column(NearestCentroidsExpr(Shim.expression(c), cents, n))
+  def repetitionStats(c: Column, n: Int): Column =
+    Shim.column(RepetitionStatsExpr(Shim.expression(c), n))
 }

@@ -170,6 +170,15 @@ object TextFunctions {
       .otherwise(least(chars / length(text).cast(DoubleType), lit(1.0d)))
   }
 
+  /** All three repetition signals in ONE compiled pass (hash-map counting,
+    * no interpreted array folds) — value parity with the three HOF functions
+    * above asserted in ExpressionsSpec. This is the 100 TB hot-path form;
+    * the HOF versions remain as the executable reference semantics.
+    * Returns array(dupLineFrac, dupLineCharFrac, topNgramCharFrac).
+    */
+  def repetitionStats(text: Column, n: Int): Column =
+    graft.expressions.GraftFunctions.repetitionStats(text, n)
+
   /** Redact common PII shapes — emails, IPv4 addresses, international-format
     * phone numbers — with typed placeholders. Patterns are deliberately
     * RE2-compatible (no lookarounds) so external engines can reproduce them.

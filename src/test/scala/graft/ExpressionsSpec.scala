@@ -50,6 +50,27 @@ class ExpressionsSpec extends SparkSpec {
     assert((sigs(0) ^ sigs(2)) == (1L << 12) - 1)
   }
 
+  test("repetitionStats kernel matches the three HOF formulations") {
+    val cases = Seq(
+      "", " ", "one line only", "a\na\na", "a\nb\na\nc\n\n",
+      "x y x y x y x y", "té café té café",
+      "dup line\ndup line\nother much longer line here",
+      ".\n.\n.", "word", "a b", "  lead trail  \n  lead trail  ",
+      "tab\there\ttab\there", "1 2 3 1 2 3 1 2",
+      "x\n\t\nx", "a b \n", "\na b\n", " spaced  out ")
+    val df = cases.toDF("t").select(
+      TextFunctions.repetitionStats(col("t"), 2).as("k"),
+      TextFunctions.duplicateLineFraction(col("t")).as("h1"),
+      TextFunctions.duplicateLineCharFraction(col("t")).as("h2"),
+      TextFunctions.topNgramCharFraction(col("t"), 2).as("h3"))
+    df.collect().foreach { r =>
+      val k = r.getAs[scala.collection.Seq[Double]]("k")
+      assert(k(0) == r.getAs[Double]("h1"), s"dlf mismatch for ${r}")
+      assert(k(1) == r.getAs[Double]("h2"), s"dcf mismatch for ${r}")
+      assert(k(2) == r.getAs[Double]("h3"), s"tgf mismatch for ${r}")
+    }
+  }
+
   test("nearestCentroids expression matches the HOF (distance, index) sort") {
     val rnd = new scala.util.Random(5)
     val cents: Array[Array[Double]] = Array.fill(10)(Array.fill(8)(rnd.nextGaussian()))
