@@ -61,23 +61,25 @@ object NearDedup {
     */
   private def bucketedCandidates(buckets: DataFrame, bucketCol: String,
                                  maxBucketSize: Int): DataFrame = {
-    val sized = buckets.groupBy(col(bucketCol))
-      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
-    // Oversized buckets are degenerate content (empty docs, boilerplate):
-    // joining them is quadratic and their pairs are rarely meaningful dups
-    // of each other beyond what smaller buckets already surface. The dropped
-    // volume is surfaced via an observed metric (readable from a
-    // QueryExecutionListener after the action — no extra pass). Caveat: if
-    // EVERY bucket is dropped, AQE's empty-relation propagation can prune the
-    // CollectMetrics node from the final plan and the metric is not reported
-    // for that action.
-    val kept = sized
+    // Bucket sizes WITHOUT materializing bucket contents: a count-only
+    // aggregate (map-side combined, no arrays) finds the oversized buckets,
+    // which are then anti-joined away as a broadcast — the degenerate bucket
+    // (millions of boilerplate docs sharing one band value) never exists as
+    // a collected array in any task. Oversized buckets are degenerate
+    // content: joining them is quadratic and their pairs rarely add dups
+    // smaller buckets don't surface. The dropped volume is surfaced via an
+    // observed metric (readable from a QueryExecutionListener after the
+    // action — no extra pass). Caveat: if EVERY bucket is dropped, AQE's
+    // empty-relation propagation can prune the CollectMetrics node from the
+    // final plan and the metric is not reported for that action.
+    val sized = buckets.groupBy(col(bucketCol)).agg(count(lit(1)).as("n"))
       .observe(s"lsh_dropped_buckets_${dropSeq.incrementAndGet()}",
         sum(when(col("n") > maxBucketSize, lit(1L)).otherwise(lit(0L))).as("dropped_buckets"),
         sum(when(col("n") > maxBucketSize, col("n")).otherwise(lit(0L))).as("dropped_rows"))
-      .filter(col("n") <= maxBucketSize)
-    val a = kept.select(col(bucketCol), explode(col("ids")).as("id_a"))
-    val b = kept.select(col(bucketCol), explode(col("ids")).as("id_b"))
+    val hot = sized.filter(col("n") > maxBucketSize).select(col(bucketCol))
+    val kept = buckets.join(broadcast(hot), Seq(bucketCol), "left_anti")
+    val a = kept.select(col(bucketCol), col("id").as("id_a"))
+    val b = kept.select(col(bucketCol), col("id").as("id_b"))
     a.join(b, Seq(bucketCol)).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
   }
