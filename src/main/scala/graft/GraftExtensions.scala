@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneSigExpr(args(0),
         intArg(args(1), "dim"), intArg(args(2), "bits"),
         if (args.length > 3) longArg(args(3), "seed") else 7L)))
+    ext.injectFunction((FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(args(0), intArg(args(1), "n"))))
   }
 }
