@@ -514,6 +514,12 @@ object SparkEntry {
         t(s, d, "events").select(col("user_id"),
           expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
         "user_id", "ts_us", 1800L * 1000 * 1000)),
+    "q71_funnel" -> ((s, d) =>
+      // product-analytics funnel: steps completed in order per user
+      graft.operators.Funnel.funnelSteps(
+        t(s, d, "events").select(col("user_id"),
+          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))),
     "q69_set_ops" -> ((s, d) => {
       // §2.9: INTERSECT / EXCEPT extensions over the reference's
       // union-only surface (distinct semantics, like SQL)
@@ -716,6 +722,19 @@ object SparkEntry {
         "SELECT o_custkey, 'only_low' AS op FROM (SELECT o_custkey FROM orders WHERE o_orderkey < 2000 " +
         "EXCEPT SELECT o_custkey FROM orders WHERE o_orderkey >= 1000)"),
     "q70_corpus_clean" -> corpusCleanOracleSql,
+    // greedy subsequence = step-wise "min ts of step k strictly after step
+    // k-1" (tie equivalence argued in Funnel's scaladoc)
+    "q71_funnel" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events), " +
+        "s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id) " +
+        "WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id) " +
+        "WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id) " +
+        "SELECT u.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
+        "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS steps_completed " +
+        "FROM (SELECT DISTINCT user_id FROM e) u " +
+        "LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"),
     "q68_sessionize_batch" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

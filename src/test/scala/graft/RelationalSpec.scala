@@ -124,6 +124,21 @@ class RelationalSpec extends SparkSpec {
       Seq(("a", 1), ("a", 2), ("b", 9)))
   }
 
+  test("funnel counts in-order steps greedily per key") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full funnel
+      (2L, 10L, "click"), (2L, 20L, "view"),                        // wrong order: view only
+      (3L, 10L, "view"), (3L, 10L, "click"),                        // same-ts successor: no match
+      (4L, 5L, "error")                                             // nothing
+    ).toDF("u", "t", "e")
+    val out = Funnel.funnelSteps(ev, "u", "t", "e", Seq("view", "click", "purchase"))
+      .orderBy("u").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0)))
+    assert(Funnel.converted(ev, "u", "t", "e", Seq("view", "click", "purchase"))
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("concat = chained pull union (base.py:365-368)") {
     val a = Seq(1, 2).toDF("k")
     val b = Seq(3).toDF("k")
