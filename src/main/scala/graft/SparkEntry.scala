@@ -514,6 +514,8 @@ object SparkEntry {
         t(s, d, "events").select(col("user_id"),
           expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
         "user_id", "ts_us", 1800L * 1000 * 1000)),
+    "q72_top_terms" -> ((s, d) =>
+      TextFunctions.topTermsWithDf(t(s, d, "documents"), "doc_id", "text", 3)),
     "q71_funnel" -> ((s, d) =>
       // product-analytics funnel: steps completed in order per user
       graft.operators.Funnel.funnelSteps(
@@ -722,6 +724,14 @@ object SparkEntry {
         "SELECT o_custkey, 'only_low' AS op FROM (SELECT o_custkey FROM orders WHERE o_orderkey < 2000 " +
         "EXCEPT SELECT o_custkey FROM orders WHERE o_orderkey >= 1000)"),
     "q70_corpus_clean" -> corpusCleanOracleSql,
+    "q72_top_terms" ->
+      ("WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms WHERE length(term) > 0 GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "ranked AS (SELECT doc_id, term, tf, CAST(row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS INTEGER) AS rank FROM tf) " +
+        "SELECT doc_id, term, tf, df, rank FROM ranked JOIN dfreq USING (term) WHERE rank <= 3"),
     // greedy subsequence = step-wise "min ts of step k strictly after step
     // k-1" (tie equivalence argued in Funnel's scaladoc)
     "q71_funnel" ->

@@ -191,6 +191,27 @@ object TextFunctions {
     regexp_replace(ip, "\\+[0-9]{7,15}\\b", "<PHONE>")
   }
 
+  /** Per-document top-k terms by term frequency, with corpus document
+    * frequency attached — the integer core of TF-IDF (idf weighting is a
+    * consumer-side log over df; kept out so results stay engine-exact).
+    * Deterministic: ties by term ascending. Two shuffles, both keyed on
+    * (doc, term)/(term) — standard inverted-index build shape, linear in
+    * corpus size.
+    */
+  def topTermsWithDf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .join(df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   // -- fingerprinting -------------------------------------------------------
 
   /** Canonical-form document fingerprint: md5 of the lowercased,
