@@ -11,11 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - OLE2 compound file: FAT chains, directory, miniFAT/ministream (streams
   *    under 4096 bytes — i.e. most real .xls files' Workbook stream);
   *  - BIFF8 records: BOF/EOF, BOUNDSHEET (first sheet), SST + LABELSST,
-  *    LABEL, NUMBER, RK, MULRK, BLANK/MULBLANK.
+  *    LABEL, NUMBER, RK, MULRK, BLANK/MULBLANK;
+  *  - CONTINUE-split SSTs (large string tables), including mid-string splits
+  *    with the re-stated option-flags byte.
   *
-  * Not covered (documented): CONTINUE-split SSTs (very large string tables),
-  * BIFF5 and earlier, formulas, encryption. Driver-side by design, like
-  * `Xlsx` — spreadsheets are a small-data exchange format.
+  * Not covered (documented): BIFF5 and earlier, formulas, encryption.
+  * Driver-side by design, like `Xlsx` — spreadsheets are a small-data
+  * exchange format.
   */
 object Xls {
 
@@ -114,6 +116,65 @@ object Xls {
     (text, p + cRun * 4 + cbExt)
   }
 
+  /** Cursor over an SST payload that transparently crosses into CONTINUE
+    * (0x003C) records. Per [MS-XLS]: when CHARACTER data is interrupted at a
+    * record boundary, the continuation re-states the option-flags byte (the
+    * compression bit may change mid-string); fixed fields and rich/ext data
+    * continue without one.
+    */
+  private class SstCursor(wb: Array[Byte], payloadStart: Int, payloadEnd: Int) {
+    private var pos = payloadStart
+    private var end = payloadEnd
+    private def advance(): Unit = {
+      require(end + 4 <= wb.length && le16(wb, end) == 0x003C,
+        "xls: SST overruns its record without a CONTINUE")
+      val len = le16(wb, end + 2)
+      pos = end + 4
+      end = pos + len
+    }
+    private def ensure(): Unit = while (pos >= end) advance()
+    def u8(): Int = { ensure(); val v = wb(pos) & 0xFF; pos += 1; v }
+    def u16(): Int = { ensure(); val v = le16(wb, pos); pos += 2; v }
+    def u32(): Int = { ensure(); val v = le32(wb, pos); pos += 4; v }
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) { ensure(); val take = math.min(left, end - pos); pos += take; left -= take }
+    }
+    /** cch characters, starting under `compressed0`; boundary crossings
+      * consume a fresh flags byte.
+      */
+    def chars(cch: Int, compressed0: Boolean): String = {
+      val sb = new java.lang.StringBuilder(cch)
+      var left = cch
+      var compressed = compressed0
+      while (left > 0) {
+        if (pos >= end) {
+          advance()
+          compressed = (u8() & 0x01) == 0 // re-stated grbit
+        }
+        val width = if (compressed) 1 else 2
+        val take = math.min(left, (end - pos) / width)
+        require(take > 0, "xls: zero-width SST continuation")
+        if (compressed)
+          sb.append(new String(wb, pos, take, java.nio.charset.StandardCharsets.ISO_8859_1))
+        else
+          sb.append(new String(wb, pos, take * 2, java.nio.charset.StandardCharsets.UTF_16LE))
+        pos += take * width
+        left -= take
+      }
+      sb.toString
+    }
+    def readSstString(): String = {
+      val cch = u16()
+      val flags = u8()
+      val cRun = if ((flags & 0x08) != 0) u16() else 0
+      val cbExt = if ((flags & 0x04) != 0) u32() else 0
+      val s = chars(cch, (flags & 0x01) == 0)
+      skip(cRun * 4 + cbExt)
+      s
+    }
+  }
+
   /** RK-encoded number (30-bit int or truncated double, optional /100). */
   private def rkValue(rk: Int): Double = {
     val div = (rk & 0x01) != 0
@@ -138,13 +199,12 @@ object Xls {
       val typ = le16(wb, i); val len = le16(wb, i + 2)
       val p = i + 4
       typ match {
-        case 0x00FC => // SST: [cstTotal][cstUnique] then strings (no CONTINUE support)
-          val unique = le32(wb, p + 4)
-          var q = p + 8
+        case 0x00FC => // SST: [cstTotal][cstUnique] then strings (CONTINUE-spanning)
+          val cur = new SstCursor(wb, p, p + len)
+          cur.u32() // cstTotal
+          val unique = cur.u32()
           var k = 0
-          while (k < unique && q < p + len) {
-            val (s, e) = readString(wb, q); sst += s; q = e; k += 1
-          }
+          while (k < unique) { sst += cur.readSstString(); k += 1 }
         case 0x0085 => if (sheetOffset < 0) sheetOffset = le32(wb, p) // BOUNDSHEET
         case 0x000A => inGlobals = false // EOF of globals substream
         case _ =>

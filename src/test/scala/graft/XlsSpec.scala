@@ -140,6 +140,39 @@ class XlsSpec extends SparkSpec {
       Seq(Seq("x", "42", "1.5"), Seq("y", "", "7")))
   }
 
+  test("SST spanning CONTINUE records: between-string and mid-string splits") {
+    // five strings; record boundary falls between strings 2|3 and INSIDE
+    // string 4 (whose continuation re-states the option-flags byte)
+    def be(v: Int) = { val a = new Array[Byte](4); le32(a, 0, v); a }
+    val sstHead = be(5) ++ be(5) // cstTotal, cstUnique
+    val part1 = sstHead ++ compressedStr("alpha") ++ compressedStr("beta")
+    val deltaHeader = { val a = new Array[Byte](3); le16(a, 0, 10); a(2) = 0; a } // cch=10, compressed
+    val cont1 = compressedStr("gamma") ++ deltaHeader ++ "del".getBytes("ISO-8859-1")
+    val cont2 = Array[Byte](0) ++ "phinium".getBytes("ISO-8859-1") ++ compressedStr("eps")
+    val sstRecords = rec(0x00FC, part1) ++ rec(0x003C, cont1) ++ rec(0x003C, cont2)
+
+    val bofG = { val p = new Array[Byte](16); le16(p, 0, 0x0600); le16(p, 2, 0x0005); rec(0x0809, p) }
+    val sheetName = "Sheet1"
+    val bsPayload = new Array[Byte](8 + sheetName.length)
+    bsPayload(6) = sheetName.length.toByte
+    sheetName.getBytes("ISO-8859-1").copyToArray(bsPayload, 8)
+    val boundsheet = rec(0x0085, bsPayload)
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val globalsLen = bofG.length + boundsheet.length + sstRecords.length + eof.length
+    le32(boundsheet, 4, globalsLen)
+    val sheet =
+      rec(0x0809, { val p = new Array[Byte](16); le16(p, 0, 0x0600); le16(p, 2, 0x0010); p }) ++
+        labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++ labelSst(0, 2, 2) ++
+        labelSst(1, 0, 3) ++ labelSst(1, 1, 4) ++ rkCell(1, 2, 7) ++
+        rec(0x000A, Array.emptyByteArray)
+    val xls = makeCfb(bofG ++ boundsheet ++ sstRecords ++ eof ++ sheet)
+    val path = tmp("xls_cont") + "/cont.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), xls)
+    val df = Xls.read(spark, path)
+    assert(df.columns.toSeq == Seq("alpha", "beta", "gamma"))
+    assert(df.collect().map(_.toSeq).toSeq == Seq(Seq("delphinium", "eps", "7")))
+  }
+
   test("xls Pull dispatch routes .xls to the BIFF reader") {
     val sheet =
       rec(0x0809, { val p = new Array[Byte](16); le16(p, 0, 0x0600); le16(p, 2, 0x0010); p }) ++
