@@ -26,6 +26,48 @@ object SparkEntry {
     new java.io.File(d).mkdirs(); d
   }
 
+  // -- deterministic media fixtures for q73 (values chosen so the real
+  //    parsers produce exact binary fractions: hist bin 0.5, RMS 0.5) --
+  private def fixtureBmp(): Array[Byte] = {
+    val w = 8; val h = 8
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * h)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    out(0) = 'B'; out(1) = 'M'; le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h); le16(26, 1); le16(28, 24); le32(34, stride * h)
+    for (y <- 0 until h; x <- 0 until w; if x >= w / 2) {
+      val o = 54 + (h - 1 - y) * stride + x * 3
+      out(o) = -1; out(o + 1) = -1; out(o + 2) = -1 // right half white
+    }
+    out
+  }
+  private def fixtureWav(): Array[Byte] = {
+    val rate = 8000; val n = 8000
+    val out = new Array[Byte](44 + n * 2)
+    def tag(i: Int, s: String): Unit = (0 until 4).foreach(k => out(i + k) = s(k).toByte)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    tag(0, "RIFF"); le32(4, 36 + n * 2); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1); le32(24, rate)
+    le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, n * 2)
+    (0 until n).foreach { i => out(44 + i * 2) = 0; out(45 + i * 2) = 0x40 } // 16384
+    out
+  }
+  private def fixtureMp4(): Array[Byte] = {
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(30) ++ be32(1000))
+    box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("trak", box("mdia", hdlr) ++ box("minf", box("stbl", stts))))
+  }
+
   /** Flagship query (driver smoke-checks rows>0 at sf0.001): revenue per
     * nation — lineitem ⋈ orders ⋈ customer ⋈ nation with broadcast dims,
     * partial-agg groupBy. The classic star-join shape this engine exists for.
@@ -516,6 +558,22 @@ object SparkEntry {
         "user_id", "ts_us", 1800L * 1000 * 1000)),
     "q72_top_terms" -> ((s, d) =>
       TextFunctions.topTermsWithDf(t(s, d, "documents"), "doc_id", "text", 3)),
+    "q73_media_decode" -> ((s, d) => {
+      // real parsers over deterministic fixtures: BMP pixels (hist bin
+      // exactly 0.5), PCM WAV (RMS exactly 0.5), MP4 stts (30 frames)
+      val dir = tmpDir() + "/media_q73"
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bmp"), fixtureBmp())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.wav"), fixtureWav())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.mp4"), fixtureMp4())
+      val media = graft.operators.Multimodal.readMedia(s, s"$dir/*")
+      graft.operators.Multimodal.decode(media).select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("media_type"), col("width"), col("height"), col("n_frames"),
+        col("sample_rate"), col("duration_ms"),
+        when(col("media_type") === "video", lit(0.0d))
+          .otherwise(element_at(col("feature"), 1).cast(DoubleType)).as("f0"))
+    }),
     "q71_funnel" -> ((s, d) =>
       // product-analytics funnel: steps completed in order per user
       graft.operators.Funnel.funnelSteps(
@@ -724,6 +782,12 @@ object SparkEntry {
         "SELECT o_custkey, 'only_low' AS op FROM (SELECT o_custkey FROM orders WHERE o_orderkey < 2000 " +
         "EXCEPT SELECT o_custkey FROM orders WHERE o_orderkey >= 1000)"),
     "q70_corpus_clean" -> corpusCleanOracleSql,
+    "q73_media_decode" ->
+      ("SELECT * FROM (VALUES " +
+        "('img.bmp', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
+        "('sound.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
+        "('clip.mp4', 'video', 0, 0, 30, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) " +
+        "AS t(file, media_type, width, height, n_frames, sample_rate, duration_ms, f0)"),
     "q72_top_terms" ->
       ("WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
         "FROM documents), " +
