@@ -158,13 +158,17 @@ object MediaCodecs {
     var i = 12
     var fmt: Option[(Int, Int, Int, Int)] = None            // audioFormat, ch, rate, bits
     var data: Option[(Int, Int)] = None                     // offset, length
-    while (i + 8 <= b.length) {
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length) {
       val size = le32(b, i + 4)
-      if (tag(i, "fmt ") && i + 24 <= b.length)
-        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
-      else if (tag(i, "data"))
-        data = Some((i + 8, math.min(size, b.length - i - 8)))
-      i += 8 + size + (size & 1)                            // chunks pad to even
+      if (size < 0) corrupt = true // malformed chunk size: stop, don't loop
+      else {
+        if (tag(i, "fmt ") && i + 24 <= b.length)
+          fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        else if (tag(i, "data"))
+          data = Some((i + 8, math.min(size, b.length - i - 8)))
+        i += 8 + size + (size & 1)                          // chunks pad to even
+      }
     }
     for ((af, ch, rate, bits) <- fmt; (off, len) <- data
          if af == 1 && ch > 0 && rate > 0 && bits > 0) yield {

@@ -112,6 +112,10 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(info.rmsEnvelope.forall(v => math.abs(v - 0.5f) < 0.01f))
     // MP4 with 24 + 6 frames in stts
     assert(MediaCodecs.mp4FrameCount(makeMp4(Seq(24, 6))).contains(30))
+    // corrupt WAV (negative chunk size) must fail cleanly, not loop
+    val bad = makeWav(8000, Array.fill(4)(1.toShort))
+    bad(40) = -1; bad(41) = -1; bad(42) = -1; bad(43) = -1
+    assert(MediaCodecs.wavInfo(bad).isEmpty)
   }
 
   test("bmp pixel feature and resize are real") {
