@@ -313,7 +313,7 @@ object BabeOps {
       val spark = df.sparkSession
       val cols = df.columns.filterNot(_ == primaryKey)
       val rows = df.select(col(primaryKey).cast(StringType) +:
-        cols.map(c => col(c).cast(StringType)): _*).collect()
+        cols.toIndexedSeq.map(c => col(c).cast(StringType)): _*).collect()
       require(rows.length <= maxRows,
         s"transposeBabe: ${rows.length} rows > maxRows=$maxRows — transpose is driver-side by nature")
       val outNames = "field" +: rows.map(_.getString(0)).toSeq
