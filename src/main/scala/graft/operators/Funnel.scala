@@ -5,30 +5,41 @@ import org.apache.spark.sql.functions._
 
 /** Ordered-sequence funnel analysis: for each key, how many of the given
   * `steps` occur in order (greedy first-match subsequence) across its
-  * event-time-sorted events. The classic product-analytics funnel
+  * event-time-ordered events. The classic product-analytics funnel
   * (view → click → purchase), an extension beyond the reference surface.
   *
-  * Shape: one groupBy(key) collecting the per-key (ts, type) array (bounded
-  * by per-key activity, never by corpus size), then a single fold computes
-  * the greedy match — equivalent to the step-wise "min ts of step k after
-  * step k-1" formulation, including tie behavior (equal-timestamp events
-  * order by type in the sort, and a same-timestamp successor never matches
-  * in either formulation).
+  * Shape: the greedy match is computed STEP-WISE — t_k = min event time of
+  * step k strictly after t_(k-1) — as `steps.length` filter → join →
+  * groupBy-min rounds. Every stage is a hash shuffle on the key (spillable,
+  * no per-key arrays), so a pathological key with millions of events costs
+  * aggregation time, never task memory: the shape a 100 TB event log needs.
+  * Greedy-subsequence equivalence (including equal-timestamp ties, which
+  * match in neither formulation thanks to the strict >) is exercised by the
+  * oracle-checked q71, whose DuckDB oracle uses this same formulation.
   */
 object Funnel {
 
   def funnelSteps(events: DataFrame, keyCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: need at least one step")
-    val stepsLit = array(steps.map(lit): _*)
-    events.groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col(tsCol).as("t"), col(typeCol).as("e"))))
-        .as("__ev"))
-      .select(col(keyCol),
-        aggregate(col("__ev"), lit(0), (st, ev) =>
-          when(st < lit(steps.length) &&
-              ev.getField("e") === element_at(stepsLit, st + 1), st + 1)
-            .otherwise(st)).as("steps_completed"))
+    var acc = events.select(col(keyCol)).distinct()
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val tcol = s"__t$i"
+      val stepEvents = events.filter(col(typeCol) === step)
+        .select(col(keyCol), col(tsCol))
+      val reachable =
+        if (i == 0) stepEvents
+        else stepEvents.join(
+          acc.select(col(keyCol), col(s"__t${i - 1}")).filter(col(s"__t${i - 1}").isNotNull),
+          Seq(keyCol))
+          .filter(col(tsCol) > col(s"__t${i - 1}"))
+          .select(col(keyCol), col(tsCol))
+      val mins = reachable.groupBy(col(keyCol)).agg(min(col(tsCol)).as(tcol))
+      acc = acc.join(mins, Seq(keyCol), "left")
+    }
+    val completed = steps.indices.foldLeft(lit(0): Column)((els, i) =>
+      when(col(s"__t$i").isNotNull, lit(i + 1)).otherwise(els))
+    acc.select(col(keyCol), completed.as("steps_completed"))
   }
 
   /** Keys that completed the whole funnel. */
