@@ -110,6 +110,19 @@ class SourceSinkSpec extends SparkSpec {
       """DELETE FROM t WHERE "v" = 'o''x'""")
   }
 
+  test("CLI pull->push round-trips a file (reference __main__.py)") {
+    val dir = tmp("cli")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "a,b\n1,x\n2,y\n".getBytes("UTF-8"))
+    // run the conversion body directly against the shared session (Main's
+    // main() would tear the session down)
+    val df = graft.sources.Protocols.pull(spark, s"$dir/in.csv")
+    graft.sinks.Sinks.push(df, s"$dir/out.parquet")
+    val back = spark.read.parquet(s"$dir/out.parquet")
+    assert(back.orderBy("a").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", "x"), Seq("2", "y")))
+  }
+
   test("mail composes a MIME message with html body + csv attachment (mail.py:16-87)") {
     val msg = Sinks.mailString(Seq((1, "x")).toDF("a", "b"),
       "a@ex.com", Seq("b@ex.com"), "hello", name = "s")
