@@ -27,7 +27,12 @@ object Bench {
     // shared host swing 2-4x (cold code paths, concurrent load); min-of-2
     // is the stable figure of merit. Override with SPARK_GRAFT_BENCH_RUNS.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated substring filter for iterating on one query.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -38,11 +43,17 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Key order matters: the harness capturing stdout keeps only a bounded
+    // TAIL of the output, and with 70+ queries the line can outgrow that
+    // buffer. Per-query timings go first (front-truncatable) and the
+    // headline total/errors go LAST so they always survive. 3-decimal
+    // rounding keeps the line short; -1.0 failure markers are preserved.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+    }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
     spark.stop()
   }
 }

@@ -383,8 +383,9 @@ object SparkEntry {
         .filterColumns(keep = Seq("doc_id", "lang", "source", "n_chars"))
     }),
     "q46_ngram_jaccard" -> ((s, d) =>
-      // Exact all-pairs baseline — O(n²) by design, so the audit slice is
-      // bounded (covers all of sf0.01; a 600-doc sample at larger SFs).
+      // Exact-jaccard baseline via explode + join-on-shingle (linear
+      // shuffles, no cartesian). The slice stays bounded only because the
+      // DuckDB oracle replays it with an all-pairs cross join.
       NearDedup.ngramJaccardPairs(
         t(s, d, "documents").filter(col("doc_id") < 600), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)),

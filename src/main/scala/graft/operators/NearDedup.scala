@@ -158,25 +158,35 @@ object NearDedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** All-pairs word-n-gram Jaccard within a (small, pre-filtered) slice —
-    * the exact-verification baseline for the LSH paths. O(n²) by design:
-    * callers bound `df` (e.g. one LSH bucket, or a sampled audit slice).
+  /** Exact word-n-gram Jaccard pairs — the exact-verification baseline for
+    * the LSH paths. NOT a cartesian product: shingles are exploded and
+    * pairs meet on a shingle-valued join key, so every shuffle is linear in
+    * total shingle volume and only pairs that actually share a shingle are
+    * ever materialized. Since shingle sets are distinct (ShinglesExpr emits
+    * a set), `count(*)` per (id_a, id_b) IS |A∩B| exactly, and
+    * |A∪B| = |A|+|B|-|A∩B|. Pairs with zero shared shingles have
+    * jaccard = 0 and can never pass a positive threshold, so requiring
+    * `threshold > 0` keeps the result identical to all-pairs.
+    * The worst case is a shingle shared by k docs contributing k²/2 pair
+    * rows (the classic hot-token blowup) — the size-ratio prune
+    * (jaccard <= min/max of the set sizes) is applied before the aggregate
+    * to cut non-qualifying pairs early; at 100 TB the LSH paths are the
+    * route and this remains the audit baseline.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0,
+      "ngramJaccardPairs requires threshold > 0 (zero-overlap pairs are never produced)")
     val sh = df.select(col(idCol).as("id"),
       graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-    // |A∪B| = |A|+|B|-|A∩B|: one intersect per pair, no union materialization.
-    // Size-ratio prune first: jaccard <= min/max, so pairs whose set sizes
-    // differ by more than the threshold ratio can never qualify — the
-    // intersect (the expensive part) is skipped for them. Result-identical.
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val tok = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val a = tok.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = tok.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
       .filter(least(col("n_a"), col("n_b")).cast(DoubleType) >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
-      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("i"))
       .withColumn("jaccard",
         col("i").cast(DoubleType) / (col("n_a") + col("n_b") - col("i")))
       .filter(col("jaccard") >= threshold)
