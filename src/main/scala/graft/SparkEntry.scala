@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.BabeOps._
-import graft.operators.{Grouping, Memoize, OnError, TimeParse, Transforms, TypeDetect, NearDedup}
+import graft.operators.{Clustering, Grouping, Memoize, OnError, TimeParse, Transforms, TypeDetect, NearDedup}
 import graft.functions.{Enrich, TextFunctions, VectorFunctions}
 import graft.sinks.Sinks
 import graft.sources.{Pull, Sources, SqlDump}
@@ -610,7 +610,23 @@ object SparkEntry {
         col("doc_id"),
         TextFunctions.redactPii(concat(col("text"),
           lit(" contact bob@example.com at 10.1.2.3 or +12025550123 now")))
-          .as("clean"))))
+          .as("clean"))),
+    "q74_cc_components" -> ((s, d) => {
+      // transitive near-dup clusters: exact-jaccard pairs -> min-label CC;
+      // the slice is bounded only because the oracle replays the pair
+      // relation with a recursive CTE
+      val pairs = NearDedup.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 600), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      Clustering.connectedComponents(pairs).select(col("id"), col("comp"))
+    }),
+    "q75_cc_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 600)
+      val pairs = NearDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      Clustering.dedupByComponents(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -823,7 +839,34 @@ object SparkEntry {
         """text || ' contact bob@example.com at 10.1.2.3 or +12025550123 now', """ +
         """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
         """'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), """ +
-        """'\+[0-9]{7,15}\b', '<PHONE>', 'g') AS clean FROM documents"""))
+        """'\+[0-9]{7,15}\b', '<PHONE>', 'g') AS clean FROM documents"""),
+    "q74_cc_components" ->
+      (ccLabelsSql + "\nSELECT id, comp FROM labels"),
+    "q75_cc_dedup" ->
+      (ccLabelsSql + "\nSELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE doc_id < 600 AND doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)"))
+
+  /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
+    * recursive CTE propagating the min reachable doc_id along symmetrized
+    * edges — the ground truth for min-label connected components.
+    */
+  private lazy val ccLabelsSql: String =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct(
+  CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+       THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
+       ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+         i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')) END) AS s
+  FROM documents WHERE doc_id < 600),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach(id, comp) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.id),
+labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)"""
 
   /** Composite C4-style pipeline: each stage reuses the SQL of its
     * already-verified standalone oracle (q42 langid, q43 quality, q66

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clustering
+
+/** Connected-components clustering over near-dup pair relations. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain pairs collapse into one component (transitive closure)") {
+    // a-b, b-c, c-d: greedy pairwise dedup would keep a and c; CC must
+    // label all four with the chain minimum.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Clustering.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(comps.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("edge direction does not matter") {
+    val pairs = Seq((5L, 2L), (2L, 9L)).toDF("id_a", "id_b")
+    val comps = Clustering.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(comps.toSeq == Seq(2L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+
+  test("dedupByComponents keeps the min id per cluster and all singletons") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (7L, "x"),
+      (10L, "b"), (11L, "b")).toDF("doc_id", "txt")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val kept = Clustering.dedupByComponents(docs, "doc_id", pairs)
+      .orderBy("doc_id").select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L, 7L, 10L))
+  }
+
+  test("long chain converges within maxIter rounds") {
+    // a 30-node path needs ~diameter rounds of plain propagation; maxIter
+    // bounds it — with the default 20 a 30-node chain must still converge
+    // because labels keep strictly improving until fixpoint or the bound.
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Clustering.connectedComponents(pairs, maxIter = 40)
+      .agg(countDistinct(col("comp")), min(col("comp"))).as[(Long, Long)].head()
+    assert(comps == ((1L, 1L)))
+  }
+
+  test("empty pair relation yields empty labels") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clustering.connectedComponents(pairs).count() == 0L)
+  }
+}
