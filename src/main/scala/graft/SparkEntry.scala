@@ -626,6 +626,25 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.5)
       Clustering.dedupByComponents(docs, "doc_id", pairs)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+    "q76_heavy_hitters" -> ((s, d) => {
+      // exact top-20 corpus tokens via MG candidates + exact recount; the
+      // full token vocabulary never reaches a shuffle
+      val toks = t(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      graft.operators.Sketches.topKExact(toks, col("term"), k = 20, capacity = 1024)
+        .select(col("item").as("term"), col("cnt"))
+    }),
+    "q77_salted_join" -> ((s, d) => {
+      // salted fact-dim join must equal the plain inner join; salt spread
+      // is a deterministic hash of the fact row id (reproducible results)
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", col("l_orderkey"), salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("cnt"))
     }))
 
   // =====================================================================
@@ -844,7 +863,16 @@ object SparkEntry {
       (ccLabelsSql + "\nSELECT id, comp FROM labels"),
     "q75_cc_dedup" ->
       (ccLabelsSql + "\nSELECT doc_id, lang, n_chars FROM documents " +
-        "WHERE doc_id < 600 AND doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)"))
+        "WHERE doc_id < 600 AND doc_id NOT IN (SELECT id FROM labels WHERE comp <> id)"),
+    "q76_heavy_hitters" ->
+      ("WITH terms AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "c AS (SELECT term, count(*) AS cnt FROM terms WHERE length(term) > 0 GROUP BY 1) " +
+        "SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20"),
+    "q77_salted_join" ->
+      ("SELECT s_nationkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS cnt FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

@@ -29,6 +29,26 @@ object Skew {
         merges.tail.map { case (n, f) => f(n).as(n) }: _*)
   }
 
+  /** Salted shuffle join for a skewed key: the large side is spread across
+    * `salts` sub-keys by a deterministic hash of `saltBy` (pass a unique or
+    * well-distributed column of the large side — determinism keeps results
+    * reproducible run-to-run, unlike rand()), and the small side is
+    * replicated once per salt, so one hot key fans out over `salts` reducers
+    * instead of melting a single task. Output is exactly the inner join on
+    * `key`: every large row meets its matching small row in precisely one
+    * salt bucket. Use when the small side is too big to broadcast but small
+    * enough to replicate `salts`×, and AQE's runtime skew splitting isn't
+    * available or the skew is known up front.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltBy: Column, salts: Int = 16): DataFrame = {
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(saltBy), lit(salts.toLong)).cast("int"))
+    val r = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted sum/count convenience: the common hot-key rollup. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
                      saltBuckets: Int = 16,

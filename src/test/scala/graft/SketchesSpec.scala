@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, Skew}
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish corpus: item i appears ~N/i times — heavy head, long tail. */
+  private def zipf(n: Int): Seq[String] =
+    (1 to n).flatMap(i => Seq.fill(n / i)(s"w$i"))
+
+  test("topKExact equals the exact groupBy top-k with capacity << distinct") {
+    val data = zipf(400)
+    val df = spark.sparkContext.parallelize(data, 8).toDF("term")
+    val got = Sketches.topKExact(df, col("term"), k = 10, capacity = 32)
+      .as[(String, Long)].collect().toSeq
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (t, c) => (t, c) }
+      .sortBy { case (t, c) => (-c, t) }.take(10)
+    assert(got == want)
+  }
+
+  test("counts of returned items are exact, not MG estimates") {
+    val data = Seq.fill(1000)("hot") ++ zipf(50)
+    val df = spark.sparkContext.parallelize(data, 4).toDF("t")
+    val top = Sketches.topKExact(df, col("t"), k = 1, capacity = 8)
+      .as[(String, Long)].head()
+    assert(top == (("hot", 1000L))) // zipf noise never contains "hot"
+  }
+
+  test("saltedJoin equals the plain inner join") {
+    val large = (1 to 500).map(i => (i.toLong, i % 7, i * 2.0)).toDF("id", "k", "v")
+    val small = (0 until 7).map(i => (i, s"dim$i")).toDF("k", "name")
+    val salted = Skew.saltedJoin(large, small, "k", col("id"), salts = 4)
+      .select("id", "k", "v", "name").orderBy("id")
+    val plain = large.join(small, Seq("k")).select("id", "k", "v", "name").orderBy("id")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("saltedJoin drops large-side keys missing from the small side (inner)") {
+    val large = Seq((1L, 1), (2L, 99)).toDF("id", "k")
+    val small = Seq((1, "a")).toDF("k", "name")
+    val rows = Skew.saltedJoin(large, small, "k", col("id"), salts = 3).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("id") == 1L)
+  }
+}
