@@ -645,6 +645,26 @@ object SparkEntry {
         .groupBy(col("s_nationkey"))
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
           count(lit(1)).as("cnt"))
+    }),
+    "q78_quantiles" -> ((s, d) =>
+      // exact interpolated percentiles (the correctness anchor; at 100 TB
+      // the same call sites take percentile_approx — contract-tested in
+      // SketchesSpec against this exact path)
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95"),
+          count(lit(1)).as("cnt"))),
+    "q79_partition_reload" -> ((s, d) => {
+      // write partitioned by lang, then dynamic-overwrite ONLY the 'en'
+      // partition with reprocessed rows; other partitions must survive
+      val out = tmpDir() + "/q79_part"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      Sinks.push(docs, out, Some("parquet"), partitionBy = Seq("lang"))
+      val reload = docs.filter(col("lang") === "en")
+        .withColumn("n_chars", lit(-1L))
+      Sinks.pushPartitionReload(reload, out, Seq("lang"), Some("parquet"))
+      s.read.parquet(out).select(col("doc_id"), col("lang"), col("n_chars"))
     }))
 
   // =====================================================================
@@ -872,7 +892,15 @@ object SparkEntry {
     "q77_salted_join" ->
       ("SELECT s_nationkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
         "count(*) AS cnt FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
-        "GROUP BY s_nationkey"))
+        "GROUP BY s_nationkey"),
+    "q78_quantiles" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, " +
+        "quantile_cont(l_quantity, 0.95) AS p95, count(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag"),
+    "q79_partition_reload" ->
+      ("SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en' " +
+        "UNION ALL SELECT doc_id, lang, CAST(-1 AS BIGINT) AS n_chars " +
+        "FROM documents WHERE lang = 'en'"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

@@ -46,6 +46,41 @@ object Sinks {
     }
   }
 
+  /** Idempotent partition reload — the file-side analogue of the
+    * reference's delete-partition-then-insert (sql.py:292-305, driven by
+    * kontagent.py's per-hour reload loop): dynamic partition overwrite
+    * replaces ONLY the hive-style partitions present in `df`, leaving every
+    * other partition untouched. Re-running the same load is a no-op — the
+    * property that makes hourly backfill safe at any scale (each run
+    * rewrites its own `col=value/` directories atomically, no read-modify-
+    * write of the whole table).
+    */
+  def pushPartitionReload(df: DataFrame, path: String, partitionBy: Seq[String],
+                          format: Option[String] = None,
+                          options: Map[String, String] = Map.empty): Unit = {
+    require(partitionBy.nonEmpty, "pushPartitionReload needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val w = df.write.mode(SaveMode.Overwrite).options(options)
+        .partitionBy(partitionBy: _*)
+      format.getOrElse(guessFormat(path)) match {
+        case "csv" => w.option("header", options.getOrElse("header", "true"))
+          .option("timestampFormat", options.getOrElse("timestampFormat", TimestampFmt))
+          .csv(path)
+        case "parquet" => w.parquet(path)
+        case "json"    => w.json(path)
+        case other => throw new IllegalArgumentException(
+          s"pushPartitionReload: unknown format '$other'")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Extension → format guess (reference base.py:471-491). */
   def guessFormat(path: String): String = {
     val base = path.stripSuffix(".gz").stripSuffix(".bz2").stripSuffix(".zip")

@@ -45,6 +45,27 @@ object Streams {
     events.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join — the attribution shape (e.g.
+    * clicks joined to the impression they followed within `within`). Both
+    * sides carry watermarks and the join predicate bounds right-time to
+    * [left-time, left-time + within], so Spark can prove state expiry on
+    * BOTH sides: buffered rows older than watermark + interval are evicted,
+    * keeping state bounded by the attribution horizon instead of the
+    * stream's lifetime — the only viable shape for an unbounded feed.
+    * Column names must be disjoint between the two sides (the usual
+    * stream-stream join requirement); `leftKey`/`rightKey` name the equi-join
+    * columns on each side.
+    */
+  def intervalJoin(left: DataFrame, leftTime: String, leftWatermark: String,
+                   right: DataFrame, rightTime: String, rightWatermark: String,
+                   leftKey: String, rightKey: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTime, leftWatermark)
+    val r = right.withWatermark(rightTime, rightWatermark)
+    l.join(r, expr(
+      s"`$leftKey` = `$rightKey` AND `$rightTime` >= `$leftTime` " +
+        s"AND `$rightTime` <= `$leftTime` + interval $within"))
+  }
+
   /** Session output record for `sessionize`. */
   case class SessionOut(key: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
                         events: Long)

@@ -213,6 +213,28 @@ class MultimodalStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = graft.streaming.Streams.intervalJoin(
+      imps.toDF().toDF("imp_ts", "imp_user"), "imp_ts", "20 minutes",
+      clicks.toDF().toDF("click_ts", "click_user"), "click_ts", "20 minutes",
+      "imp_user", "click_user", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      imps.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 2L))
+      clicks.addData(
+        (ts("2024-01-01 00:05:00"), 1L),  // within 10 min -> attributed
+        (ts("2024-01-01 00:30:00"), 2L))  // past the horizon -> dropped
+      q.processAllAvailable()
+      val res = spark.sql("SELECT imp_user FROM attrib").as[Long].collect().toSeq
+      assert(res == Seq(1L))
+    } finally q.stop()
+  }
+
   /** With ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
     * shouldRunAnotherBatch=true forever, so `noNewData` is never signaled and
     * `processAllAvailable` would block indefinitely — the query self-triggers

@@ -38,6 +38,29 @@ class SketchesSpec extends SparkSpec {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("percentile_approx tracks the exact percentile within its accuracy contract") {
+    // the 100 TB path: approx_percentile is a single-pass mergeable sketch;
+    // assert it stays within rank-error of the exact interpolated value
+    val vals = (1 to 10000).map(_.toDouble)
+    val df = spark.sparkContext.parallelize(vals, 8).toDF("v")
+    val (exact50, exact95) = df
+      .agg(percentile(col("v"), lit(0.5)), percentile(col("v"), lit(0.95)))
+      .as[(Double, Double)].head()
+    val (a50, a95) = df
+      .agg(percentile_approx(col("v"), lit(0.5), lit(1000)),
+        percentile_approx(col("v"), lit(0.95), lit(1000)))
+      .as[(Double, Double)].head()
+    // accuracy=1000 → rank error <= n/1000 = 10 ranks = 10.0 in value space
+    assert(math.abs(a50 - exact50) <= 20.0 && math.abs(a95 - exact95) <= 20.0)
+    assert(exact50 == 5000.5 && exact95 == 9500.05)
+  }
+
+  test("approx_count_distinct stays within its relative-error contract") {
+    val df = spark.sparkContext.parallelize((1 to 50000).map(i => s"u$i"), 8).toDF("u")
+    val approx = df.agg(approx_count_distinct(col("u"), 0.02)).as[Long].head()
+    assert(math.abs(approx - 50000L) <= 50000L * 0.06)
+  }
+
   test("saltedJoin drops large-side keys missing from the small side (inner)") {
     val large = Seq((1L, 1), (2L, 99)).toDF("id", "k")
     val small = Seq((1, "a")).toDF("k", "name")

@@ -202,4 +202,23 @@ class SourceSinkSpec extends SparkSpec {
     assert(r2.count() == 2)
     assert(new java.io.File(dir).list().length == 2)
   }
+
+  test("pushPartitionReload overwrites only the loaded partitions, idempotently") {
+    import spark.implicits._
+    val dir = tmp("partreload") + "/t"
+    val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "part", "v")
+    graft.sinks.Sinks.push(base, dir, Some("parquet"), partitionBy = Seq("part"))
+    val reload = Seq((1L, "a", 99L)).toDF("id", "part", "v")
+    graft.sinks.Sinks.pushPartitionReload(reload, dir, Seq("part"), Some("parquet"))
+    // run twice: the reload must be idempotent
+    graft.sinks.Sinks.pushPartitionReload(reload, dir, Seq("part"), Some("parquet"))
+    val got = spark.read.parquet(dir).select("id", "part", "v")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    // partition a fully replaced (row 2 gone), partition b untouched
+    assert(got == Seq((1L, "a", 99L), (3L, "b", 30L)))
+    // session conf restored
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic") ||
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static")
+  }
 }
