@@ -11,8 +11,9 @@ object Plans {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_filter_columns", "q14_maxn", "q17_join_warn", "q19_group",
-        "q45_exact_dedup", "q47_minhash_pairs", "q50_cosine_topk",
-        "q52_ivf_topk", "q56_window_global_twopass", "q68_sessionize_batch")
+        "q45_exact_dedup", "q46_ngram_jaccard", "q47_minhash_pairs",
+        "q50_cosine_topk", "q52_ivf_topk", "q56_window_global_twopass",
+        "q68_sessionize_batch", "q76_heavy_hitters", "q77_salted_join")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

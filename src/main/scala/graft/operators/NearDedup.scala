@@ -145,7 +145,14 @@ object NearDedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // The signature relation is 16 bytes/row and is read three times
+    // (chunking + both sides of the candidate rejoin): materialize it once
+    // instead of re-scanning the corpus and re-running the text kernel per
+    // use. (Contrast minhash, where the rejoin payload is the full shingle
+    // ARRAY — there re-scanning beats caching; 8-byte sigs are the opposite
+    // trade.) localCheckpoint storage is ContextCleaner-reclaimed.
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+      .localCheckpoint()
     val chunked = sigs.withColumn("q", explode(array(Seq.tabulate(4) { q =>
       struct(lit(q).as("qi"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qv"))
     }: _*))).select("q", "id")
