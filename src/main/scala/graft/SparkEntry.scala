@@ -665,7 +665,27 @@ object SparkEntry {
         .withColumn("n_chars", lit(-1L))
       Sinks.pushPartitionReload(reload, out, Seq("lang"), Some("parquet"))
       s.read.parquet(out).select(col("doc_id"), col("lang"), col("n_chars"))
-    }))
+    }),
+    "q80_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs 0-4 stand in for the eval set; any
+      // doc sharing a word-5-gram with them (including themselves) is out
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.decontaminate(
+        docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text", n = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+    "q81_line_filter" -> ((s, d) =>
+      // C4-style boilerplate-line filter; the synthetic corpus has no
+      // punctuation, so inject per-row keep/drop lines (q67's pattern):
+      // the raw text line and 'nav' must drop, the two sentences survive
+      t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.cleanLines(concat_ws("\n",
+          col("text"),
+          lit("This synthetic doc ends properly."),
+          lit("nav"),
+          concat(lit("Total chars "), col("n_chars").cast(StringType), lit(" counted."))),
+          minWords = 3).as("clean"))
+        .filter(length(col("clean")) > 0)))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -900,7 +920,22 @@ object SparkEntry {
     "q79_partition_reload" ->
       ("SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en' " +
         "UNION ALL SELECT doc_id, lang, CAST(-1 AS BIGINT) AS n_chars " +
-        "FROM documents WHERE lang = 'en'"))
+        "FROM documents WHERE lang = 'en'"),
+    "q80_decontaminate" ->
+      ("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END AS s FROM tk), " +
+        "bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 5), " +
+        "hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS g FROM sh) t JOIN bg USING (g)) " +
+        "SELECT doc_id, lang, source FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hit)"),
+    "q81_line_filter" ->
+      ("WITH src AS (SELECT doc_id, text || chr(10) || 'This synthetic doc ends properly.' " +
+        "|| chr(10) || 'nav' || chr(10) || 'Total chars ' || CAST(n_chars AS VARCHAR) " +
+        "|| ' counted.' AS t FROM documents), " +
+        "l AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\\n'), " +
+        "x -> length(trim(x)) > 0 AND regexp_matches(trim(x), '[.!?\"]$') " +
+        "AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3) AS ls FROM src) " +
+        "SELECT doc_id, array_to_string(ls, chr(10)) AS clean FROM l WHERE len(ls) > 0"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

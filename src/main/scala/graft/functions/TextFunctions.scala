@@ -134,6 +134,20 @@ object TextFunctions {
   private def textLines(text: Column): Column =
     filter(split(text, "\n"), l => length(trim(l)) > 0)
 
+  /** C4-style line filter: keep lines that are non-empty, end in terminal
+    * punctuation, and carry at least `minWords` words; survivors re-joined
+    * with '\n'. Pure expression tree over one split — narrow, no shuffle.
+    * (The C4 pipeline drops boilerplate/navigation lines this way before
+    * document-level quality scoring.)
+    */
+  def cleanLines(text: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(split(text, "\n"), l =>
+        length(trim(l)) > 0 &&
+          trim(l).rlike("[.!?\"]$") &&
+          size(split(trim(l), "\\s+")) >= minWords),
+      "\n")
+
   /** Fraction of non-empty lines that repeat an earlier line
     * (1 - distinct/total; 0 for line-less documents).
     */

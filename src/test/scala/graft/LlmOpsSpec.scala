@@ -206,4 +206,27 @@ class LlmOpsSpec extends SparkSpec {
       threshold = 0.999, bits = 4, tables = 8)
     assert(out.select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((1L, 100L)))
   }
+
+  test("decontaminate drops docs sharing a benchmark n-gram, keeps the rest") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox jumps over nothing at all"), // shares 5-gram with bench
+      (3L, "completely unrelated text about spark physical plans here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox jumps over fences")).toDF("bid", "btext")
+    val kept = graft.operators.Contamination
+      .decontaminate(docs, "doc_id", "text", bench, "btext", n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    // docs 1 and 2 both contain "quick brown fox jumps over"
+    assert(kept.toSeq == Seq(3L))
+  }
+
+  test("cleanLines keeps terminal-punctuated lines with enough words") {
+    val df = Seq(
+      ("Good long sentence here.\nnav menu\nAnother fine sentence!\nshort.\n\nno punct line here"))
+      .toDF("text")
+    val out = df.select(TextFunctions.cleanLines(col("text"), minWords = 3))
+      .as[String].head()
+    assert(out == "Good long sentence here.\nAnother fine sentence!")
+  }
 }
