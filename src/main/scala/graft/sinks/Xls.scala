@@ -15,7 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - CONTINUE-split SSTs (large string tables), including mid-string splits
   *    with the re-stated option-flags byte.
   *
-  * Not covered (documented): BIFF5 and earlier, formulas, encryption.
+  *  - BIFF5/7 workbooks ("Book" stream, BOF vers < 0x0600): inline codepage
+  *    LABEL/RSTRING byte strings; number records are layout-identical.
+  *
+  * Not covered (documented): BIFF4 and earlier (pre-OLE2 single-stream
+  * files), formulas, encryption.
   * Driver-side by design, like `Xlsx` — spreadsheets are a small-data
   * exchange format.
   */
@@ -188,8 +192,15 @@ object Xls {
     if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
-  /** Parse the first worksheet of a BIFF8 workbook stream into rows. */
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Parse the first worksheet of a BIFF5/BIFF8 workbook stream into rows. */
   private[sinks] def parseBiff(wb: Array[Byte]): Seq[Seq[String]] = {
+    // BOF version gates the string layout: vers < 0x0600 = BIFF5/7, whose
+    // cell strings are inline codepage byte strings (cch16 + bytes, no
+    // grbit) and whose globals carry no SST/LABELSST at all.
+    val biff5 = wb.length >= 6 && le16(wb, 0) == 0x0809 &&
+      le16(wb, 4) != 0 && le16(wb, 4) < 0x0600
     // pass 1 (globals): SST strings + first BOUNDSHEET offset
     val sst = Seq.newBuilder[String]
     var sheetOffset = -1
@@ -230,8 +241,13 @@ object Xls {
       typ match {
         case 0x00FD => // LABELSST
           put(le16(wb, p), le16(wb, p + 2), strings(le32(wb, p + 6)))
-        case 0x0204 => // LABEL (inline string)
-          put(le16(wb, p), le16(wb, p + 2), readString(wb, p + 6)._1)
+        case 0x0204 => // LABEL: BIFF8 unicode string / BIFF5 byte string
+          if (biff5)
+            put(le16(wb, p), le16(wb, p + 2), new String(wb, p + 8, le16(wb, p + 6), Cp1252))
+          else
+            put(le16(wb, p), le16(wb, p + 2), readString(wb, p + 6)._1)
+        case 0x00D6 if biff5 => // RSTRING: LABEL layout + ignored format runs
+          put(le16(wb, p), le16(wb, p + 2), new String(wb, p + 8, le16(wb, p + 6), Cp1252))
         case 0x0203 => // NUMBER: IEEE double
           val bits = (0 until 8).foldRight(0L)((k, acc) => (acc << 8) | (wb(p + 6 + k) & 0xFFL))
           put(le16(wb, p), le16(wb, p + 2), numStr(java.lang.Double.longBitsToDouble(bits)))

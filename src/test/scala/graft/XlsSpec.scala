@@ -74,7 +74,7 @@ class XlsSpec extends SparkSpec {
   }
 
   /** OLE2 container with the stream in the ministream (size < 4096). */
-  private def makeCfb(stream: Array[Byte]): Array[Byte] = {
+  private def makeCfb(stream: Array[Byte], streamName: String = "Workbook"): Array[Byte] = {
     val ssz = 512; val msz = 64
     val nMini = (stream.length + msz - 1) / msz
     val miniBytes = nMini * msz
@@ -114,7 +114,7 @@ class XlsSpec extends SparkSpec {
       le32(out, o + 116, start); le32(out, o + 120, size)
     }
     dirEntry(0, "Root Entry", 5, 1, 3, miniBytes)
-    dirEntry(1, "Workbook", 2, 0xFFFFFFFF, 0, stream.length)
+    dirEntry(1, streamName, 2, 0xFFFFFFFF, 0, stream.length)
     // miniFAT (sector 2)
     val mfOff = 512 + 2 * ssz
     (0 until nMini).foreach(k => le32(out, mfOff + 4 * k, if (k == nMini - 1) 0xFFFFFFFE else k + 1))
@@ -171,6 +171,47 @@ class XlsSpec extends SparkSpec {
     val df = Xls.read(spark, path)
     assert(df.columns.toSeq == Seq("alpha", "beta", "gamma"))
     assert(df.collect().map(_.toSeq).toSeq == Seq(Seq("delphinium", "eps", "7")))
+  }
+
+  test("reads a BIFF5 xls: 'Book' stream, inline byte-string labels, RSTRING") {
+    def label5(row: Int, col: Int, s: String): Array[Byte] = {
+      val bytes = s.getBytes("windows-1252")
+      val p = new Array[Byte](8 + bytes.length)
+      le16(p, 0, row); le16(p, 2, col); le16(p, 6, bytes.length)
+      bytes.copyToArray(p, 8)
+      rec(0x0204, p)
+    }
+    def rstring5(row: Int, col: Int, s: String): Array[Byte] = {
+      val bytes = s.getBytes("windows-1252")
+      // trailing format-run block (count + runs) must be skipped by length
+      val p = new Array[Byte](8 + bytes.length + 3)
+      le16(p, 0, row); le16(p, 2, col); le16(p, 6, bytes.length)
+      bytes.copyToArray(p, 8)
+      p(8 + bytes.length) = 1; p(9 + bytes.length) = 0; p(10 + bytes.length) = 0
+      rec(0x00D6, p)
+    }
+    val bofG5 = { val p = new Array[Byte](8); le16(p, 0, 0x0500); le16(p, 2, 0x0005); rec(0x0809, p) }
+    val sheetName = "Sheet1"
+    val bsPayload = new Array[Byte](7 + sheetName.length)
+    bsPayload(6) = sheetName.length.toByte
+    sheetName.getBytes("ISO-8859-1").copyToArray(bsPayload, 7)
+    val boundsheet = rec(0x0085, bsPayload)
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val globalsLen = bofG5.length + boundsheet.length + eof.length
+    le32(boundsheet, 4, globalsLen)
+    val sheet =
+      rec(0x0809, { val p = new Array[Byte](8); le16(p, 0, 0x0500); le16(p, 2, 0x0010); p }) ++
+        label5(0, 0, "name") ++ label5(0, 1, "qty") ++ label5(0, 2, "note") ++
+        label5(1, 0, "café") ++ rkCell(1, 1, 42) ++ rstring5(1, 2, "styled") ++
+        label5(2, 0, "plain") ++ numberCell(2, 1, 2.5) ++
+        rec(0x000A, Array.emptyByteArray)
+    val xls = makeCfb(bofG5 ++ boundsheet ++ eof ++ sheet, streamName = "Book")
+    val path = tmp("xls5") + "/legacy5.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), xls)
+    val df = Xls.read(spark, path)
+    assert(df.columns.toSeq == Seq("name", "qty", "note"))
+    assert(df.orderBy("name").collect().map(_.toSeq).toSeq ==
+      Seq(Seq("café", "42", "styled"), Seq("plain", "2.5", "")))
   }
 
   test("xls Pull dispatch routes .xls to the BIFF reader") {
