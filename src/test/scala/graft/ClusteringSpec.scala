@@ -49,4 +49,18 @@ class ClusteringSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clustering.connectedComponents(pairs).count() == 0L)
   }
+
+  test("closure property: survivors admit no qualifying pair (real corpus)") {
+    // after component dedup, any qualifying pair between two survivors
+    // would contradict the transitive closure — re-running pair generation
+    // on the survivors must come back empty
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.operators.NearDedup.ngramJaccardPairs(
+      docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    val kept = Clustering.dedupByComponents(docs, "doc_id", pairs)
+    val residual = graft.operators.NearDedup.ngramJaccardPairs(
+      kept, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+    assert(pairs.count() > 0L, "fixture must contain near-dup pairs")
+    assert(residual.count() == 0L)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+/** Regression guard for the 100 TB plan shapes PLANS.md documents: these
+  * assertions fail if a future refactor silently reintroduces a cartesian
+  * product, a global sort where a top-k heap suffices, or a join where the
+  * join-free formulation is the point. Queries run at sf0.001 — the shape,
+  * not the timing, is under test.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // materialize so AQE settles the final executed plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q46 exact jaccard plans no cartesian / nested-loop join") {
+    val p = planOf("q46_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+  }
+
+  test("q14 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q14_maxn")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("q57 as-of join plans join-free (window formulation)") {
+    val p = planOf("q57_asof_join")
+    assert(!p.contains("Join"), s"unexpected join operator in:\n$p")
+    assert(p.contains("Window"), s"expected window in:\n$p")
+  }
+
+  test("q58 range join never falls back to nested-loop") {
+    val p = planOf("q58_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in:\n$p")
+  }
+
+  test("q76 heavy hitters recount is candidate-gated (semi join present)") {
+    val p = planOf("q76_heavy_hitters")
+    assert(p.contains("LeftSemi"), s"no semi-join gate in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k tail in:\n$p")
+  }
+
+  test("q45 exact dedup shuffles once, on the materialized fingerprint") {
+    val p = planOf("q45_exact_dedup")
+    // one hash-partitioned exchange for the window; AQE may add reads but
+    // no second shuffle of the data
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges in:\n$p")
+  }
+}
