@@ -33,4 +33,18 @@ object Contamination {
                     n: Int = 8): DataFrame =
     docs.join(contaminatedIds(docs, idCol, textCol, benchmark, benchTextCol, n),
       Seq(idCol), "left_anti")
+
+  /** Stateless variant over a driver-held benchmark gram set: each row is
+    * kept iff its shingles don't overlap the set. Because it is a pure
+    * per-row filter (the gram set ships as a broadcast-style literal, no
+    * join, no state), it composes with Structured Streaming unchanged —
+    * decontaminating an unbounded ingest feed with the same expression the
+    * batch path uses. Benchmarks are small (MBs of n-grams); for
+    * benchmark sets too big for a literal, use `decontaminate`'s semi-join.
+    */
+  def decontaminateByGramSet(docs: DataFrame, textCol: String,
+                             benchGrams: Seq[String], n: Int = 8): DataFrame =
+    docs.filter(!arrays_overlap(
+      graft.expressions.GraftFunctions.shingles(col(textCol), n),
+      typedLit(benchGrams)))
 }

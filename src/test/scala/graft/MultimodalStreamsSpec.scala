@@ -213,6 +213,24 @@ class MultimodalStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stateless gram filter on an unbounded feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val cleaned = graft.operators.Contamination.decontaminateByGramSet(
+      docs, "text", Seq("quick brown fox"), n = 3)
+    val q = cleaned.writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox appears here"),
+        (2L, "a perfectly clean training document text"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM decontam").as[Long].collect().toSeq
+      assert(ids == Seq(2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(java.sql.Timestamp, Long)]
