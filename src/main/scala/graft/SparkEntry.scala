@@ -685,7 +685,16 @@ object SparkEntry {
           lit("nav"),
           concat(lit("Total chars "), col("n_chars").cast(StringType), lit(" counted."))),
           minWords = 3).as("clean"))
-        .filter(length(col("clean")) > 0)))
+        .filter(length(col("clean")) > 0)),
+    "q82_sequence_pack" -> ((s, d) =>
+      // GPT-style contiguous packing: per-source token stream chopped into
+      // 512-token training sequences; each doc tagged with where it starts
+      graft.operators.Packing.packSequences(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+        shardCol = "source", orderCol = "doc_id",
+        tokens = TextFunctions.tokenCount(col("text")), budget = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -935,7 +944,14 @@ object SparkEntry {
         "l AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\\n'), " +
         "x -> length(trim(x)) > 0 AND regexp_matches(trim(x), '[.!?\"]$') " +
         "AND len(regexp_split_to_array(trim(x), '\\s+')) >= 3) AS ls FROM src) " +
-        "SELECT doc_id, array_to_string(ls, chr(10)) AS clean FROM l WHERE len(ls) > 0"))
+        "SELECT doc_id, array_to_string(ls, chr(10)) AS clean FROM l WHERE len(ls) > 0"),
+    "q82_sequence_pack" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, CAST(SUM(n_tokens) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS s FROM d) " +
+        "SELECT doc_id, source, n_tokens, CAST(floor(s / 512) AS BIGINT) AS seq_id, " +
+        "s % 512 AS seq_offset FROM c"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

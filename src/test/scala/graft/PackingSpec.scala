@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy contiguous packing: boundaries, offsets, straddling docs") {
+    val docs = Seq(
+      (1L, "s1", 300L), (2L, "s1", 300L), (3L, "s1", 500L), (4L, "s1", 10L))
+      .toDF("id", "shard", "tok")
+    val got = Packing.packSequences(docs, "shard", "id", col("tok"), budget = 512)
+      .select("id", "seq_id", "seq_offset").orderBy("id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // starts: 0, 300, 600, 1100 -> seqs 0,0,1,2; offsets 0,300,88,76
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L), (4L, 2L, 76L)))
+  }
+
+  test("shards pack independently") {
+    val docs = Seq((1L, "a", 400L), (2L, "b", 400L), (3L, "a", 400L))
+      .toDF("id", "shard", "tok")
+    val got = Packing.packSequences(docs, "shard", "id", col("tok"), budget = 512)
+      .select("id", "seq_id").orderBy("id").as[(Long, Long)].collect().toSeq
+    // each shard restarts at position 0: doc 2 is b's first doc, seq 0
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+}
