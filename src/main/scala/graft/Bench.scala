@@ -49,7 +49,7 @@ object Bench {
     // headline total/errors go LAST so they always survive. 3-decimal
     // rounding keeps the line short; -1.0 failure markers are preserved.
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.3f")
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.2f")
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
