@@ -60,6 +60,10 @@ object Clustering {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      System.err.println(s"[connectedComponents] labels still changing after " +
+        s"maxIter=$maxIter rounds ($changed updates in the last round) — " +
+        "components spanning longer chains are split; raise maxIter")
     labels
   }
 
