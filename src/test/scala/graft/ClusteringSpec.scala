@@ -35,12 +35,12 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 7L, 10L))
   }
 
-  test("long chain converges within maxIter rounds") {
-    // a 30-node path needs ~diameter rounds of plain propagation; maxIter
-    // bounds it — with the default 20 a 30-node chain must still converge
-    // because labels keep strictly improving until fixpoint or the bound.
-    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Clustering.connectedComponents(pairs, maxIter = 40)
+  test("long chain converges under the DEFAULT maxIter (pointer doubling)") {
+    // a 60-node path needs ~59 rounds of plain neighbor propagation; the
+    // label-of-label shortcut must collapse it in O(log n) rounds, well
+    // inside the default bound of 20.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Clustering.connectedComponents(pairs)
       .agg(countDistinct(col("comp")), min(col("comp"))).as[(Long, Long)].head()
     assert(comps == ((1L, 1L)))
   }
