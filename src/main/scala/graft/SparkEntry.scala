@@ -694,7 +694,17 @@ object SparkEntry {
         shardCol = "source", orderCol = "doc_id",
         tokens = TextFunctions.tokenCount(col("text")), budget = 512)
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("seq_id"), col("seq_offset"))))
+          col("seq_id"), col("seq_offset"))),
+    "q83_quantize_int8" -> ((s, d) => {
+      // symmetric int8 vector quantization (4x memory for ~1e-2 cosine
+      // error); first 4 lanes exploded so the oracle compares scalars
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.int8Scale(col("embedding")).as("sc"))
+      e.select(col("vec_id"),
+        posexplode(slice(VectorFunctions.int8Quantize(col("embedding"), col("sc")), 1, 4)))
+        .toDF("vec_id", "pos", "q")
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -951,7 +961,12 @@ object SparkEntry {
         "c AS (SELECT doc_id, source, n_tokens, CAST(SUM(n_tokens) OVER " +
         "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS s FROM d) " +
         "SELECT doc_id, source, n_tokens, CAST(floor(s / 512) AS BIGINT) AS seq_id, " +
-        "s % 512 AS seq_offset FROM c"))
+        "s % 512 AS seq_offset FROM c"),
+    "q83_quantize_int8" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, 127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS sc FROM e), " +
+        "q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * sc + 0.5) AS INTEGER)) AS qv FROM s) " +
+        "SELECT vec_id, CAST(t.pos AS INTEGER) AS pos, qv[t.pos + 1] AS q FROM q, range(4) t(pos)"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

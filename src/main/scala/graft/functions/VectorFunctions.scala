@@ -46,6 +46,24 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v))
 
+  /** Per-vector symmetric int8 quantization scale: 127 / max|x| (1 for the
+    * zero vector). Quantized ANN keeps 4× more vectors in executor memory
+    * at a ~1e-2 cosine error — the standard memory-bound trade.
+    */
+  def int8Scale(v: Column): Column =
+    lit(127.0d) / greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-12d))
+
+  /** The int8-quantized vector under `scale` (round-half-up via
+    * floor(x·s + ½) — an op order DuckDB/ANSI SQL reproduce bit-exactly,
+    * unlike engine-native round() tie behavior).
+    */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x => floor(x.cast("double") * scale + lit(0.5d)).cast("int"))
+
+  /** Dequantized copy (for error measurement / mixed-precision rescoring). */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") / scale)
+
   /** Brute-force cosine top-k: for every row of `queries` (small — it is
     * broadcast), the k nearest rows of `corpus` by cosine. Returns
     * (query_id, neighbor_id, cosine, rank). Excludes self-matches.

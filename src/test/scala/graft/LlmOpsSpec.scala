@@ -207,6 +207,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.select("id_a", "id_b").as[(Long, Long)].collect().toSet.contains((1L, 100L)))
   }
 
+  test("int8 quantization keeps cosine within 1% on real embeddings") {
+    import graft.functions.VectorFunctions
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+      .withColumn("sc", VectorFunctions.int8Scale(col("embedding")))
+    val minCos = e.select(
+      VectorFunctions.cosine(
+        transform(col("embedding"), x => x.cast("double")),
+        VectorFunctions.int8Dequantize(
+          VectorFunctions.int8Quantize(col("embedding"), col("sc")), col("sc")))
+        .as("c"))
+      .agg(min(col("c"))).as[Double].head()
+    assert(minCos >= 0.99, s"dequantized cosine dropped to $minCos")
+  }
+
   test("decontaminate drops docs sharing a benchmark n-gram, keeps the rest") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
