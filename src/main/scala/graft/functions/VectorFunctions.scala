@@ -82,6 +82,43 @@ object VectorFunctions {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Two-stage quantized ANN: rank with the int8-quantized vectors first
+    * (the corpus representation a memory-bound deployment actually holds —
+    * 4× smaller; cosine is scale-invariant, so ranking quantized vectors
+    * needs no dequantization), keep `k × rescoreFactor` candidates per
+    * query, then rescore those exactly against the full-precision vectors.
+    * Same output contract as `bruteForceTopK`. The quantized arrays are
+    * widened to double once per row in the projection — never per pair —
+    * so both stages run the compiled cosine kernel.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, rescoreFactor: Int = 4): DataFrame = {
+    // element-wise widening (never a whole-array cast, which Catalyst would
+    // push into the vectorized parquet reader where float->double coercion
+    // is unsupported); cosine is scale-invariant so the quantized stage
+    // ranks correctly without dequantization
+    def quantized(df: DataFrame, id: String, vec: String, qcol: String): DataFrame =
+      df.select(col(idCol).as(id),
+        transform(col(vecCol), x => x.cast("double")).as(vec),
+        transform(int8Quantize(col(vecCol), int8Scale(col(vecCol))),
+          x => x.cast("double")).as(qcol))
+    val c = quantized(corpus, "neighbor_id", "__cv", "__cq")
+    val q = quantized(queries, "query_id", "__qv", "__qq")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ac").desc, col("neighbor_id").asc)
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__ac", cosine(col("__qq"), col("__cq")))
+      .withColumn("__ar", row_number().over(wApprox))
+      .filter(col("__ar") <= k * rescoreFactor)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** The hyperplane matrix for sign-LSH as a single plan literal:
     * `bits` rows of `dim` pseudo-random Gaussian components (deterministic
     * per seed).

@@ -98,4 +98,19 @@ class RecallSpec extends SparkSpec {
       .filter(col("neighbor_id") === col("query_id") + 100000L)
     assert(ivf.count() == 30)
   }
+
+  test("quantized two-stage ANN recall@5 vs exact brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val embD = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = VectorFunctions
+      .bruteForceTopK(embD, embD.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = VectorFunctions
+      .quantizedTopK(emb, queries, "vec_id", "embedding", k = 5, rescoreFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@5 = $recall")
+  }
 }
