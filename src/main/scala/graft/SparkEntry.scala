@@ -704,6 +704,17 @@ object SparkEntry {
       e.select(col("vec_id"),
         posexplode(slice(VectorFunctions.int8Quantize(col("embedding"), col("sc")), 1, 4)))
         .toDF("vec_id", "pos", "q")
+    }),
+    "q84_asof_forward" -> ((s, d) => {
+      // forward as-of: each view matched to the EARLIEST purchase at or
+      // after it (same join-free one-shuffle plan on a negated axis)
+      val ev = t(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.operators.Joins.asofJoin(views, purchases, "user_id", "ts", "ts",
+        Seq("purchase_value"), direction = "forward").drop("ts")
     }))
 
   // =====================================================================
@@ -966,7 +977,12 @@ object SparkEntry {
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
         "s AS (SELECT vec_id, v, 127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS sc FROM e), " +
         "q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * sc + 0.5) AS INTEGER)) AS qv FROM s) " +
-        "SELECT vec_id, CAST(t.pos AS INTEGER) AS pos, qv[t.pos + 1] AS q FROM q, range(4) t(pos)"))
+        "SELECT vec_id, CAST(t.pos AS INTEGER) AS pos, qv[t.pos + 1] AS q FROM q, range(4) t(pos)"),
+    "q84_asof_forward" ->
+      ("WITH v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase') " +
+        "SELECT v.event_id, v.user_id, v.value, p.purchase_value " +
+        "FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

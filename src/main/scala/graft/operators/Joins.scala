@@ -36,22 +36,36 @@ object Joins {
     case _                                => col(c).cast(LongType)
   }
 
+  /** `direction`: "backward" (latest right with rightTime <= leftTime — the
+    * default, pandas/kdb semantics) or "forward" (EARLIEST right with
+    * rightTime >= leftTime). Forward is the same one-shuffle composition on
+    * a NEGATED time axis: ordering flips, equality still matches, and the
+    * tolerance check `t - rt <= tol` on negated values is exactly
+    * `rt - t <= tol` — no second code path to maintain.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, leftTime: String, rightTime: String,
                payload: Seq[String],
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    val sign = direction match {
+      case "backward" => lit(1L)
+      case "forward"  => lit(-1L)
+      case other => throw new IllegalArgumentException(
+        s"asofJoin: direction must be backward|forward, got '$other'")
+    }
     val leftCols = left.columns.toSeq
     val l = left
-      .withColumn("__t", timeAxis(left, leftTime))
+      .withColumn("__t", timeAxis(left, leftTime) * sign)
       .withColumn("__src", lit(1))
       .withColumn("__rv", lit(null).cast(StructType(
         StructField("__rt", LongType) +:
           payload.map(p => right.schema(p).copy(name = p)))))
     val r = right.select(
       (Seq(col(key),
-        timeAxis(right, rightTime).as("__t"),
+        (timeAxis(right, rightTime) * sign).as("__t"),
         lit(0).as("__src"),
-        struct((timeAxis(right, rightTime).as("__rt") +: payload.map(col)): _*).as("__rv")) ++
+        struct(((timeAxis(right, rightTime) * sign).as("__rt") +: payload.map(col)): _*).as("__rv")) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val unioned = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__src"))

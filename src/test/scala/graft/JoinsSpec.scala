@@ -29,6 +29,25 @@ class JoinsSpec extends SparkSpec {
     assert(m(100) == None)      // distance 1 > 0
   }
 
+  test("forward asof join: earliest right at-or-after each left row") {
+    val out = Joins.asofJoin(left, right, "k", "t", "t", Seq("rv"),
+      direction = "forward")
+    val m = out.select("lv", "rv").as[(Int, Option[String])].collect().toMap
+    assert(m(100) == Some("y"))  // t=5 -> next right t=9
+    assert(m(101) == None)       // t=10 -> nothing after
+    assert(m(102) == Some("x"))  // t=1 -> next right t=4
+    assert(m(103) == Some("x"))  // exact match t=4 still matches forward
+    assert(m(104) == Some("z"))  // b: t=7 -> right t=8
+  }
+
+  test("forward asof join respects tolerance") {
+    val out = Joins.asofJoin(left, right, "k", "t", "t", Seq("rv"),
+      tolerance = Some(1L), direction = "forward")
+    val m = out.select("lv", "rv").as[(Int, Option[String])].collect().toMap
+    assert(m(104) == Some("z")) // gap 1 within tol
+    assert(m(100) == None)      // gap 4 > 1
+  }
+
   test("asof join stays one-shuffle shaped (no join node, one window)") {
     val plan = Joins.asofJoin(left, right, "k", "t", "t", Seq("rv"))
       .queryExecution.optimizedPlan.toString
