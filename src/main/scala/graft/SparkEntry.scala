@@ -715,6 +715,31 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
       graft.operators.Joins.asofJoin(views, purchases, "user_id", "ts", "ts",
         Seq("purchase_value"), direction = "forward").drop("ts")
+    }),
+    "q85_txt_roundtrip" -> ((s, d) => {
+      // txt sink + pull: whole line <-> single text column (§2.1/2.2)
+      val out = tmpDir() + "/roundtrip_txt"
+      import s.implicits._
+      Sinks.push(Seq("first line", "second line", "third line").toDF("text"),
+        out, format = Some("txt"))
+      Pull(s, out + "/part*.txt").orderBy("text")
+    }),
+    "q86_xlsx_roundtrip" -> ((s, d) => {
+      // xlsx write + read (§2.1/2.2): values survive the OOXML roundtrip
+      // as strings (xlsx read is schema-less by design, like the reference)
+      val out = tmpDir() + "/roundtrip.xlsx"
+      import s.implicits._
+      graft.sinks.Xlsx.write(
+        Seq((1L, "alpha", 1.5), (2L, "beta", 2.0)).toDF("id", "name", "score"), out)
+      graft.sinks.Xlsx.read(s, out)
+    }),
+    "q87_mojibake" -> ((s, d) => {
+      // charset repair (§2.10): UTF-8 read as latin-1 -> re-encoded back;
+      // expected outputs stated independently in the oracle
+      import s.implicits._
+      Seq(("cafÃ©", 1L), ("naÃ¯ve", 2L), ("already clean", 3L))
+        .toDF("broken", "id")
+        .select(col("id"), TextFunctions.fixMojibake(col("broken")).as("fixed"))
     }))
 
   // =====================================================================
@@ -982,7 +1007,14 @@ object SparkEntry {
       ("WITH v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'), " +
         "p AS (SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase') " +
         "SELECT v.event_id, v.user_id, v.value, p.purchase_value " +
-        "FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts"))
+        "FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts"),
+    "q85_txt_roundtrip" ->
+      "SELECT * FROM (VALUES ('first line'), ('second line'), ('third line')) AS t(text)",
+    "q86_xlsx_roundtrip" ->
+      "SELECT * FROM (VALUES ('1', 'alpha', '1.5'), ('2', 'beta', '2.0')) AS t(id, name, score)",
+    "q87_mojibake" ->
+      ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'café'), (2, 'naïve'), " +
+        "(3, 'already clean')) AS t(id, fixed)"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized
