@@ -740,6 +740,28 @@ object SparkEntry {
       Seq(("cafÃ©", 1L), ("naÃ¯ve", 2L), ("already clean", 3L))
         .toDF("broken", "id")
         .select(col("id"), TextFunctions.fixMojibake(col("broken")).as("fixed"))
+    }),
+    "q88_jdbc_roundtrip" -> ((s, d) => {
+      // real JDBC engine (embedded Derby from the Spark jars): DDL ->
+      // insert -> idempotent partition delete+reload -> read back (§2.1/2.2
+      // pull_sql/push_sql; the reference's test_sql.py shape)
+      import s.implicits._
+      val base = tmpDir() + "/q88_derby"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val url = s"jdbc:derby:$base/db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute(graft.sources.Jdbc.createTableDdl("events88", Seq("day", "k", "v")))
+        st.close()
+      } finally conn.close()
+      val day1 = Seq(("2024-01-01", "a", "1"), ("2024-01-01", "b", "2")).toDF("day", "k", "v")
+      val day2 = Seq(("2024-01-02", "c", "3")).toDF("day", "k", "v")
+      graft.sources.Jdbc.pushSql(day1, url, "events88")
+      graft.sources.Jdbc.pushSql(day2, url, "events88")
+      graft.sources.Jdbc.pushSql(day1, url, "events88",
+        deletePartition = Some(Map("day" -> "2024-01-01")))
+      graft.sources.Jdbc.pullSql(s, url, "events88")
     }))
 
   // =====================================================================
@@ -1014,7 +1036,10 @@ object SparkEntry {
       "SELECT * FROM (VALUES ('1', 'alpha', '1.5'), ('2', 'beta', '2.0')) AS t(id, name, score)",
     "q87_mojibake" ->
       ("SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'café'), (2, 'naïve'), " +
-        "(3, 'already clean')) AS t(id, fixed)"))
+        "(3, 'already clean')) AS t(id, fixed)"),
+    "q88_jdbc_roundtrip" ->
+      ("SELECT * FROM (VALUES ('2024-01-01', 'a', '1'), ('2024-01-01', 'b', '2'), " +
+        "('2024-01-02', 'c', '3')) AS t(day, k, v)"))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized
