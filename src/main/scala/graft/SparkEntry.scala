@@ -762,6 +762,23 @@ object SparkEntry {
       graft.sources.Jdbc.pushSql(day1, url, "events88",
         deletePartition = Some(Map("day" -> "2024-01-01")))
       graft.sources.Jdbc.pullSql(s, url, "events88")
+    }),
+    "q89_http_pull" -> ((s, d) => {
+      // protocol-http pull through a loopback server (zero egress): the
+      // spool is eager, so the server stops before the frame returns
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val body = "a,b\n7,x\n8,y\n".getBytes("UTF-8")
+      server.createContext("/data.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getResponseHeaders.set("Content-Type", "text/csv")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server.start()
+      try graft.sources.Protocols.pull(s,
+        s"http://127.0.0.1:${server.getAddress.getPort}/data.csv")
+      finally server.stop(0)
     }))
 
   // =====================================================================
@@ -1039,7 +1056,9 @@ object SparkEntry {
         "(3, 'already clean')) AS t(id, fixed)"),
     "q88_jdbc_roundtrip" ->
       ("SELECT * FROM (VALUES ('2024-01-01', 'a', '1'), ('2024-01-01', 'b', '2'), " +
-        "('2024-01-02', 'c', '3')) AS t(day, k, v)"))
+        "('2024-01-02', 'c', '3')) AS t(day, k, v)"),
+    "q89_http_pull" ->
+      "SELECT * FROM (VALUES ('7', 'x'), ('8', 'y')) AS t(a, b)")
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized
