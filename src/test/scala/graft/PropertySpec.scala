@@ -146,4 +146,56 @@ class PropertySpec extends SparkSpec {
     assert(agree12 == 64) // jaccard 1.0
     assert(agree13 < 16)  // jaccard 0.0, allow chance collisions
   }
+
+  test("int8 quantization stays in [-127,127] and inverts within half a step") {
+    forAll(Gen.listOfN(16, Gen.chooseNum(-1e3f, 1e3f)), n = 15) { xs =>
+      whenever(xs.exists(_ != 0.0f)) {
+        val df = Seq(Tuple1(xs)).toDF("v")
+          .withColumn("sc", VectorFunctions.int8Scale(col("v")))
+        val (q, sc) = df.select(
+          VectorFunctions.int8Quantize(col("v"), col("sc")), col("sc"))
+          .as[(Seq[Int], Double)].head()
+        assert(q.forall(x => x >= -127 && x <= 127), s"out of range: $q")
+        // dequantized error bounded by half a quantization step
+        val deq = q.map(_ / sc)
+        xs.zip(deq).foreach { case (orig, d) =>
+          assert(math.abs(orig - d) <= 0.5 / sc + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("topKExact counts equal the exact groupBy for any multiset") {
+    forAll(Gen.listOfN(200, Gen.choose(0, 30)), n = 5) { xs =>
+      val df = spark.sparkContext.parallelize(xs.map(i => s"t$i"), 4).toDF("t")
+      // capacity >= distinct count: the exactness contract holds for ANY
+      // multiset (the eviction path under capacity pressure is covered by
+      // SketchesSpec's Zipf case, where the frequency bound is satisfied)
+      val got = graft.operators.Sketches
+        .topKExact(df, col("t"), k = 5, capacity = 64)
+        .as[(String, Long)].collect().toSeq
+      val want = xs.groupBy(i => s"t$i").view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(5)
+      assert(got == want)
+    }
+  }
+
+  test("packing: offsets bounded by budget, token counts preserved") {
+    forAll(Gen.listOfN(20, Gen.choose(1, 900)), n = 10) { toks =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t.toLong) }
+        .toDF("id", "tok")
+      val out = graft.operators.Packing
+        .packSequences(docs, "id", "id", col("tok"), budget = 256)
+      // degenerate shard-per-doc: every doc starts its own stream at seq 0
+      assert(out.filter(col("seq_id") =!= 0 || col("seq_offset") =!= 0).count() == 0)
+      val packed = graft.operators.Packing.packSequences(
+        docs.withColumn("shard", lit("s")), "shard", "id", col("tok"), budget = 256)
+        .select("id", "seq_id", "seq_offset", "n_tokens")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(packed.forall { case (_, sid, off, _) => sid >= 0 && off >= 0 && off < 256 })
+      // seq ids non-decreasing along the order, token counts preserved
+      assert(packed.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      assert(packed.map(_._4).toSeq == toks.map(_.toLong))
+    }
+  }
 }
