@@ -779,7 +779,11 @@ object SparkEntry {
       try graft.sources.Protocols.pull(s,
         s"http://127.0.0.1:${server.getAddress.getPort}/data.csv")
       finally server.stop(0)
-    }))
+    }),
+    "q90_lm_quality" -> ((s, d) =>
+      // CCNet-style statistical quality: mean corpus frequency of each
+      // doc's char trigrams (integer-exact aggregates, one final division)
+      TextFunctions.corpusFrequencyScore(t(s, d, "documents"), "doc_id", "text")))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1058,7 +1062,16 @@ object SparkEntry {
       ("SELECT * FROM (VALUES ('2024-01-01', 'a', '1'), ('2024-01-01', 'b', '2'), " +
         "('2024-01-02', 'c', '3')) AS t(day, k, v)"),
     "q89_http_pull" ->
-      "SELECT * FROM (VALUES ('7', 'x'), ('8', 'y')) AS t(a, b)")
+      "SELECT * FROM (VALUES ('7', 'x'), ('8', 'y')) AS t(a, b)",
+    "q90_lm_quality" ->
+      (s"""WITH s AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS tx FROM documents),
+tris AS (SELECT doc_id, CASE WHEN length(tx) < 3 THEN [tx]
+  ELSE list_transform(range(0, length(tx) - 2), i -> substr(tx, i + 1, 3)) END AS gs FROM s),
+e AS (SELECT doc_id, unnest(gs) AS g FROM tris),
+c AS (SELECT g, count(*) AS c FROM e GROUP BY g)
+SELECT doc_id, count(*) AS n_grams, CAST(SUM(c) AS BIGINT) AS freq_sum,
+  CAST(SUM(c) AS DOUBLE) / count(*) AS mean_freq
+FROM e JOIN c USING (g) GROUP BY doc_id"""))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

@@ -205,6 +205,30 @@ object TextFunctions {
     regexp_replace(ip, "\\+[0-9]{7,15}\\b", "<PHONE>")
   }
 
+  /** Corpus-statistical quality score, the CCNet-style perplexity-proxy
+    * filter: how typical is each document's character-n-gram distribution
+    * of the corpus it sits in? Gibberish / non-linguistic docs are built
+    * from rare n-grams and score low. The statistic is the MEAN CORPUS
+    * FREQUENCY of the doc's char n-grams — integer aggregates plus one
+    * final division, so results are bit-exact across engines (a log-space
+    * average would accumulate doubles in partition order and diverge in
+    * the last ulp).
+    *
+    * Scale shape: the n-gram count table is bounded by |charset|^n (tens of
+    * thousands of rows regardless of corpus size) and broadcasts; the
+    * per-doc pass is explode → broadcast-join → per-doc aggregate. One
+    * shuffle, keyed on doc ids only.
+    */
+  def corpusFrequencyScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val tris = docs.select(col(idCol), explode(charNgrams(col(textCol), n)).as("__g"))
+    val counts = tris.groupBy("__g").agg(count(lit(1)).as("__c"))
+    tris.join(broadcast(counts), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__c")).as("freq_sum"))
+      .withColumn("mean_freq", col("freq_sum").cast(DoubleType) / col("n_grams"))
+  }
+
   /** Per-document top-k terms by term frequency, with corpus document
     * frequency attached — the integer core of TF-IDF (idf weighting is a
     * consumer-side log over df; kept out so results stay engine-exact).

@@ -221,6 +221,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(minCos >= 0.99, s"dequantized cosine dropped to $minCos")
   }
 
+  test("corpus-frequency score ranks gibberish below natural text") {
+    val docs = (1L to 8L).map(i => (i, s"the quick brown fox jumps over the lazy dog number $i")) :+
+      (99L, "qzx jvk wpf bqm zzt xkj vvq")
+    val scored = graft.functions.TextFunctions
+      .corpusFrequencyScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "mean_freq").as[(Long, Double)].collect().toMap
+    val naturalMin = (1L to 8L).map(scored).min
+    assert(scored(99L) < naturalMin,
+      s"gibberish ${scored(99L)} should score below natural min $naturalMin")
+  }
+
   test("decontaminate drops docs sharing a benchmark n-gram, keeps the rest") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
