@@ -21,6 +21,8 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private val derbySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def tmpDir(): String = {
     val d = "/root/repo/target/tmp"
     new java.io.File(d).mkdirs(); d
@@ -746,7 +748,10 @@ object SparkEntry {
       // insert -> idempotent partition delete+reload -> read back (§2.1/2.2
       // pull_sql/push_sql; the reference's test_sql.py shape)
       import s.implicits._
-      val base = tmpDir() + "/q88_derby"
+      // unique db per invocation: embedded Derby keeps a database BOOTED
+      // for the JVM's life, so re-running against a deleted-then-recreated
+      // directory fails — the bench's min-of-2 protocol hit exactly that
+      val base = tmpDir() + s"/q88_derby_${derbySeq.incrementAndGet()}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val url = s"jdbc:derby:$base/db;create=true"
       val conn = java.sql.DriverManager.getConnection(url)

