@@ -39,6 +39,12 @@ object TextFunctions {
   /** Character n-grams of the normalized string (for language ID / fuzzy
     * matching). Normalization: lowercase, collapse whitespace.
     */
+  /** PERF CAVEAT: the normalization subexpression is referenced inside the
+    * transform lambda and Catalyst does NOT CSE across lambda boundaries —
+    * passing a computed expression re-evaluates it per element (one regex
+    * per character). For hot paths, project the normalized string to a
+    * column first and pass that attribute (see corpusFrequencyScore).
+    */
   def charNgrams(text: Column, n: Int): Column = {
     val s = lower(regexp_replace(trim(text), "\\s+", " "))
     when(length(s) < n, array(s))
