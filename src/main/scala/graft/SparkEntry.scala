@@ -636,7 +636,7 @@ object SparkEntry {
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         .filter(length(col("term")) > 0)
       graft.operators.Sketches.topKExact(toks, col("term"), k = 20, capacity = 1024)
-        .select(col("item").as("term"), col("cnt"))
+        .select(col("item").as("term"), col("cnt"), col("exact_guaranteed"))
     }),
     "q77_salted_join" -> ((s, d) => {
       // salted fact-dim join must equal the plain inner join; salt spread
@@ -1010,8 +1010,10 @@ object SparkEntry {
     "q76_heavy_hitters" ->
       ("WITH terms AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
         "FROM documents), " +
-        "c AS (SELECT term, count(*) AS cnt FROM terms WHERE length(term) > 0 GROUP BY 1) " +
-        "SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20"),
+        "c AS (SELECT term, count(*) AS cnt FROM terms WHERE length(term) > 0 GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM terms WHERE length(term) > 0) " +
+        "SELECT term, cnt, cnt > n / 1024.0 AS exact_guaranteed FROM c, n " +
+        "ORDER BY cnt DESC, term LIMIT 20"),
     "q77_salted_join" ->
       ("SELECT s_nationkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
         "count(*) AS cnt FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +

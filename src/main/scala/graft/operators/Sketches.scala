@@ -39,10 +39,15 @@ object Sketches {
       .filter(col("item").isNotNull)
     val spark = items.sparkSession
     import spark.implicits._
+    // Each partition emits its MG summary plus ONE null-item row carrying
+    // the processed-row count, so the true N comes out of the same scan —
+    // needed below to make the containment guarantee checkable per row.
     val partials = items.as[String].mapPartitions { it =>
       val mg = scala.collection.mutable.HashMap.empty[String, Long]
+      var processed = 0L
       while (it.hasNext) {
         val x = it.next()
+        processed += 1L
         mg.get(x) match {
           case Some(c) => mg.update(x, c + 1L)
           case None =>
@@ -56,11 +61,21 @@ object Sketches {
             }
         }
       }
-      mg.iterator
-    }.toDF("item", "est")
-    val candidates = partials.groupBy("item").agg(sum("est")).select("item")
+      mg.iterator.map { case (i, e) => (Option(i), e) } ++
+        Iterator((Option.empty[String], processed))
+    }.toDF("item", "est").localCheckpoint() // one scan feeds N + candidates
+    val n = partials.filter(col("item").isNull)
+      .agg(coalesce(sum("est"), lit(0L))).as[Long].head()
+    val candidates = partials.filter(col("item").isNotNull)
+      .groupBy("item").agg(sum("est")).select("item")
+    // `exact_guaranteed`: cnt > N/capacity is the MG containment bound — a
+    // row satisfying it PROVABLY belongs to the true top-k set; a false on
+    // a returned row means the tail order below that count is unverified
+    // (raise capacity). The guarantee is self-describing instead of silent.
     items.join(broadcast(candidates), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .withColumn("exact_guaranteed",
+        col("cnt") > lit(n.toDouble / capacity))
       .orderBy(col("cnt").desc, col("item"))
       .limit(k)
   }

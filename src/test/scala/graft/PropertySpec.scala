@@ -173,7 +173,7 @@ class PropertySpec extends SparkSpec {
       // SketchesSpec's Zipf case, where the frequency bound is satisfied)
       val got = graft.operators.Sketches
         .topKExact(df, col("t"), k = 5, capacity = 64)
-        .as[(String, Long)].collect().toSeq
+        .select("item", "cnt").as[(String, Long)].collect().toSeq
       val want = xs.groupBy(i => s"t$i").view.mapValues(_.size.toLong).toSeq
         .sortBy { case (t, c) => (-c, t) }.take(5)
       assert(got == want)

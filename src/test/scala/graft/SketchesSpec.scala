@@ -13,8 +13,13 @@ class SketchesSpec extends SparkSpec {
   test("topKExact equals the exact groupBy top-k with capacity << distinct") {
     val data = zipf(400)
     val df = spark.sparkContext.parallelize(data, 8).toDF("term")
-    val got = Sketches.topKExact(df, col("term"), k = 10, capacity = 32)
-      .as[(String, Long)].collect().toSeq
+    val res = Sketches.topKExact(df, col("term"), k = 10, capacity = 32)
+    val got = res.select("item", "cnt").as[(String, Long)].collect().toSeq
+    // the guarantee flag is exactly the MG containment bound cnt > N/capacity
+    // (sufficient, not necessary: unflagged tail rows may still be correct —
+    // and here the full equality below proves they are)
+    res.select("cnt", "exact_guaranteed").as[(Long, Boolean)].collect()
+      .foreach { case (c, g) => assert(g == (c > data.length.toDouble / 32)) }
     val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .map { case (t, c) => (t, c) }
       .sortBy { case (t, c) => (-c, t) }.take(10)
@@ -25,7 +30,7 @@ class SketchesSpec extends SparkSpec {
     val data = Seq.fill(1000)("hot") ++ zipf(50)
     val df = spark.sparkContext.parallelize(data, 4).toDF("t")
     val top = Sketches.topKExact(df, col("t"), k = 1, capacity = 8)
-      .as[(String, Long)].head()
+      .select("item", "cnt").as[(String, Long)].head()
     assert(top == (("hot", 1000L))) // zipf noise never contains "hot"
   }
 
