@@ -125,6 +125,19 @@ object NearDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-dup dedup: minhash-LSH pairs fed through connected
+    * components, keeping the min-id representative of each CLUSTER (the
+    * greedy pairwise rule above is not transitive — a chain a–b, b–c with
+    * no a–c pair keeps both a and c). Costs the CC label loop on top of
+    * pair generation; the edge relation is id-only and tiny relative to
+    * the corpus.
+    */
+  def minhashDedupCC(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, numPerms: Int = 32,
+                     bands: Int = 8, threshold: Double = 0.7): DataFrame =
+    Clustering.dedupByComponents(df, idCol,
+      minhashPairs(df, idCol, textCol, shingleSize, numPerms, bands, threshold))
+
   /** 64-bit SimHash over token xxhash64 values: bit j of the result is 1 when
     * the sum over tokens of ±1 (by bit j of the token hash) is positive.
     * Native codegen'd expression (graft.expressions.SimHash64Expr): one

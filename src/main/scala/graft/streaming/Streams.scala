@@ -45,6 +45,21 @@ object Streams {
     events.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Declarative gap sessionization via the built-in `session_window`
+    * (preferred over custom state when plain windowed aggregates suffice —
+    * the engine's declarative-first rule): one output row per (key,
+    * session), where a session closes after `gap` of event-time silence
+    * past the watermark. Use `sessionize` (flatMapGroupsWithState) only
+    * when per-event custom logic inside the session is needed.
+    */
+  def sessionWindowAgg(events: DataFrame, timeCol: String, watermark: String,
+                       gap: String, keys: Seq[String],
+                       aggs: (String, org.apache.spark.sql.Column)*): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .groupBy((session_window(col(timeCol), gap) +: keys.map(col)): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+
   /** Watermarked stream-stream interval join — the attribution shape (e.g.
     * clicks joined to the impression they followed within `within`). Both
     * sides carry watermarks and the join predicate bounds right-time to

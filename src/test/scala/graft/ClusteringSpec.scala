@@ -50,6 +50,22 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.connectedComponents(pairs).count() == 0L)
   }
 
+  test("minhashDedupCC collapses a duplicate chain the greedy rule splits") {
+    // doc 2 is near-identical to 1, doc 3 near-identical to 2 — with no
+    // direct 1-3 pair required, the cluster must still keep only doc 1
+    val base = "the quick brown fox jumps over the lazy dog again and again for testing"
+    val docs = Seq(
+      (1L, base + " one"),
+      (2L, base + " two"),
+      (3L, base + " two extra"),
+      (50L, "completely different content about spark physical plans and shuffles"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.NearDedup
+      .minhashDedupCC(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 50L))
+  }
+
   test("closure property: survivors admit no qualifying pair (real corpus)") {
     // after component dedup, any qualifying pair between two survivors
     // would contradict the transitive closure — re-running pair generation

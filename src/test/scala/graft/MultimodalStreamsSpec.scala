@@ -213,6 +213,26 @@ class MultimodalStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window aggregation closes sessions on event-time gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user")
+    val agg = graft.streaming.Streams.sessionWindowAgg(
+      events, "ts", "10 minutes", "5 minutes", Seq("user"),
+      "events" -> count(lit(1)))
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode("complete").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:03:00"), 1L),
+        (ts("2024-01-01 00:30:00"), 1L)) // > 5 min silent -> new session
+      q.processAllAvailable()
+      val res = spark.sql("SELECT events FROM sesswin ORDER BY events").as[Long].collect().toSeq
+      assert(res == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming decontamination: stateless gram filter on an unbounded feed") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
