@@ -225,18 +225,27 @@ object TextFunctions {
     * per-doc pass is explode → broadcast-join → per-doc aggregate. One
     * shuffle, keyed on doc ids only.
     */
+  /** `materialize`: the gram stream feeds BOTH the count table and the
+    * per-doc join. Caching it (default) saves the second normalize+explode
+    * pass — right whenever the exploded stream fits cluster storage. At
+    * full corpus scale the gram stream is LARGER than the corpus, and
+    * recomputing a narrow projection beats caching a corpus-sized
+    * intermediate: pass `materialize = false` there.
+    */
   def corpusFrequencyScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                           textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+                           textCol: String, n: Int = 3,
+                           materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
     // The normalization (regexp_replace+lower) is materialized as a COLUMN
     // before the n-gram transform: expressions referenced inside a lambda
     // are re-evaluated per array element (no CSE across lambda boundaries),
     // which turns one regex per row into one per character. 18× at sf0.1.
-    val tris = docs
+    val exploded = docs
       .select(col(idCol), lower(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("__tx"))
       .select(col(idCol), explode(
         when(length(col("__tx")) < n, array(col("__tx")))
           .otherwise(transform(sequence(lit(0), length(col("__tx")) - n),
             i => col("__tx").substr(i + 1, lit(n))))).as("__g"))
+    val tris = if (materialize) exploded.localCheckpoint() else exploded
     val counts = tris.groupBy("__g").agg(count(lit(1)).as("__c"))
     tris.join(broadcast(counts), Seq("__g"))
       .groupBy(col(idCol))
