@@ -46,14 +46,18 @@ object Bench {
     // Key order matters: the harness capturing stdout keeps only a bounded
     // TAIL of the output, and with 70+ queries the line can outgrow that
     // buffer. Per-query timings go first (front-truncatable) and the
-    // headline total/errors go LAST so they always survive. 3-decimal
-    // rounding keeps the line short; -1.0 failure markers are preserved.
+    // headline total/errors go LAST so they always survive. 2-decimal
+    // per-query rounding keeps the line short; -1.0 failure markers are
+    // preserved. Locale.ROOT: the default-locale formatter would emit
+    // decimal COMMAS on comma-decimal locales and break the JSON.
+    def fmt(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.2f")
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else fmt(v, 2))
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":${f"$total%.3f"}}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":${fmt(total, 3)}}""")
     spark.stop()
   }
 }

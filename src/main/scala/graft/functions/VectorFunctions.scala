@@ -46,9 +46,12 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v))
 
-  /** Per-vector symmetric int8 quantization scale: 127 / max|x| (1 for the
-    * zero vector). Quantized ANN keeps 4× more vectors in executor memory
-    * at a ~1e-2 cosine error — the standard memory-bound trade.
+  /** Per-vector symmetric int8 quantization scale: 127 / max|x|. For the
+    * all-zero vector the max is floored at 1e-12, so the scale degenerates
+    * to 1.27e14 — the quantized output is still all zeros, but don't treat
+    * the scale itself as meaningful there. Quantized ANN keeps 4× more
+    * vectors in executor memory at a ~1e-2 cosine error — the standard
+    * memory-bound trade.
     */
   def int8Scale(v: Column): Column =
     lit(127.0d) / greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-12d))

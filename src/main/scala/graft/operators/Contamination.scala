@@ -44,7 +44,10 @@ object Contamination {
     */
   def decontaminateByGramSet(docs: DataFrame, textCol: String,
                              benchGrams: Seq[String], n: Int = 8): DataFrame =
-    docs.filter(!arrays_overlap(
+    // coalesce: NULL text -> NULL shingles -> NULL overlap, which a bare
+    // filter would DROP; null-text rows are uncontaminated by definition
+    // (matching the batch path, where they never produce gram rows)
+    docs.filter(coalesce(!arrays_overlap(
       graft.expressions.GraftFunctions.shingles(col(textCol), n),
-      typedLit(benchGrams)))
+      typedLit(benchGrams)), lit(true)))
 }

@@ -31,19 +31,25 @@ object Sinks {
            partitionBy: Seq[String] = Nil,
            ignoreIfExists: Boolean = false,
            options: Map[String, String] = Map.empty): Unit = {
-    val fmt = format.getOrElse(guessFormat(path))
     val mode = if (ignoreIfExists) SaveMode.Ignore else SaveMode.Overwrite
     var w = df.write.mode(mode).options(options)
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    fmt match {
-      case "csv" => w.option("header", options.getOrElse("header", "true"))
-        .option("timestampFormat", options.getOrElse("timestampFormat", TimestampFmt))
-        .csv(path)
-      case "txt" | "text" => w.text(path)
-      case "parquet"      => w.parquet(path)
-      case "json"         => w.json(path)
-      case other => throw new IllegalArgumentException(s"push: unknown format '$other'")
-    }
+    dispatch(w, format.getOrElse(guessFormat(path)), path, options)
+  }
+
+  /** Shared format dispatch for every writer path (push + partition
+    * reload): one place to add a format.
+    */
+  private def dispatch(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+                       fmt: String, path: String,
+                       options: Map[String, String]): Unit = fmt match {
+    case "csv" => w.option("header", options.getOrElse("header", "true"))
+      .option("timestampFormat", options.getOrElse("timestampFormat", TimestampFmt))
+      .csv(path)
+    case "txt" | "text" => w.text(path)
+    case "parquet"      => w.parquet(path)
+    case "json"         => w.json(path)
+    case other => throw new IllegalArgumentException(s"push: unknown format '$other'")
   }
 
   /** Idempotent partition reload — the file-side analogue of the
@@ -59,26 +65,14 @@ object Sinks {
                           format: Option[String] = None,
                           options: Map[String, String] = Map.empty): Unit = {
     require(partitionBy.nonEmpty, "pushPartitionReload needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try {
-      val w = df.write.mode(SaveMode.Overwrite).options(options)
-        .partitionBy(partitionBy: _*)
-      format.getOrElse(guessFormat(path)) match {
-        case "csv" => w.option("header", options.getOrElse("header", "true"))
-          .option("timestampFormat", options.getOrElse("timestampFormat", TimestampFmt))
-          .csv(path)
-        case "parquet" => w.parquet(path)
-        case "json"    => w.json(path)
-        case other => throw new IllegalArgumentException(
-          s"pushPartitionReload: unknown format '$other'")
-      }
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    // per-WRITE option, not the session conf: mutating the session conf
+    // races concurrent writers on the same SparkSession (a static-mode
+    // overwrite sneaking in wipes every partition absent from its frame)
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .options(options)
+      .partitionBy(partitionBy: _*)
+    dispatch(w, format.getOrElse(guessFormat(path)), path, options)
   }
 
   /** Extension → format guess (reference base.py:471-491). */

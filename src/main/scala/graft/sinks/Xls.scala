@@ -201,9 +201,14 @@ object Xls {
     // grbit) and whose globals carry no SST/LABELSST at all.
     val biff5 = wb.length >= 6 && le16(wb, 0) == 0x0809 &&
       le16(wb, 4) != 0 && le16(wb, 4) < 0x0600
-    // pass 1 (globals): SST strings + first BOUNDSHEET offset
+    // pass 1 (globals): SST strings + first BOUNDSHEET offset + CODEPAGE
     val sst = Seq.newBuilder[String]
     var sheetOffset = -1
+    // BIFF5 byte strings are in the workbook codepage (CODEPAGE record
+    // 0x0042); default to windows-1252 when absent or unmappable. 1200
+    // means UTF-16LE (BIFF8's marker — BIFF8 strings carry their own
+    // encoding flag, so it is ignored there).
+    var charset: java.nio.charset.Charset = Cp1252
     var i = 0
     var inGlobals = true
     while (inGlobals && i + 4 <= wb.length) {
@@ -217,6 +222,13 @@ object Xls {
           var k = 0
           while (k < unique) { sst += cur.readSstString(); k += 1 }
         case 0x0085 => if (sheetOffset < 0) sheetOffset = le32(wb, p) // BOUNDSHEET
+        case 0x0042 if len >= 2 => // CODEPAGE
+          val cp = le16(wb, p)
+          if (cp != 1200)
+            charset = try java.nio.charset.Charset.forName(s"windows-$cp")
+              catch { case _: Exception =>
+                try java.nio.charset.Charset.forName(s"cp$cp")
+                catch { case _: Exception => Cp1252 } }
         case 0x000A => inGlobals = false // EOF of globals substream
         case _ =>
       }
@@ -243,11 +255,11 @@ object Xls {
           put(le16(wb, p), le16(wb, p + 2), strings(le32(wb, p + 6)))
         case 0x0204 => // LABEL: BIFF8 unicode string / BIFF5 byte string
           if (biff5)
-            put(le16(wb, p), le16(wb, p + 2), new String(wb, p + 8, le16(wb, p + 6), Cp1252))
+            put(le16(wb, p), le16(wb, p + 2), new String(wb, p + 8, le16(wb, p + 6), charset))
           else
             put(le16(wb, p), le16(wb, p + 2), readString(wb, p + 6)._1)
         case 0x00D6 if biff5 => // RSTRING: LABEL layout + ignored format runs
-          put(le16(wb, p), le16(wb, p + 2), new String(wb, p + 8, le16(wb, p + 6), Cp1252))
+          put(le16(wb, p), le16(wb, p + 2), new String(wb, p + 8, le16(wb, p + 6), charset))
         case 0x0203 => // NUMBER: IEEE double
           val bits = (0 until 8).foldRight(0L)((k, acc) => (acc << 8) | (wb(p + 6 + k) & 0xFFL))
           put(le16(wb, p), le16(wb, p + 2), numStr(java.lang.Double.longBitsToDouble(bits)))

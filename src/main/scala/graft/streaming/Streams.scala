@@ -29,11 +29,13 @@ object Streams {
     */
   def windowedAgg(events: DataFrame, timeCol: String, watermark: String,
                   window_ : String, keys: Seq[String],
-                  aggs: (String, org.apache.spark.sql.Column)*): DataFrame =
+                  aggs: (String, org.apache.spark.sql.Column)*): DataFrame = {
+    require(aggs.nonEmpty, "windowedAgg needs at least one (name, aggregate) pair")
     events.withWatermark(timeCol, watermark)
       .groupBy((window(col(timeCol), window_) +: keys.map(col)): _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /** Streaming exact dedup bounded by a watermark: the streaming analogue of
     * the batch `dedup` — state holds only keys younger than the watermark,
@@ -54,11 +56,13 @@ object Streams {
     */
   def sessionWindowAgg(events: DataFrame, timeCol: String, watermark: String,
                        gap: String, keys: Seq[String],
-                       aggs: (String, org.apache.spark.sql.Column)*): DataFrame =
+                       aggs: (String, org.apache.spark.sql.Column)*): DataFrame = {
+    require(aggs.nonEmpty, "sessionWindowAgg needs at least one (name, aggregate) pair")
     events.withWatermark(timeCol, watermark)
       .groupBy((session_window(col(timeCol), gap) +: keys.map(col)): _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
 
   /** Watermarked stream-stream interval join — the attribution shape (e.g.
     * clicks joined to the impression they followed within `within`). Both

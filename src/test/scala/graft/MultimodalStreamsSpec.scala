@@ -244,10 +244,11 @@ class MultimodalStreamsSpec extends SparkSpec {
     try {
       mem.addData(
         (1L, "the quick brown fox appears here"),
-        (2L, "a perfectly clean training document text"))
+        (2L, "a perfectly clean training document text"),
+        (3L, null)) // null text is uncontaminated by definition, must survive
       q.processAllAvailable()
-      val ids = spark.sql("SELECT doc_id FROM decontam").as[Long].collect().toSeq
-      assert(ids == Seq(2L))
+      val ids = spark.sql("SELECT doc_id FROM decontam").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(2L, 3L))
     } finally q.stop()
   }
 
