@@ -788,7 +788,12 @@ object SparkEntry {
     "q90_lm_quality" -> ((s, d) =>
       // CCNet-style statistical quality: mean corpus frequency of each
       // doc's char trigrams (integer-exact aggregates, one final division)
-      TextFunctions.corpusFrequencyScore(t(s, d, "documents"), "doc_id", "text")))
+      TextFunctions.corpusFrequencyScore(t(s, d, "documents"), "doc_id", "text")),
+    "q91_profile" -> ((s, d) =>
+      // per-column profile; string/long columns only — double/timestamp
+      // min/max string renderings diverge between engines, oracle skips them
+      graft.operators.Profile.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1078,7 +1083,12 @@ e AS (SELECT doc_id, unnest(gs) AS g FROM tris),
 c AS (SELECT g, count(*) AS c FROM e GROUP BY g)
 SELECT doc_id, count(*) AS n_grams, CAST(SUM(c) AS BIGINT) AS freq_sum,
   CAST(SUM(c) AS DOUBLE) / count(*) AS mean_freq
-FROM e JOIN c USING (g) GROUP BY doc_id"""))
+FROM e JOIN c USING (g) GROUP BY doc_id"""),
+    "q91_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(c => s"SELECT '$c' AS \"column\", count(*) AS n, " +
+        s"count(*) - count($c) AS nulls, count(DISTINCT $c) AS n_distinct, " +
+        s"CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str FROM orders")
+      .mkString(" UNION ALL "))
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized

@@ -85,4 +85,20 @@ class CoreOpsSpec extends SparkSpec {
     val out = df.splitField("b", ":").orderBy("b")
     assert(golden(out) == "a,b\r\n1,3\r\n1,4\r\n")
   }
+
+  test("profile: per-column n / nulls / distinct / native-order min-max") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some(10L), "b"), (Some(2L), "a"), (None, "a"))
+      .toDF("num", "s")
+    val p = graft.operators.Profile.profile(df)
+      .orderBy("column").collect().map(_.toSeq).toSeq
+    // native numeric order: min 2, max 10 (lexicographic would say "10" < "2")
+    assert(p == Seq(
+      Seq("num", 3L, 1L, 2L, "2", "10"),
+      Seq("s", 3L, 0L, 2L, "a", "b")))
+    // approx variant keeps the same shape with sketched distincts
+    val a = graft.operators.Profile.profile(df, Seq("s"), approxDistinct = true)
+      .select("n_distinct").as[Long].head()
+    assert(a >= 1L && a <= 3L)
+  }
 }
