@@ -793,7 +793,14 @@ object SparkEntry {
       // per-column profile; string/long columns only — double/timestamp
       // min/max string renderings diverge between engines, oracle skips them
       graft.operators.Profile.profile(t(s, d, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))))
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+    "q92_quantized_topk" -> ((s, d) => {
+      // the memory-bound ANN path, oracle-replayed end to end: int8 rank ->
+      // exact rescore (deterministic arithmetic, so DuckDB reproduces it)
+      val emb = t(s, d, "embeddings")
+      VectorFunctions.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, rescoreFactor = 4)
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1088,7 +1095,34 @@ FROM e JOIN c USING (g) GROUP BY doc_id"""),
       .map(c => s"SELECT '$c' AS \"column\", count(*) AS n, " +
         s"count(*) - count($c) AS nulls, count(DISTINCT $c) AS n_distinct, " +
         s"CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str FROM orders")
-      .mkString(" UNION ALL "))
+      .mkString(" UNION ALL "),
+    "q92_quantized_topk" -> quantizedTopkOracleSql)
+
+  /** DuckDB replay of the two-stage quantized ANN: same quantization
+    * arithmetic as q83, cosine on the quantized vectors for the candidate
+    * rank (scale-invariant, no dequantization), exact cosine rescoring of
+    * the k×4 candidates. Deterministic tie-breaks make the candidate sets
+    * engine-identical.
+    */
+  private lazy val quantizedTopkOracleSql: String = {
+    def cosine(a: String, b: String): String =
+      s"(CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x * x))) = 0.0 THEN 0.0 " +
+        s"ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) " +
+        s"/ (sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x * x)))) END)"
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, 127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS sc FROM e), " +
+      "qz AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * sc + 0.5) AS DOUBLE)) AS qv FROM s), " +
+      "cand AS (SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id, cc.v AS cv, qq.v AS qvf, " +
+      cosine("qq.qv", "cc.qv") + " AS ac " +
+      "FROM qz qq JOIN qz cc ON cc.vec_id <> qq.vec_id WHERE qq.vec_id < 5), " +
+      "top AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ac DESC, neighbor_id) AS ar FROM cand), " +
+      "resc AS (SELECT query_id, neighbor_id, " + cosine("qvf", "cv") + " AS c FROM top WHERE ar <= 20) " +
+      "SELECT query_id, neighbor_id, round(c, 6) AS cosine, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank " +
+      "FROM resc QUALIFY rank <= 5"
+  }
 
   /** Transitive closure of the q46 exact-jaccard pair relation: DuckDB
     * recursive CTE propagating the min reachable doc_id along symmetrized
