@@ -800,7 +800,13 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       VectorFunctions.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, rescoreFactor = 4)
-    }))
+    }),
+    "q93_minhash_portable" -> ((s, d) =>
+      // the FULL LSH pipeline on a portable md5 hash basis: hashing,
+      // seeded permutations, banding, candidate join, and jaccard verify
+      // are all replayed bit-for-bit by the DuckDB oracle (the native
+      // xxhash64 variant q47 stays the production path)
+      NearDedup.minhashPairsPortable(t(s, d, "documents"), "doc_id", "text")))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1096,7 +1102,38 @@ FROM e JOIN c USING (g) GROUP BY doc_id"""),
         s"count(*) - count($c) AS nulls, count(DISTINCT $c) AS n_distinct, " +
         s"CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str FROM orders")
       .mkString(" UNION ALL "),
-    "q92_quantized_topk" -> quantizedTopkOracleSql)
+    "q92_quantized_topk" -> quantizedTopkOracleSql,
+    "q93_minhash_portable" -> minhashPortableOracleSql)
+
+  /** DuckDB replay of the portable minhash pipeline — the permutation
+    * constants are generated by the SAME portablePerms call that built the
+    * Spark plan, so both engines compute identical signatures/band keys.
+    */
+  private lazy val minhashPortableOracleSql: String = {
+    val (as, bs) = graft.operators.NearDedup.portablePerms(32)
+    val permValues = (0 until 32).map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(", ")
+    s"""WITH perms(i, a, b) AS (SELECT * FROM (VALUES $permValues) AS v(i, a, b)),
+sh AS (SELECT doc_id, list_distinct(
+  CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+       THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
+       ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+         i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')) END) AS s
+  FROM documents),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hx AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
+  i -> (CAST(strpos('0123456789abcdef', substr(md5(g), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        << ((15 - CAST(i AS INTEGER)) * 4)))) AS BIGINT) % 2147483647 AS hm FROM ex),
+sig AS (SELECT doc_id, p.i, min((hm * p.a + p.b) % 2147483647) AS sig
+  FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
+bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bk
+  FROM sig GROUP BY doc_id, i // 4),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+j AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7"""
+  }
 
   /** DuckDB replay of the two-stage quantized ANN: same quantization
     * arithmetic as q83, cosine on the quantized vectors for the candidate

@@ -125,6 +125,65 @@ object NearDedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Portable-hash permutation constants: the SAME arrays parameterize the
+    * Spark plan and the external oracle SQL, so both engines compute
+    * identical signatures. p = 2^31-1 keeps a·h+b inside 2^62 (ANSI-safe).
+    */
+  val PortableP: Long = 2147483647L
+  def portablePerms(numPerms: Int, seed: Long = 42L): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Seq.fill(numPerms)(math.abs(rnd.nextLong()) % (PortableP - 1) + 1)
+    val bs = Seq.fill(numPerms)(math.abs(rnd.nextLong()) % PortableP)
+    (as, bs)
+  }
+
+  /** MinHash-LSH pairs on a PORTABLE hash basis: shingles hash through the
+    * first 60 bits of md5 (any engine can reproduce it — unlike xxhash64),
+    * permutations come from [[portablePerms]], and band keys are md5 of the
+    * comma-joined signature slice. Semantics and shape match
+    * [[minhashPairs]]; the price is md5 instead of the codegen'd xxhash64
+    * kernel, so the native variant remains the production path — this one
+    * exists so the WHOLE LSH pipeline (hashing, banding, candidate join,
+    * exact-jaccard verify) can be replayed and checked bit-for-bit by an
+    * external SQL engine.
+    */
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, numPerms: Int = 32,
+                           bands: Int = 8, threshold: Double = 0.7,
+                           seed: Long = 42L): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val rowsPerBand = numPerms / bands
+    val (as, bs) = portablePerms(numPerms, seed)
+    val sh = df.select(col(idCol).as("id"),
+      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+      .withColumn("hm",
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType) % PortableP)
+    val sigAggs = (0 until numPerms).map(i =>
+      min((col("hm") * as(i) + bs(i)) % PortableP).as(s"sig$i"))
+    val sigs = ex.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)).as("bk"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("q"))
+      .select(col("id"), col("q.band").as("band"), col("q.bk").as("bk"))
+    val aSide = banded.select(col("band"), col("bk"), col("id").as("id_a"))
+    val bSide = banded.select(col("band"), col("bk"), col("id").as("id_b"))
+    val cand = aSide.join(bSide, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Transitive near-dup dedup: minhash-LSH pairs fed through connected
     * components, keeping the min-id representative of each CLUSTER (the
     * greedy pairwise rule above is not transitive — a chain a–b, b–c with
