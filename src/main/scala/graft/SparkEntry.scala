@@ -806,7 +806,11 @@ object SparkEntry {
       // seeded permutations, banding, candidate join, and jaccard verify
       // are all replayed bit-for-bit by the DuckDB oracle (the native
       // xxhash64 variant q47 stays the production path)
-      NearDedup.minhashPairsPortable(t(s, d, "documents"), "doc_id", "text")))
+      NearDedup.minhashPairsPortable(t(s, d, "documents"), "doc_id", "text")),
+    "q94_simhash_portable" -> ((s, d) =>
+      // portable simhash: 60-bit majority-vote signatures over md5 token
+      // hashes, chunk bucketing + Hamming verify all replayed by the oracle
+      NearDedup.simhashPairsPortable(t(s, d, "documents"), "doc_id", "text")))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1103,7 +1107,23 @@ FROM e JOIN c USING (g) GROUP BY doc_id"""),
         s"CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str FROM orders")
       .mkString(" UNION ALL "),
     "q92_quantized_topk" -> quantizedTopkOracleSql,
-    "q93_minhash_portable" -> minhashPortableOracleSql)
+    "q93_minhash_portable" -> minhashPortableOracleSql,
+    "q94_simhash_portable" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+hx AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 16),
+  i -> (CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        << ((15 - CAST(i AS INTEGER)) * 4)))) AS BIGINT) AS h FROM tok),
+votes AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hx CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id),
+qr AS (SELECT doc_id, CAST(q AS INTEGER) AS q, (sig >> CAST(q * 15 AS INTEGER)) & 32767 AS qv
+  FROM sig CROSS JOIN range(4) r(q)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM qr a JOIN qr b ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id),
+h2 AS (SELECT id_a, id_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
+  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM h2 WHERE hamming <= 3""")
 
   /** DuckDB replay of the portable minhash pipeline — the permutation
     * constants are generated by the SAME portablePerms call that built the

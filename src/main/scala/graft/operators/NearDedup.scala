@@ -184,6 +184,40 @@ object NearDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SimHash pairs on the same portable md5 hash basis (see
+    * [[minhashPairsPortable]]): 60-bit signatures (bit 63 would collide
+    * with two's-complement sign handling across engines), majority vote
+    * per bit over token hashes, 4×15-bit chunk bucketing, Hamming verify.
+    * Tokenization is split-on-whitespace of the trimmed text — defined
+    * here, mirrored in the oracle.
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    val sig = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a + b).as("sig"))
+    val quarters = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 15).bitwiseAND(0x7FFFL).as("qv"))): _*)).as("c"))
+      .select(col("id"), col("sig"), col("c.q").as("q"), col("c.qv").as("qv"))
+    val aSide = quarters.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val bSide = quarters.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    aSide.join(bSide, Seq("q", "qv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Transitive near-dup dedup: minhash-LSH pairs fed through connected
     * components, keeping the min-id representative of each CLUSTER (the
     * greedy pairwise rule above is not transitive — a chain a–b, b–c with
