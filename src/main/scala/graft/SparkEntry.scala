@@ -810,7 +810,12 @@ object SparkEntry {
     "q94_simhash_portable" -> ((s, d) =>
       // portable simhash: 60-bit majority-vote signatures over md5 token
       // hashes, chunk bucketing + Hamming verify all replayed by the oracle
-      NearDedup.simhashPairsPortable(t(s, d, "documents"), "doc_id", "text")))
+      NearDedup.simhashPairsPortable(t(s, d, "documents"), "doc_id", "text")),
+    "q95_lsh_portable" -> ((s, d) =>
+      // sign-LSH bucketed embedding near-dup on shared plane literals —
+      // signatures, bucket join, and cosine verify all oracle-replayed
+      VectorFunctions.cosineNearDupPortable(t(s, d, "embeddings"),
+        "vec_id", "embedding", dim = 64, threshold = 0.25)))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1123,7 +1128,37 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM qr a JOIN qr b ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id),
 h2 AS (SELECT id_a, id_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
   FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
-SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM h2 WHERE hamming <= 3""")
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM h2 WHERE hamming <= 3""",
+    "q95_lsh_portable" -> lshPortableOracleSql)
+
+  /** DuckDB replay of the portable sign-LSH near-dup pipeline: plane
+    * literals from the same portablePlanes call as the Spark plan.
+    */
+  private lazy val lshPortableOracleSql: String = {
+    val bits = 6; val tables = 4
+    val planes = VectorFunctions.portablePlanes(64, bits, tables)
+    val planeValues = (0 until tables).flatMap { t =>
+      (0 until bits).map { b =>
+        s"($t, $b, [${planes(t * bits + b).mkString(", ")}])"
+      }
+    }.mkString(", ")
+    val cos = "(CASE WHEN sqrt(list_sum(list_transform(va, x -> x * x))) * " +
+      "sqrt(list_sum(list_transform(vb, x -> x * x))) = 0.0 THEN 0.0 " +
+      "ELSE list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2])) " +
+      "/ (sqrt(list_sum(list_transform(va, x -> x * x))) * " +
+      "sqrt(list_sum(list_transform(vb, x -> x * x)))) END)"
+    s"WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"planes(t, b, w) AS (SELECT * FROM (VALUES $planeValues) AS p(t, b, w)), " +
+      "dots AS (SELECT vec_id, t, b, list_sum(list_transform(list_zip(v, w), p -> p[1] * p[2])) AS d " +
+      "FROM emb CROSS JOIN planes), " +
+      "sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) " +
+      "ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig FROM dots GROUP BY vec_id, t), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id), " +
+      "pairs AS (SELECT id_a, id_b, ea.v AS va, eb.v AS vb FROM cand " +
+      "JOIN emb ea ON ea.vec_id = cand.id_a JOIN emb eb ON eb.vec_id = cand.id_b) " +
+      s"SELECT id_a, id_b, round($cos, 6) AS cosine FROM pairs WHERE $cos >= 0.25"
+  }
 
   /** DuckDB replay of the portable minhash pipeline — the permutation
     * constants are generated by the SAME portablePerms call that built the

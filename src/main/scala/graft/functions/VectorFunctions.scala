@@ -131,6 +131,53 @@ object VectorFunctions {
     typedLit(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
+  /** Plane values for the PORTABLE sign-LSH variant: one seeded RNG per
+    * table. The same sequence parameterizes the Spark plan and the
+    * generated oracle SQL, so both engines compute identical signatures
+    * (Double.toString round-trips exactly through SQL literals).
+    */
+  def portablePlanes(dim: Int, bits: Int, tables: Int,
+                     seed: Long = 7L): Seq[Seq[Double]] =
+    (0 until tables).flatMap { t =>
+      val rnd = new scala.util.Random(seed + t)
+      Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    }
+
+  /** Embedding near-dup pairs on the portable plane basis: signature =
+    * Σ_b [dot(v, plane_b) >= 0] << b per table via the sequential-fold HOF
+    * dot (mirrors SQL list_sum over list_zip exactly — the q50/q92
+    * precedent), bucket-join per (table, signature), exact-cosine verify.
+    * Same semantics as `cosineNearDupPairs`; exists so the whole
+    * bucketed-ANN pipeline is replayable by an external SQL engine.
+    */
+  def cosineNearDupPortable(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, threshold: Double,
+                            bits: Int = 6, tables: Int = 4,
+                            seed: Long = 7L): DataFrame = {
+    val planes = portablePlanes(dim, bits, tables, seed)
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val sigStructs = (0 until tables).map { t =>
+      val sig = (0 until bits).map { b =>
+        val d = dot(col("__v"), typedLit(planes(t * bits + b)))
+        when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), sig.as("sig"))
+    }
+    val bucketed = v.select(col("id"), explode(array(sigStructs: _*)).as("c"))
+      .select(col("id"), col("c.t").as("t"), col("c.sig").as("sig"))
+    val a = bucketed.select(col("t"), col("sig"), col("id").as("id_a"))
+    val b = bucketed.select(col("t"), col("sig"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("t", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vA = v.select(col("id").as("id_a"), col("__v").as("__va"))
+    val vB = v.select(col("id").as("id_b"), col("__v").as("__vb"))
+    cand.join(vA, Seq("id_a")).join(vB, Seq("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Random-hyperplane signature: `bits` sign bits of projections onto fixed
     * pseudo-random hyperplanes (Charikar 2002 — sign-LSH). Cosine-similar
     * vectors agree on most bits, so bucketing on the signature confines each
