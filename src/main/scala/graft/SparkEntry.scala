@@ -815,7 +815,14 @@ object SparkEntry {
       // sign-LSH bucketed embedding near-dup on shared plane literals —
       // signatures, bucket join, and cosine verify all oracle-replayed
       VectorFunctions.cosineNearDupPortable(t(s, d, "embeddings"),
-        "vec_id", "embedding", dim = 64, threshold = 0.25)))
+        "vec_id", "embedding", dim = 64, threshold = 0.25)),
+    "q96_ivf_portable" -> ((s, d) => {
+      // portable IVF: systematic centroid seed (id % 25 == 0), cosine
+      // assignment + probing, exact verify — fully oracle-replayed
+      val emb = t(s, d, "embeddings")
+      VectorFunctions.ivfTopKPortable(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1129,7 +1136,35 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 h2 AS (SELECT id_a, id_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
   FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
 SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM h2 WHERE hamming <= 3""",
-    "q95_lsh_portable" -> lshPortableOracleSql)
+    "q95_lsh_portable" -> lshPortableOracleSql,
+    "q96_ivf_portable" -> ivfPortableOracleSql)
+
+  /** DuckDB replay of the portable IVF pipeline (systematic centroid seed,
+    * cosine assignment/probing with deterministic tie-breaks).
+    */
+  private lazy val ivfPortableOracleSql: String = {
+    def cos(a: String, b: String): String =
+      s"(CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x * x))) = 0.0 THEN 0.0 " +
+        s"ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) " +
+        s"/ (sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x * x)))) END)"
+    "WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id % 25 = 0), " +
+      "assign0 AS (SELECT e.vec_id AS id, c.cid, e.v, " + cos("e.v", "c.cv") + " AS cs, " +
+      "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + cos("e.v", "c.cv") + " DESC, c.cid) AS rn " +
+      "FROM emb e CROSS JOIN cents c), " +
+      "assigned AS (SELECT id, cid AS cell, v FROM assign0 WHERE rn = 1), " +
+      "probes0 AS (SELECT q.vec_id AS query_id, c.cid, q.v AS qv, " +
+      "row_number() OVER (PARTITION BY q.vec_id ORDER BY " + cos("q.v", "c.cv") + " DESC, c.cid) AS rn " +
+      "FROM emb q CROSS JOIN cents c WHERE q.vec_id < 5), " +
+      "probes AS (SELECT query_id, qv, cid AS cell FROM probes0 WHERE rn <= 5), " +
+      "scored AS (SELECT p.query_id, a.id AS neighbor_id, " + cos("p.qv", "a.v") + " AS c " +
+      "FROM probes p JOIN assigned a ON a.cell = p.cell WHERE a.id <> p.query_id) " +
+      "SELECT query_id, neighbor_id, round(c, 6) AS cosine, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank " +
+      "FROM scored QUALIFY rank <= 5"
+  }
 
   /** DuckDB replay of the portable sign-LSH near-dup pipeline: plane
     * literals from the same portablePlanes call as the Spark plan.

@@ -143,6 +143,48 @@ object VectorFunctions {
       Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     }
 
+  /** IVF top-k on a PORTABLE basis: centroids are the corpus vectors whose
+    * id ≡ 0 (mod centroidEvery) — a deterministic systematic seed any
+    * engine reproduces (the production `ivfTopK` uses the better
+    * hash-spread sample + native kernel). Cell assignment and probing rank
+    * by cosine with (cosine desc, id) tie-breaks, so an external SQL
+    * replay is bit-identical end to end.
+    */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      centroidEvery: Int = 25, nProbe: Int = 5): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val cents = v.filter(col("id") % centroidEvery === 0)
+      .select(col("id").as("cid"), col("__v").as("__cv"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("__cs").desc, col("cid").asc)
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("__cs", cosine(col("__v"), col("__cv")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("cid").as("cell"), col("__v"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cs").desc, col("cid").asc)
+    val probes = qv.crossJoin(broadcast(cents))
+      .withColumn("__cs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumnRenamed("id", "neighbor_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-dup pairs on the portable plane basis: signature =
     * Σ_b [dot(v, plane_b) >= 0] << b per table via the sequential-fold HOF
     * dot (mirrors SQL list_sum over list_zip exactly — the q50/q92
