@@ -99,12 +99,13 @@ object VectorFunctions {
     // element-wise widening (never a whole-array cast, which Catalyst would
     // push into the vectorized parquet reader where float->double coercion
     // is unsupported); cosine is scale-invariant so the quantized stage
-    // ranks correctly without dequantization
-    def quantized(df: DataFrame, id: String, vec: String, qcol: String): DataFrame =
-      df.select(col(idCol).as(id),
-        transform(col(vecCol), x => x.cast("double")).as(vec),
+    // ranks correctly without dequantization. Params are the OUTPUT column
+    // names; the source columns are the enclosing idCol/vecCol.
+    def quantized(df: DataFrame, idAs: String, vecAs: String, qAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        transform(col(vecCol), x => x.cast("double")).as(vecAs),
         transform(int8Quantize(col(vecCol), int8Scale(col(vecCol))),
-          x => x.cast("double")).as(qcol))
+          x => x.cast("double")).as(qAs))
     val c = quantized(corpus, "neighbor_id", "__cv", "__cq")
     val q = quantized(queries, "query_id", "__qv", "__qq")
     val wApprox = Window.partitionBy(col("query_id"))
