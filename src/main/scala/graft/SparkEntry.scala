@@ -822,7 +822,32 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       VectorFunctions.ivfTopKPortable(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
-    }))
+    }),
+    "q97_dup_spans" -> ((s, d) =>
+      // span-level duplication stats (Lee et al. 2022 shape): per doc, how
+      // many word-8-grams also occur in other docs, and the longest
+      // consecutive duplicated run
+      graft.operators.SpanDedup.spanStats(t(s, d, "documents"),
+        "doc_id", "text", n = 8)),
+    "q98_hash_split" -> ((s, d) =>
+      // deterministic train/val/test tagging from the portable 60-bit md5
+      // hash of the id — re-runs and retries reproduce membership exactly
+      graft.operators.Sampling.hashSplit(t(s, d, "documents"), col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))),
+    "q99_domain_cap" -> ((s, d) =>
+      // anti-head-domination quota: keep <= 20 docs per source, ranked by
+      // the deterministic portable hash (a reproducible "random 20")
+      graft.operators.Sampling.capPerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), k = 20, tieBreak = col("doc_id"))
+        .select(col("doc_id"), col("source"), col("rk"))),
+    "q100_chunk_overlap" -> ((s, d) =>
+      // RAG-style sliding-window chunking: 64-token chunks, stride 48
+      // (16-token overlap); last partial chunk kept
+      graft.operators.Packing.chunkSliding(t(s, d, "documents"),
+        "doc_id", "text", chunkSize = 64, stride = 48)))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1137,7 +1162,49 @@ h2 AS (SELECT id_a, id_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
   FROM cand JOIN sig sa ON sa.doc_id = cand.id_a JOIN sig sb ON sb.doc_id = cand.id_b)
 SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM h2 WHERE hamming <= 3""",
     "q95_lsh_portable" -> lshPortableOracleSql,
-    "q96_ivf_portable" -> ivfPortableOracleSql)
+    "q96_ivf_portable" -> ivfPortableOracleSql,
+    "q97_dup_spans" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
+  FROM tk CROSS JOIN UNNEST(range(1, greatest(len(toks) - 8, 0) + 2)) AS r(i)),
+d AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT g.doc_id, g.pos, CASE WHEN d.g IS NULL THEN 0 ELSE 1 END AS dup
+  FROM g LEFT JOIN d ON g.g = d.g),
+p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(dup) AS BIGINT) AS n_dup
+  FROM m GROUP BY doc_id),
+runs AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m WHERE dup = 1),
+mr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_dup_run FROM
+  (SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY doc_id, grp) GROUP BY doc_id)
+SELECT p.doc_id, p.n_grams, p.n_dup, COALESCE(mr.max_dup_run, CAST(0 AS BIGINT)) AS max_dup_run
+FROM p LEFT JOIN mr USING (doc_id)""",
+    "q98_hash_split" ->
+      s"""WITH h AS (SELECT source, n_chars, ${portableHash60Sql("doc_id")} % 100 AS b FROM documents),
+s AS (SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+  source, n_chars FROM h)
+SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM s GROUP BY split, source""",
+    "q99_domain_cap" ->
+      s"""WITH h AS (SELECT doc_id, source, ${portableHash60Sql("doc_id")} AS hv FROM documents)
+SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM
+  (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk FROM h)
+WHERE rk <= 20""",
+    "q100_chunk_overlap" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+st AS (SELECT doc_id, toks, CAST(s AS BIGINT) AS tok_start, CAST(s // 48 AS BIGINT) AS chunk_id
+  FROM tk CROSS JOIN UNNEST(range(0, ((greatest(len(toks), 1) - 1) // 48) * 48 + 1, 48)) AS r(s))
+SELECT doc_id, chunk_id, tok_start, CAST(least(64, len(toks) - tok_start) AS BIGINT) AS n_toks,
+  array_to_string(toks[CAST(tok_start + 1 AS INTEGER):CAST(tok_start + 64 AS INTEGER)], ' ') AS chunk
+FROM st""")
+
+  /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
+    * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most
+    * significant, matching `conv(substring(md5(x),1,15),16,10)`).
+    */
+  private def portableHash60Sql(colName: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 16),
+  i -> (CAST(strpos('0123456789abcdef', substr(md5(CAST($colName AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        << ((15 - CAST(i AS INTEGER)) * 4)))) AS BIGINT)"""
 
   /** DuckDB replay of the portable IVF pipeline (systematic centroid seed,
     * cosine assignment/probing with deterministic tie-breaks).

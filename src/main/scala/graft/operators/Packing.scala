@@ -34,4 +34,34 @@ object Packing {
       .drop("__start")
       .withColumnRenamed("__tok", "n_tokens")
   }
+
+  /** Sliding-window chunking — the retrieval/embedding counterpart of
+    * `packSequences`: each document is cut into overlapping windows of
+    * `chunkSize` whitespace tokens whose starts step by `stride`
+    * (stride < chunkSize gives chunkSize - stride tokens of overlap, the
+    * standard RAG/embedding layout so no sentence is lost on a boundary).
+    * Emits (chunk_id, tok_start, n_toks, chunk) per window; the final
+    * window is partial when the document length is not aligned. Documents
+    * chunk independently — a narrow map + explode, no shuffle, no state —
+    * so this is embarrassingly parallel at any corpus size.
+    */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // Start positions 0, stride, 2*stride, ... strictly below the token
+    // count; the transform stays inside codegen and explode is the only
+    // row-multiplying step.
+    val lastStart = floor((size(toks) - 1).cast("double") / stride) * stride
+    val chunks = transform(
+      sequence(lit(0L), greatest(lastStart, lit(0L)), lit(stride.toLong)),
+      s => struct(
+        s.as("tok_start"),
+        least(lit(chunkSize.toLong), size(toks) - s).as("n_toks"),
+        concat_ws(" ", slice(toks, s.cast("int") + 1, lit(chunkSize))).as("chunk")))
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        col("c.tok_start"), col("c.n_toks"), col("c.chunk"))
+  }
 }

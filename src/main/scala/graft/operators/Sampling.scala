@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * Everything here is a pure function of a key column — no `rand()`. That is
+  * the property that matters at 100 TB: task retries, speculative execution,
+  * and AQE re-runs all re-execute partitions, and a stochastic sample would
+  * give each attempt a DIFFERENT subset (non-deterministic output, broken
+  * exactly-once sinks). A hash-derived sample is also stable across runs and
+  * machines, so train/val/test membership can be re-derived from the raw data
+  * at any time instead of being stored.
+  *
+  * The hash is the repo's portable 60-bit md5 fold (first 15 hex digits of
+  * md5), the same basis as the portable LSH twins — ANSI-SQL replayable, so
+  * split assignment can be audited from any engine that reads the same
+  * parquet.
+  */
+object Sampling {
+
+  /** First 60 bits of md5(key) as a non-negative long; uniform enough for
+    * percentage bucketing and replayable outside the JVM (unlike xxhash64).
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** Tag each row with a split label from `splits` — (name, percent) pairs
+    * whose percents must sum to 100. Assignment is `hash(key) % 100` against
+    * cumulative thresholds: a row's split NEVER changes when other rows are
+    * added or removed, and re-runs reproduce it bit-for-bit. A narrow map —
+    * no shuffle, no state.
+    */
+  def hashSplit(df: DataFrame, keyCol: Column,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got $splits")
+    val bucket = portableHash60(keyCol) % 100
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val labeled = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), rest) => when(bucket < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Keep at most `k` rows per group, ranked by the portable hash of
+    * `tieBreak` (then `tieBreak` itself, for full determinism on hash
+    * collisions) — a deterministic "random K per domain" quota, the standard
+    * anti-head-domination step in web-corpus curation. One shuffle on the
+    * group key; the window never sees more than one group per partition
+    * stream. For a corpus dominated by a handful of mega-groups, pre-filter
+    * with `hashSplit` to a small percent first so the skewed window stays
+    * bounded.
+    */
+  def capPerGroup(df: DataFrame, groupCol: Column, k: Int,
+                  tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(portableHash60(tieBreak), tieBreak)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

@@ -132,4 +132,59 @@ object Streams {
           }
         })
   }
+
+  /** One heavy-hitter candidate as of the latest trigger: `est` is the
+    * Misra-Gries counter (an UNDERcount), and est + err bounds the true
+    * count from above, where err = floor(processed/(capacity+1)) for the
+    * item's shard. Any item whose shard-local true count exceeds err is
+    * guaranteed present.
+    */
+  case class HeavyHitter(shard: Int, item: String, est: Long, err: Long)
+
+  /** Streaming heavy hitters — the unbounded-feed counterpart of
+    * `Sketches.topKExact`: each shard keeps a Misra-Gries summary of at most
+    * `capacity` counters in group state and re-emits its current candidates
+    * every trigger (Update mode), so the "what's trending in the ingest
+    * feed" question is answerable continuously without ever shuffling the
+    * full token cardinality or growing state with the stream.
+    *
+    * Input rows are (shard, item). Shard by a HASH of the item
+    * (`pmod(xxhash64(item), nShards)`) so every occurrence of an item
+    * routes to the SAME shard: per-shard sketches then never split an
+    * item's count, the union of shard candidates is the global candidate
+    * set, and adding shards scales throughput linearly. State per shard is
+    * O(capacity) forever — no watermark needed because MG state never
+    * grows.
+    */
+  def streamingHeavyHitters(items: Dataset[(Int, String)],
+                            capacity: Int): Dataset[HeavyHitter] = {
+    require(capacity > 0, "streamingHeavyHitters needs a positive capacity")
+    implicit val outEnc: Encoder[HeavyHitter] = Encoders.product[HeavyHitter]
+    implicit val stEnc: Encoder[(Map[String, Long], Long)] =
+      Encoders.tuple(Encoders.kryo[Map[String, Long]], Encoders.scalaLong)
+    items.groupByKey(_._1)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, rows: Iterator[(Int, String)],
+         state: GroupState[(Map[String, Long], Long)]) => {
+          val (saved, seen) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val mg = scala.collection.mutable.HashMap[String, Long](saved.toSeq: _*)
+          var processed = seen
+          rows.foreach { case (_, x) =>
+            processed += 1L
+            mg.get(x) match {
+              case Some(c) => mg.update(x, c + 1L)
+              case None =>
+                if (mg.size < capacity) mg.update(x, 1L)
+                else {
+                  mg.mapValuesInPlace((_, v) => v - 1L)
+                  mg.filterInPlace((_, v) => v > 0L)
+                }
+            }
+          }
+          state.update((mg.toMap, processed))
+          val err = processed / (capacity + 1)
+          mg.toSeq.sortBy { case (i, e) => (-e, i) }
+            .map { case (i, e) => HeavyHitter(shard, i, e, err) }.iterator
+        })
+  }
 }

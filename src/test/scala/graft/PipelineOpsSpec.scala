@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{Packing, Sampling, SpanDedup}
+
+/** Training-pipeline curation operators: span-level duplication, deterministic
+  * splits/quotas, sliding-window chunking, streaming heavy hitters.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spanStats counts cross-doc duplicated grams and the longest run") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),            // 3 grams, 2 shared with doc 2
+      (2L, "z z a b c d e f g h i w"),        // 5 grams, same 2 shared
+      (3L, "only seven tokens here not eight ok")) // < n -> one whole-doc gram
+      .toDF("doc_id", "text")
+    val out = SpanDedup.spanStats(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L, 2L), (2L, 5L, 2L, 2L), (3L, 1L, 0L, 0L)))
+  }
+
+  test("spanStats: within-doc repetition alone is not duplication") {
+    val docs = Seq((1L, Seq.fill(4)("p q r s t u v w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.spanStats(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._3 == 0L && out._4 == 0L) // 25 grams, none cross-doc
+  }
+
+  test("hashSplit is deterministic, subset-stable, and roughly proportional") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = Sampling.hashSplit(docs, col("doc_id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split")
+    val m1 = split.as[(Long, String)].collect().toMap
+    assert(m1.values.toSet.subsetOf(Set("train", "val", "test")))
+    val n = m1.size
+    val trainN = m1.values.count(_ == "train")
+    assert(trainN > n * 6 / 10 && trainN < n * 95 / 100,
+      s"train fraction implausible: $trainN/$n")
+    // A row's membership is a pure function of its key: dropping other rows
+    // (or re-running) never moves it — the property rand() cannot give.
+    val m2 = Sampling.hashSplit(docs.filter(col("doc_id") % 3 === 0),
+        col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    m2.foreach { case (id, s) => assert(m1(id) == s) }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("doc_id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("capPerGroup keeps at most k rows per group, deterministically") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val capped = Sampling.capPerGroup(docs.select("doc_id", "source"),
+      col("source"), k = 5, tieBreak = col("doc_id"))
+    val perGroup = capped.groupBy("source").count().as[(String, Long)].collect()
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    perGroup.foreach { case (src, c) => assert(c == math.min(5L, sizes(src))) }
+    assert(capped.agg(max("rk")).as[Int].head() <= 5)
+    val again = Sampling.capPerGroup(docs.select("doc_id", "source"),
+      col("source"), k = 5, tieBreak = col("doc_id"))
+    assert(capped.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("chunkSliding emits overlapping windows incl. the partial tail") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkSliding(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 4L, "t6 t7 t8 t9"),
+      (1L, 3L, 9L, 1L, "t9"),
+      (2L, 0L, 0L, 1L, "x")))
+    intercept[IllegalArgumentException] {
+      Packing.chunkSliding(docs, "doc_id", "text", chunkSize = 4, stride = 5)
+    }
+  }
+
+  test("streamingHeavyHitters tracks hot items across batches in bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, String)]
+    val capacity = 3
+    val hh = graft.streaming.Streams.streamingHeavyHitters(mem.toDS(), capacity)
+    val q = hh.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      def emitted() = spark.table("hh_out")
+        .as[(Int, String, Long, Long)].collect().toSeq
+      mem.addData(Seq.fill(10)((0, "a")) ++ Seq((0, "b"), (0, "b"), (0, "c"),
+        (0, "c"), (0, "d")): _*)
+      q.processAllAvailable()
+      val b1 = emitted()
+      // MG invariant after 15 rows, cap 3: err = 15/4 = 3; "a" (true 10)
+      // must survive with est in [true-err, true]
+      assert(b1.size <= capacity)
+      val a1 = b1.find(_._2 == "a").get
+      assert(a1._3 >= 10L - a1._4 && a1._3 <= 10L)
+      val k1 = b1.size
+      mem.addData(Seq.fill(5)((0, "a")) ++ Seq.fill(4)((0, "e")): _*)
+      q.processAllAvailable()
+      val b2 = emitted().drop(k1) // memory sink appends per trigger
+      assert(b2.size <= capacity)
+      val a2 = b2.find(_._2 == "a").get
+      assert(a2._3 >= 15L - a2._4 && a2._3 <= 15L, s"a after batch 2: $a2")
+      assert(a2._3 > a1._3) // state carried across triggers
+    } finally q.stop()
+  }
+}
