@@ -44,15 +44,19 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // Key order matters: the harness capturing stdout keeps only a bounded
-    // TAIL of the output, and with 70+ queries the line can outgrow that
-    // buffer. Per-query timings go first (front-truncatable) and the
-    // headline total/errors go LAST so they always survive. 2-decimal
-    // per-query rounding keeps the line short; -1.0 failure markers are
-    // preserved. Locale.ROOT: the default-locale formatter would emit
-    // decimal COMMAS on comma-decimal locales and break the JSON.
+    // TAIL of the output (~2000 chars, with sbt's "[success]" trailer inside
+    // it), and with 100 queries a full-name JSON line outgrows that buffer.
+    // Three defenses: per-query timings go first (front-truncatable) and the
+    // headline total/errors go LAST so they always survive; per-query keys
+    // are the unique qNN id prefix (full names live in the CORRECTNESS
+    // output, which shares the numbering); 2-decimal rounding. -1.0 failure
+    // markers are preserved. Locale.ROOT: the default-locale formatter would
+    // emit decimal COMMAS on comma-decimal locales and break the JSON.
     def fmt(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val qs = results.map { case (k, v) =>
+    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val keys = if (short.map(_._1).distinct.size == short.size) short else results
+    val qs = keys.map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1.0" else fmt(v, 2))
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")

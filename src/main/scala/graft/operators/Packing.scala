@@ -49,7 +49,10 @@ object Packing {
                    chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
-    val toks = split(trim(col(textCol)), "\\s+")
+    // Tokens are projected to a bound column BEFORE the lambda references
+    // them — Catalyst does not CSE across lambda boundaries, and an inline
+    // `split` would re-tokenize the document once per chunk.
+    val toks = col("__toks")
     // Start positions 0, stride, 2*stride, ... strictly below the token
     // count; the transform stays inside codegen and explode is the only
     // row-multiplying step.
@@ -60,7 +63,8 @@ object Packing {
         s.as("tok_start"),
         least(lit(chunkSize.toLong), size(toks) - s).as("n_toks"),
         concat_ws(" ", slice(toks, s.cast("int") + 1, lit(chunkSize))).as("chunk")))
-    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
+    docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "c")))
       .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
         col("c.tok_start"), col("c.n_toks"), col("c.chunk"))
   }

@@ -32,7 +32,9 @@ object Sampling {
     * whose percents must sum to 100. Assignment is `hash(key) % 100` against
     * cumulative thresholds: a row's split NEVER changes when other rows are
     * added or removed, and re-runs reproduce it bit-for-bit. A narrow map —
-    * no shuffle, no state.
+    * no shuffle, no state. NULL keys hash to NULL and fall through every
+    * threshold into the LAST split — filter them out first if that is not
+    * the intended landing zone.
     */
   def hashSplit(df: DataFrame, keyCol: Column,
                 splits: Seq[(String, Int)]): DataFrame = {

@@ -27,16 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Positional word n-grams as an array column; documents shorter than `n`
-    * tokens contribute a single whole-document gram at position 0 (same
-    * clamping contract as Contamination's shingles).
+  /** Positional word n-grams over an already-projected token-array column;
+    * documents shorter than `n` tokens contribute a single whole-document
+    * gram at position 0 (same clamping contract as Contamination's
+    * shingles). Takes the TOKEN column, not the text: Catalyst does not CSE
+    * across lambda boundaries, so a `split` written inline here would
+    * re-tokenize the document once per gram position (measured ~20x on this
+    * very operator).
     */
-  private def posGramArray(textCol: Column, n: Int): Column = {
-    val toks = split(trim(textCol), "\\s+")
+  private def posGramArray(toks: Column, n: Int): Column =
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-  }
 
   /** Per-document span-duplication statistics over word `n`-grams:
     * `n_grams` (positional grams in the doc), `n_dup` (grams also present in
@@ -48,8 +50,9 @@ object SpanDedup {
     */
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 8): DataFrame = {
-    val grams = docs.select(col(idCol).as("__id"),
-      posexplode(posGramArray(col(textCol), n)).as(Seq("pos", "g")))
+    val grams = docs
+      .select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
     // A gram is duplicated when >= 2 distinct documents contain it. The
     // aggregation is two-phase (partial count-distinct per map task), so a
     // boilerplate gram never concentrates rows on one reducer beyond its
@@ -61,17 +64,25 @@ object SpanDedup {
     val marked = grams.join(dupGrams, Seq("g"), "left")
       .select(col("__id"), col("pos"),
         coalesce(col("dup"), lit(0)).as("dup"))
-    val perDoc = marked.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("dup")).as("n_dup"))
-    // Longest consecutive duplicated run via the pos - row_number islands
-    // trick: consecutive positions share one (pos - rank) group.
-    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-    val runs = marked.filter(col("dup") === 1)
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("__id"), col("grp")).agg(count(lit(1)).as("run"))
-      .groupBy(col("__id")).agg(max(col("run")).as("max_dup_run"))
-    perDoc.join(runs, Seq("__id"), "left")
+    // Everything per-doc happens in ONE pass on one exchange keyed by doc:
+    // the islands trick (consecutive dup positions share pos - running-rank)
+    // marks runs inside a window, then two stacked aggregations on the SAME
+    // partitioning — per-island sizes, then per-doc totals — so Catalyst
+    // plans a single shuffle and never executes the gram join twice (a
+    // two-branch formulation re-ran the whole upstream; measured 2.4s -> it
+    // was the dominant cost at sf0.1). Non-dup rows fall into one NULL
+    // island per doc, which carries the gram/dup totals through.
+    val wOrd = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    marked
+      .withColumn("dgrp",
+        when(col("dup") === 1, col("pos") - sum(col("dup")).over(wOrd)))
+      .groupBy(col("__id"), col("dgrp"))
+      .agg(count(lit(1)).as("c"), sum(col("dup")).as("d"))
+      .groupBy(col("__id"))
+      .agg(sum(col("c")).as("n_grams"), sum(col("d")).as("n_dup"),
+        coalesce(max(when(col("dgrp").isNotNull, col("c"))), lit(0L))
+          .as("max_dup_run"))
       .select(col("__id").as(idCol), col("n_grams"), col("n_dup"),
-        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+        col("max_dup_run"))
   }
 }

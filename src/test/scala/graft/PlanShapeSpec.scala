@@ -52,4 +52,22 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges in:\n$p")
   }
+
+  test("q100 sliding chunking is a pure narrow map — zero exchanges") {
+    val p = planOf("q100_chunk_overlap")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    assert(p.contains("Generate"), s"expected explode in:\n$p")
+  }
+
+  test("q98 hash split shuffles only for the final aggregation") {
+    val p = planOf("q98_hash_split")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one agg exchange, got $exchanges in:\n$p")
+  }
+
+  test("q97 span stats never builds a doc-pair join (counts, not pairs)") {
+    val p = planOf("q97_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise blow-up in:\n$p")
+  }
 }
