@@ -847,7 +847,15 @@ object SparkEntry {
       // RAG-style sliding-window chunking: 64-token chunks, stride 48
       // (16-token overlap); last partial chunk kept
       graft.operators.Packing.chunkSliding(t(s, d, "documents"),
-        "doc_id", "text", chunkSize = 64, stride = 48)))
+        "doc_id", "text", chunkSize = 64, stride = 48)),
+    "q101_weighted_mix" -> ((s, d) =>
+      // Pile-style training mix: even-numbered sources upsampled to 1.5
+      // epochs, odd-numbered downsampled to half — deterministic copies
+      graft.operators.Sampling.weightedMix(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"),
+        when(regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 2 === 0,
+          150L).otherwise(50L))))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1195,7 +1203,14 @@ st AS (SELECT doc_id, toks, CAST(s AS BIGINT) AS tok_start, CAST(s // 48 AS BIGI
   FROM tk CROSS JOIN UNNEST(range(0, ((greatest(len(toks), 1) - 1) // 48) * 48 + 1, 48)) AS r(s))
 SELECT doc_id, chunk_id, tok_start, CAST(least(64, len(toks) - tok_start) AS BIGINT) AS n_toks,
   array_to_string(toks[CAST(tok_start + 1 AS INTEGER):CAST(tok_start + 64 AS INTEGER)], ' ') AS chunk
-FROM st""")
+FROM st""",
+    "q101_weighted_mix" ->
+      s"""WITH h AS (SELECT doc_id, source,
+  CASE WHEN CAST(regexp_extract(source, '(\\d+)$$', 1) AS INTEGER) % 2 = 0 THEN 150 ELSE 50 END AS w,
+  ${portableHash60Sql("doc_id")} % 100 AS b FROM documents),
+c AS (SELECT doc_id, source, w // 100 + CASE WHEN b < w % 100 THEN 1 ELSE 0 END AS copies FROM h)
+SELECT doc_id, source, CAST(cp AS BIGINT) AS copy
+FROM c CROSS JOIN UNNEST(range(copies)) AS r(cp) WHERE copies > 0""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

@@ -48,6 +48,26 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Weighted corpus mixing — re-weight each row by a percentage (possibly
+    * over 100): a row with weight w is emitted floor(w/100) times plus one
+    * more when hash(key) % 100 < w % 100, under a `copy` index column. This
+    * is the training-mix step (sources seen for more or fewer than one
+    * epoch, à la The Pile's per-set epochs): weight 250 means ~2.5 epochs
+    * of that source, 50 means half of it, 0 drops it. Deterministic like
+    * everything in this module — the SAME rows replicate on every run and
+    * retry — and a pure narrow map + explode, no shuffle. Downstream
+    * shuffling should key on (key, copy) so duplicated rows spread.
+    */
+  def weightedMix(df: DataFrame, keyCol: Column, weightPct: Column): DataFrame = {
+    val w = weightPct.cast(LongType)
+    val copies = (w / 100).cast(LongType) +
+      when(portableHash60(keyCol) % 100 < w % 100, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Keep at most `k` rows per group, ranked by the portable hash of
     * `tieBreak` (then `tieBreak` itself, for full determinism on hash
     * collisions) — a deterministic "random K per domain" quota, the standard

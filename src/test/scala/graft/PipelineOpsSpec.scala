@@ -65,6 +65,24 @@ class PipelineOpsSpec extends SparkSpec {
       again.orderBy("doc_id").collect().toSeq)
   }
 
+  test("weightedMix replicates by floor(w/100) + deterministic fractional keep") {
+    val docs = spark.range(1000).toDF("doc_id")
+    // weight 250 -> every row 2 copies, ~half get a 3rd; expectation 2.5x
+    val mixed = Sampling.weightedMix(docs, col("doc_id"), lit(250L))
+    val perRow = mixed.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perRow.size == 1000 && perRow.values.forall(c => c == 2L || c == 3L))
+    val total = perRow.values.sum
+    assert(total > 2300 && total < 2700, s"expected ~2500 rows, got $total")
+    // copy indices are 0..copies-1
+    assert(mixed.groupBy("doc_id").agg(max("copy")).as[(Long, Long)]
+      .collect().forall { case (id, m) => m == perRow(id) - 1 })
+    // weight 0 drops everything; determinism across runs
+    assert(Sampling.weightedMix(docs, col("doc_id"), lit(0L)).count() == 0)
+    val again = Sampling.weightedMix(docs, col("doc_id"), lit(250L))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(again == perRow)
+  }
+
   test("chunkSliding emits overlapping windows incl. the partial tail") {
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "x"))
       .toDF("doc_id", "text")
@@ -80,6 +98,28 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Packing.chunkSliding(docs, "doc_id", "text", chunkSize = 4, stride = 5)
     }
+  }
+
+  test("hashSplit composes with Structured Streaming unchanged (stateless map)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val split = graft.operators.Sampling.hashSplit(
+      mem.toDS().toDF("doc_id"), col("doc_id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val q = split.writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(0L to 49L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("split_stream")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      // identical assignment to the batch path — same rows, same labels
+      val batch = graft.operators.Sampling.hashSplit(
+        spark.range(50).toDF("doc_id"), col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(streamed == batch && streamed.size == 50)
+    } finally q.stop()
   }
 
   test("streamingHeavyHitters tracks hot items across batches in bounded state") {
