@@ -103,6 +103,69 @@ object Kernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Per-document character n-gram counts in one compiled pass: sliding
+    * code-point windows of the (already normalized) text, counted into
+    * insertion-ordered (gram, count) pairs. Shorter-than-n text counts as
+    * one whole-string gram — parity with the `when(length < n, array(tx))`
+    * column formulation. Pre-aggregating per doc INSIDE the projection is
+    * the 100 TB shape for corpus-frequency scoring: the exploded stream
+    * (and everything shuffled after it) is sized by distinct grams per doc,
+    * not by gram occurrences, and no occurrence-level strings are ever
+    * allocated more than once.
+    */
+  def charNgramCounts(text: UTF8String, n: Int): ArrayData = {
+    val out = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    val len = text.numChars()
+    if (len < n) out.put(text, 1L)
+    else {
+      var i = 0
+      while (i + n <= len) {
+        val g = text.substringSQL(i + 1, n)
+        val prev = out.get(g)
+        out.put(g, if (prev == null) java.lang.Long.valueOf(1L)
+                   else java.lang.Long.valueOf(prev.longValue() + 1L))
+        i += 1
+      }
+    }
+    val rows = new Array[Any](out.size())
+    val it = out.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** Per-document n-gram corpus-frequency stats in one compiled pass:
+    * slides the same code-point windows as [[charNgramCounts]] and sums the
+    * corpus count of each gram from a broadcast hash table (O(1) probes, no
+    * per-gram string survives the loop). Returns [n_grams, freq_sum].
+    * Grams absent from the table count 0 (cannot happen when the table was
+    * built from the same corpus).
+    */
+  def charNgramFreqStats(text: UTF8String, n: Int,
+                         table: java.util.HashMap[UTF8String, java.lang.Long]): ArrayData = {
+    val len = text.numChars()
+    var nGrams = 0L
+    var freqSum = 0L
+    if (len < n) {
+      nGrams = 1L
+      val c = table.get(text)
+      if (c != null) freqSum = c.longValue()
+    } else {
+      var i = 0
+      while (i + n <= len) {
+        val c = table.get(text.substringSQL(i + 1, n))
+        if (c != null) freqSum += c.longValue()
+        nGrams += 1L
+        i += 1
+      }
+    }
+    new GenericArrayData(Array(nGrams, freqSum))
+  }
+
   private def daysInMonth(y: Int, m: Int): Int = m match {
     case 4 | 6 | 9 | 11 => 30
     case 2              => if (y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)) 29 else 28
@@ -456,6 +519,36 @@ case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+case class CharNgramCountsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("g", StringType, nullable = false),
+                   StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_char_ngram_counts"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.charNgramCounts(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.charNgramCounts($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramCountsExpr =
+    copy(child = newChild)
+}
+
+case class CharNgramFreqStatsExpr(child: Expression, n: Int,
+                                  table: java.util.HashMap[UTF8String, java.lang.Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_ngram_freq_stats"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.charNgramFreqStats(s.asInstanceOf[UTF8String], n, table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("gramTable", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.charNgramFreqStats($c, $n, $tRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharNgramFreqStatsExpr =
+    copy(child = newChild)
+}
+
 case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Double]], n: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -489,4 +582,9 @@ object GraftFunctions {
     Shim.column(NearestCentroidsExpr(Shim.expression(c), cents, n))
   def repetitionStats(c: Column, n: Int): Column =
     Shim.column(RepetitionStatsExpr(Shim.expression(c), n))
+  def charNgramCounts(c: Column, n: Int): Column =
+    Shim.column(CharNgramCountsExpr(Shim.expression(c), n))
+  def charNgramFreqStats(c: Column, n: Int,
+                         table: java.util.HashMap[UTF8String, java.lang.Long]): Column =
+    Shim.column(CharNgramFreqStatsExpr(Shim.expression(c), n, table))
 }

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis functions for large-scale training-data pipelines:
   * tokenization, language ID, quality scoring, fingerprinting. All pure
@@ -220,36 +221,49 @@ object TextFunctions {
     * average would accumulate doubles in partition order and diverge in
     * the last ulp).
     *
-    * Scale shape: the n-gram count table is bounded by |charset|^n (tens of
-    * thousands of rows regardless of corpus size) and broadcasts; the
-    * per-doc pass is explode → broadcast-join → per-doc aggregate. One
-    * shuffle, keyed on doc ids only.
-    */
-  /** `materialize`: the gram stream feeds BOTH the count table and the
-    * per-doc join. Caching it (default) saves the second normalize+explode
-    * pass — right whenever the exploded stream fits cluster storage. At
-    * full corpus scale the gram stream is LARGER than the corpus, and
-    * recomputing a narrow projection beats caching a corpus-sized
-    * intermediate: pass `materialize = false` there.
+    * Scale shape: two narrow corpus scans and NO corpus-sized shuffle.
+    * Pass 1 counts grams per document inside the projection (native
+    * [[graft.expressions.Kernels.charNgramCounts]] — one compiled pass, no
+    * occurrence-level rows or strings ever exist) and rolls the counts up
+    * to the global table, whose cardinality is bounded by |charset|^n
+    * REGARDLESS of corpus size — the shuffle after map-side combine is at
+    * most that many rows per partition, and the table collects to the
+    * driver behind a fail-fast guard (the same bounded-plan-time-collect
+    * contract as pivot's value list and IVF's centroid seed). Pass 2 is a
+    * single compiled projection probing that table per gram
+    * ([[graft.expressions.Kernels.charNgramFreqStats]]) — a second scan
+    * beats shuffling a corpus-sized gram stream by orders of magnitude at
+    * 100 TB, and the result needs no per-doc aggregate at all.
+    *
+    * `maxVocab` guards the driver: char n-grams over normalized text stay
+    * tens-of-thousands small, but a pathological charset/n combination
+    * fails fast instead of OOMing the driver.
     */
   def corpusFrequencyScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
                            textCol: String, n: Int = 3,
-                           materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+                           maxVocab: Int = 1 << 22): org.apache.spark.sql.DataFrame = {
     // The normalization (regexp_replace+lower) is materialized as a COLUMN
-    // before the n-gram transform: expressions referenced inside a lambda
-    // are re-evaluated per array element (no CSE across lambda boundaries),
-    // which turns one regex per row into one per character. 18× at sf0.1.
-    val exploded = docs
-      .select(col(idCol), lower(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("__tx"))
-      .select(col(idCol), explode(
-        when(length(col("__tx")) < n, array(col("__tx")))
-          .otherwise(transform(sequence(lit(0), length(col("__tx")) - n),
-            i => col("__tx").substr(i + 1, lit(n))))).as("__g"))
-    val tris = if (materialize) exploded.localCheckpoint() else exploded
-    val counts = tris.groupBy("__g").agg(count(lit(1)).as("__c"))
-    tris.join(broadcast(counts), Seq("__g"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), sum(col("__c")).as("freq_sum"))
+    // before the kernel call so it runs once per row whatever the optimizer
+    // does with the surrounding plan.
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val global = docs
+      .select(explode(
+        graft.expressions.GraftFunctions.charNgramCounts(norm.as("__tx"), n)).as("__e"))
+      .groupBy(col("__e.g").as("__g")).agg(sum("__e.c").as("__c"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(global.length <= maxVocab,
+      s"corpusFrequencyScore: gram vocabulary exceeds maxVocab=$maxVocab; " +
+        "raise the bound or reduce n")
+    val table = new java.util.HashMap[UTF8String, java.lang.Long](global.length * 2)
+    global.foreach(r => table.put(UTF8String.fromString(r.getString(0)),
+      java.lang.Long.valueOf(r.getLong(1))))
+    docs
+      .select(col(idCol),
+        graft.expressions.GraftFunctions.charNgramFreqStats(norm, n, table).as("__s"))
+      .select(col(idCol),
+        col("__s").getItem(0).as("n_grams"),
+        col("__s").getItem(1).as("freq_sum"))
       .withColumn("mean_freq", col("freq_sum").cast(DoubleType) / col("n_grams"))
   }
 
