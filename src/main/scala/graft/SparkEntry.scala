@@ -855,7 +855,13 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), col("source")),
         col("doc_id"),
         when(regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 2 === 0,
-          150L).otherwise(50L))))
+          150L).otherwise(50L))),
+    "q102_span_remove" -> ((s, d) =>
+      // Lee et al. 2022 duplicated-span REMOVAL (the policy q97 measures):
+      // excise every >= 20-token span of word-8-grams shared with another
+      // doc, rebuild the text from surviving tokens
+      graft.operators.SpanDedup.removeDupSpans(t(s, d, "documents"),
+        "doc_id", "text", n = 8, minSpanTokens = 20)))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1210,7 +1216,25 @@ FROM st""",
   ${portableHash60Sql("doc_id")} % 100 AS b FROM documents),
 c AS (SELECT doc_id, source, w // 100 + CASE WHEN b < w % 100 THEN 1 ELSE 0 END AS copies FROM h)
 SELECT doc_id, source, CAST(cp AS BIGINT) AS copy
-FROM c CROSS JOIN UNNEST(range(copies)) AS r(cp) WHERE copies > 0""")
+FROM c CROSS JOIN UNNEST(range(copies)) AS r(cp) WHERE copies > 0""",
+    "q102_span_remove" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS tok
+  FROM tk CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)),
+g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
+  FROM tk CROSS JOIN UNNEST(range(1, greatest(len(toks) - 8, 0) + 2)) AS r(i)),
+d AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+runs AS (SELECT g.doc_id, g.pos, g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+  FROM g JOIN d ON g.g = d.g),
+iv AS (SELECT doc_id, min(pos) AS s0, count(*) AS r FROM runs GROUP BY doc_id, grp
+  HAVING count(*) + 7 >= 20),
+cov AS (SELECT DISTINCT doc_id, CAST(s0 + u AS BIGINT) AS pos
+  FROM iv CROSS JOIN UNNEST(range(0, r + 7)) AS ru(u))
+SELECT t.doc_id,
+  COALESCE(string_agg(CASE WHEN cov.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos), '') AS clean_text,
+  CAST(sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+GROUP BY t.doc_id""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

@@ -85,4 +85,70 @@ object SpanDedup {
       .select(col("__id").as(idCol), col("n_grams"), col("n_dup"),
         col("max_dup_run"))
   }
+
+  /** Duplicated-span REMOVAL — the policy [[spanStats]] only measures:
+    * cut from each document every maximal run of duplicated positional
+    * `n`-grams whose covered span is at least `minSpanTokens` tokens (a run
+    * of r gram positions covers r + n - 1 tokens), and rebuild the text
+    * from the surviving tokens. This is the operation of Lee et al. 2022
+    * (ExactSubstr dedup) in the shuffle-friendly n-gram formulation: spans
+    * long enough to be boilerplate/mirrored content are excised while both
+    * copies' unique surroundings survive, which the paper shows beats
+    * whole-document dropping on perplexity per token kept.
+    *
+    * Output: (idCol, clean_text, n_removed) — every input document appears
+    * exactly once; `clean_text` is whitespace-normalized (single spaces),
+    * "" when the whole document was duplicated; `n_removed` counts excised
+    * tokens.
+    *
+    * Scale shape: linear end-to-end, no driver-side state. The duplicated
+    * gram set is one two-phase count-distinct aggregation; coverage
+    * expansion is bounded by corpus token count (each doc contributes at
+    * most its own length); every join is an equi-join on (doc, position) or
+    * gram text; the rebuild groups by document and sorts only WITHIN a
+    * document (per-group memory bounded by document length — the same
+    * contract as chunking). Degenerate boilerplate grams widen one
+    * aggregation bucket (counts, not pair lists), so no cap is needed.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minSpanTokens: Int = 20): DataFrame = {
+    val tokenized = docs
+      .select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__toks"))
+    val toks = tokenized
+      .select(col("__id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .select(col("__id"), col("pos").cast("long").as("pos"), col("tok"))
+    val grams = tokenized
+      .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy(col("g"))
+      .agg(count_distinct(col("__id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    // Maximal runs of duplicated gram positions (islands trick on the dup
+    // rows only), kept when their token coverage reaches the threshold.
+    val wOrd = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val islands = grams.join(dupGrams, Seq("g"))
+      .select(col("__id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wOrd))
+      .groupBy(col("__id"), col("grp"))
+      .agg(min(col("pos")).as("s0"), count(lit(1)).as("r"))
+      .filter(col("r") + lit((n - 1).toLong) >= minSpanTokens.toLong)
+    // Token positions covered by a qualifying run. Adjacent runs (separated
+    // by one clean gram position but overlapping in token space when n > 2)
+    // can cover the same token — hence the distinct.
+    val covered = islands
+      .select(col("__id"),
+        explode(sequence(col("s0").cast("long"),
+          col("s0").cast("long") + col("r") + lit((n - 2).toLong))).as("pos"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    toks.join(covered, Seq("__id", "pos"), "left")
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cov").isNull,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"),
+        sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_removed"))
+  }
 }

@@ -21,6 +21,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 2L, 2L), (2L, 5L, 2L, 2L), (3L, 1L, 0L, 0L)))
   }
 
+  test("removeDupSpans excises exactly the qualifying shared span") {
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")   // 20 shared tokens
+    val short  = (1 to 19).map(i => s"s$i").mkString(" ")   // 19: below threshold
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $boiler v1 v2 v3"),
+      (2L, s"w1 w2 w3 w4 $boiler x1"),
+      (3L, s"p1 p2 $short p3"),
+      (4L, s"q1 q2 $short q3"),
+      (5L, "nothing shared with anyone at all here")).toDF("doc_id", "text")
+    val out = SpanDedup.removeDupSpans(docs, "doc_id", "text",
+      n = 8, minSpanTokens = 20)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // 20-token boilerplate: 13 consecutive dup 8-gram positions = a 20-token
+    // span -> removed, unique context survives on both sides
+    assert(out(0) == ((1L, "u1 u2 u3 v1 v2 v3", 20L)))
+    assert(out(1) == ((2L, "w1 w2 w3 w4 x1", 20L)))
+    // 19-token shared span is below the threshold -> untouched
+    assert(out(2)._2.startsWith("p1 p2 s1") && out(2)._3 == 0L)
+    assert(out(3)._3 == 0L)
+    assert(out(4) == ((5L, "nothing shared with anyone at all here", 0L)))
+  }
+
+  test("removeDupSpans: fully-duplicated document collapses to empty text") {
+    val body = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val out = SpanDedup.removeDupSpans(docs, "doc_id", "text",
+      n = 8, minSpanTokens = 20)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "", 30L), (2L, "", 30L)))
+  }
+
   test("spanStats: within-doc repetition alone is not duplication") {
     val docs = Seq((1L, Seq.fill(4)("p q r s t u v w").mkString(" ")))
       .toDF("doc_id", "text")
