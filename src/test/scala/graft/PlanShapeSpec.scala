@@ -70,4 +70,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise blow-up in:\n$p")
   }
+
+  test("q90 LM-quality scoring pass is shuffle-free (table probed in codegen)") {
+    val p = planOf("q90_lm_quality")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in scoring pass:\n$p")
+    assert(p.contains("graft_char_ngram_freq_stats"), s"kernel missing in:\n$p")
+  }
+
+  test("q102 span removal stays equi-join only (no pairwise or range fallback)") {
+    val p = planOf("q102_span_remove")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise blow-up in:\n$p")
+  }
 }
