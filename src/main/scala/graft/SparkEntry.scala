@@ -861,7 +861,20 @@ object SparkEntry {
       // excise every >= 20-token span of word-8-grams shared with another
       // doc, rebuild the text from surviving tokens
       graft.operators.SpanDedup.removeDupSpans(t(s, d, "documents"),
-        "doc_id", "text", n = 8, minSpanTokens = 20)))
+        "doc_id", "text", n = 8, minSpanTokens = 20)),
+    "q103_semdedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): quantized Lloyd k-means, then
+      // within-cluster cosine dedup. The synthetic embeddings carry no
+      // natural near-dups, so exact copies are injected under fresh ids
+      // (+10001 keeps them off the % 25 centroid seed) — the q53/q67
+      // injection pattern; every copy must come back kept=false.
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val withCopies = emb.unionByName(
+        emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 10001L).as("vec_id"), col("embedding")))
+      graft.functions.VectorFunctions.semDedupPortable(withCopies,
+        "vec_id", "embedding", threshold = 0.99, centroidEvery = 25)
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1234,7 +1247,8 @@ SELECT t.doc_id,
   COALESCE(string_agg(CASE WHEN cov.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos), '') AS clean_text,
   CAST(sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
 FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
-GROUP BY t.doc_id""")
+GROUP BY t.doc_id""",
+    "q103_semdedup" -> semDedupOracleSql)
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most
@@ -1244,6 +1258,42 @@ GROUP BY t.doc_id""")
     s"""CAST(list_sum(list_transform(range(1, 16),
   i -> (CAST(strpos('0123456789abcdef', substr(md5(CAST($colName AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
         << ((15 - CAST(i AS INTEGER)) * 4)))) AS BIGINT)"""
+
+  /** DuckDB replay of the full SemDeDup pipeline — injected copies,
+    * quantized components, systematic seed, one unrolled Lloyd round,
+    * within-cell cosine dedup. Every arithmetic step is exact-integer or a
+    * single IEEE op on identical operands, so the replay is bit-for-bit.
+    */
+  private lazy val semDedupOracleSql: String = {
+    def cos(a: String, b: String): String =
+      s"(CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x * x))) = 0.0 THEN 0.0 " +
+        s"ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) " +
+        s"/ (sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+        s"sqrt(list_sum(list_transform($b, x -> x * x)))) END)"
+    "WITH v0 AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) AS DOUBLE)) AS v " +
+      "FROM embeddings), " +
+      "vd AS (SELECT * FROM v0 UNION ALL " +
+      "SELECT vec_id + 10001 AS vec_id, v FROM v0 WHERE vec_id % 50 = 0), " +
+      "c0 AS (SELECT vec_id AS cid, v AS cv FROM vd WHERE vec_id % 25 = 0), " +
+      "a0 AS (SELECT vec_id, cid, v FROM (" +
+      "SELECT vd.vec_id, c0.cid, vd.v, row_number() OVER (PARTITION BY vd.vec_id " +
+      "ORDER BY " + cos("vd.v", "c0.cv") + " DESC, c0.cid) AS rn " +
+      "FROM vd CROSS JOIN c0) WHERE rn = 1), " +
+      "u AS (SELECT cid, d, CAST(floor(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m " +
+      "FROM (SELECT a0.cid, CAST(i AS INTEGER) AS d, a0.v[CAST(i AS INTEGER)] AS x " +
+      "FROM a0 CROSS JOIN UNNEST(range(1, 65)) AS r(i)) GROUP BY cid, d), " +
+      "c1 AS (SELECT cid, list(CAST(m AS DOUBLE) ORDER BY d) AS cv FROM u GROUP BY cid), " +
+      "a1 AS (SELECT vec_id, cid, v FROM (" +
+      "SELECT vd.vec_id, c1.cid, vd.v, row_number() OVER (PARTITION BY vd.vec_id " +
+      "ORDER BY " + cos("vd.v", "c1.cv") + " DESC, c1.cid) AS rn " +
+      "FROM vd CROSS JOIN c1) WHERE rn = 1), " +
+      "dropped AS (SELECT DISTINCT b.vec_id AS id FROM a1 a JOIN a1 b " +
+      "ON a.cid = b.cid AND a.vec_id < b.vec_id WHERE " + cos("a.v", "b.v") + " >= 0.99) " +
+      "SELECT a1.vec_id, a1.cid AS cell, d.id IS NULL AS kept " +
+      "FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.id"
+  }
 
   /** DuckDB replay of the portable IVF pipeline (systematic centroid seed,
     * cosine assignment/probing with deterministic tie-breaks).

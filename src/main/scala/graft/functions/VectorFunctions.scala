@@ -330,4 +330,73 @@ object VectorFunctions {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then drop near-duplicate embeddings WITHIN each
+    * cluster — the clustering confines the pairwise search to cells, which
+    * is the paper's whole point: candidate generation is corpus-linear, and
+    * per-cell pair cost is bounded by cell size, never corpus size.
+    *
+    * Deterministic and externally replayable by construction (the
+    * q83/q93–q96 portable technique): components are quantized to integers
+    * (floor(x·scale + 0.5), exact in doubles), so every Lloyd-round sum is
+    * exact integer arithmetic — order-independent however Spark schedules
+    * the aggregation — centroid means are one IEEE division + floor, and
+    * every ranking carries an explicit tie-break. A SQL engine replays the
+    * seed, each unrolled round, the assignment, and the dedup bit-for-bit.
+    *
+    * Output: one row per input vector — (idCol, cell, kept); `kept=false`
+    * marks rows dropped as near-duplicates of a lower-id cell-mate.
+    *
+    * Scale shape: assignment is corpus × k with the centroid table
+    * broadcast; the update is one posexplode + two aggregations sharing the
+    * cell key (linear in corpus × dim); the dedup self-join is within-cell
+    * only. Cells inherit the skew bound of the seed spacing — at 100 TB the
+    * seed would come from a hash-spread sample (ivfTopK's) and `rounds`
+    * Lloyd passes tighten cells without any new shuffle shape. Like
+    * ivfTopKPortable vs ivfTopK, this is the externally-replayable
+    * verification surface; the native hot path swaps the broadcast-HOF
+    * assignment for the compiled NearestCentroidsExpr narrow map (collect
+    * the k×dim centroid table per round — bounded driver state).
+    */
+  def semDedupPortable(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, centroidEvery: Int = 25,
+                       rounds: Int = 1, quantScale: Double = 65536.0): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * quantScale + 0.5).cast("double")).as("__v"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("__cs").desc, col("cid").asc)
+      v.crossJoin(broadcast(cents))
+        .withColumn("__cs", cosine(col("__v"), col("__cv")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("cid"), col("__v"))
+    }
+    var cents = v.filter(col("id") % centroidEvery === 0)
+      .select(col("id").as("cid"), col("__v").as("__cv"))
+    var assigned = assign(cents)
+    for (_ <- 1 to rounds) {
+      cents = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("m", floor(col("s") / col("cnt")).cast("double"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          p => p.getField("m")).as("__cv"))
+      assigned = assign(cents)
+    }
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid").as("cell"),
+        col("__dropped").isNull.as("kept"))
+  }
 }

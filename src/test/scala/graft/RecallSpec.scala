@@ -113,4 +113,22 @@ class RecallSpec extends SparkSpec {
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall >= 0.9, s"quantized recall@5 = $recall")
   }
+
+  test("semDedup drops every planted copy, keeps all originals, and is deterministic") {
+    val copies = emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 10001L).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(copies)
+    val run = () => VectorFunctions.semDedupPortable(corpus, "vec_id", "embedding",
+      threshold = 0.99, centroidEvery = 25)
+      .select("vec_id", "cell", "kept").as[(Long, Long, Boolean)].collect().toSet
+    val out = run()
+    assert(out.size == corpus.count())
+    val droppedIds = out.filter(!_._3).map(_._1)
+    assert(droppedIds == copies.select("vec_id").as[Long].collect().toSet,
+      s"expected exactly the planted copies dropped, got $droppedIds")
+    // copies cluster with their originals (identical vector, same tie-break)
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    droppedIds.foreach(id => assert(cellOf(id) == cellOf(id - 10001L)))
+    assert(run() == out) // bit-identical rerun: quantized sums are exact
+  }
 }
