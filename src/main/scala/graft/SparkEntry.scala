@@ -874,7 +874,14 @@ object SparkEntry {
           .select((col("vec_id") + 10001L).as("vec_id"), col("embedding")))
       graft.functions.VectorFunctions.semDedupPortable(withCopies,
         "vec_id", "embedding", threshold = 0.99, centroidEvery = 25)
-    }))
+    }),
+    "q104_prototype_prune" -> ((s, d) =>
+      // Sorscher et al. 2022 data pruning: rank by cosine-to-centroid
+      // within each k-means cell, keep the hardest (least prototypical)
+      // half of every cell
+      graft.functions.VectorFunctions.prototypePrune(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", keepPct = 50, centroidEvery = 25)))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1248,7 +1255,8 @@ SELECT t.doc_id,
   CAST(sum(CASE WHEN cov.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
 FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
 GROUP BY t.doc_id""",
-    "q103_semdedup" -> semDedupOracleSql)
+    "q103_semdedup" -> semDedupOracleSql,
+    "q104_prototype_prune" -> prototypePruneOracleSql)
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most
@@ -1259,23 +1267,28 @@ GROUP BY t.doc_id""",
   i -> (CAST(strpos('0123456789abcdef', substr(md5(CAST($colName AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
         << ((15 - CAST(i AS INTEGER)) * 4)))) AS BIGINT)"""
 
-  /** DuckDB replay of the full SemDeDup pipeline — injected copies,
-    * quantized components, systematic seed, one unrolled Lloyd round,
-    * within-cell cosine dedup. Every arithmetic step is exact-integer or a
-    * single IEEE op on identical operands, so the replay is bit-for-bit.
+  private def portableCosSql(a: String, b: String): String =
+    s"(CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x * x))) = 0.0 THEN 0.0 " +
+      s"ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) " +
+      s"/ (sqrt(list_sum(list_transform($a, x -> x * x))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x * x)))) END)"
+
+  /** Shared Lloyd-core CTE chain (the SQL twin of
+    * VectorFunctions.quantizedLloyd): quantized components, optional
+    * injected copies, systematic seed, one unrolled round. Ends with
+    * `a1` = final assignment and `c1` = final centroids.
     */
-  private lazy val semDedupOracleSql: String = {
-    def cos(a: String, b: String): String =
-      s"(CASE WHEN sqrt(list_sum(list_transform($a, x -> x * x))) * " +
-        s"sqrt(list_sum(list_transform($b, x -> x * x))) = 0.0 THEN 0.0 " +
-        s"ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) " +
-        s"/ (sqrt(list_sum(list_transform($a, x -> x * x))) * " +
-        s"sqrt(list_sum(list_transform($b, x -> x * x)))) END)"
+  private def lloydCtesSql(withInjectedCopies: Boolean): String = {
+    val cos = portableCosSql _
+    val vd =
+      if (withInjectedCopies)
+        "vd AS (SELECT * FROM v0 UNION ALL " +
+          "SELECT vec_id + 10001 AS vec_id, v FROM v0 WHERE vec_id % 50 = 0), "
+      else "vd AS (SELECT * FROM v0), "
     "WITH v0 AS (SELECT vec_id, list_transform(embedding, " +
       "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) AS DOUBLE)) AS v " +
-      "FROM embeddings), " +
-      "vd AS (SELECT * FROM v0 UNION ALL " +
-      "SELECT vec_id + 10001 AS vec_id, v FROM v0 WHERE vec_id % 50 = 0), " +
+      "FROM embeddings), " + vd +
       "c0 AS (SELECT vec_id AS cid, v AS cv FROM vd WHERE vec_id % 25 = 0), " +
       "a0 AS (SELECT vec_id, cid, v FROM (" +
       "SELECT vd.vec_id, c0.cid, vd.v, row_number() OVER (PARTITION BY vd.vec_id " +
@@ -1288,12 +1301,35 @@ GROUP BY t.doc_id""",
       "a1 AS (SELECT vec_id, cid, v FROM (" +
       "SELECT vd.vec_id, c1.cid, vd.v, row_number() OVER (PARTITION BY vd.vec_id " +
       "ORDER BY " + cos("vd.v", "c1.cv") + " DESC, c1.cid) AS rn " +
-      "FROM vd CROSS JOIN c1) WHERE rn = 1), " +
+      "FROM vd CROSS JOIN c1) WHERE rn = 1), "
+  }
+
+  /** DuckDB replay of the full SemDeDup pipeline — injected copies,
+    * quantized components, systematic seed, one unrolled Lloyd round,
+    * within-cell cosine dedup. Every arithmetic step is exact-integer or a
+    * single IEEE op on identical operands, so the replay is bit-for-bit.
+    */
+  private lazy val semDedupOracleSql: String =
+    lloydCtesSql(withInjectedCopies = true) +
       "dropped AS (SELECT DISTINCT b.vec_id AS id FROM a1 a JOIN a1 b " +
-      "ON a.cid = b.cid AND a.vec_id < b.vec_id WHERE " + cos("a.v", "b.v") + " >= 0.99) " +
+      "ON a.cid = b.cid AND a.vec_id < b.vec_id WHERE " +
+      portableCosSql("a.v", "b.v") + " >= 0.99) " +
       "SELECT a1.vec_id, a1.cid AS cell, d.id IS NULL AS kept " +
       "FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.id"
-  }
+
+  /** DuckDB replay of prototypicality pruning (Sorscher et al. 2022) on the
+    * same Lloyd core: rank by cosine-to-centroid ascending within the cell,
+    * keep rank ≤ ceil(keepPct·n/100) via exact integer comparison.
+    */
+  private lazy val prototypePruneOracleSql: String =
+    lloydCtesSql(withInjectedCopies = false) +
+      "pr AS (SELECT a1.vec_id, a1.cid, " +
+      "row_number() OVER (PARTITION BY a1.cid ORDER BY " +
+      portableCosSql("a1.v", "c1.cv") + " ASC, a1.vec_id) AS rank, " +
+      "count(*) OVER (PARTITION BY a1.cid) AS n " +
+      "FROM a1 JOIN c1 USING (cid)) " +
+      "SELECT vec_id, cid AS cell, CAST(rank AS BIGINT) AS proto_rank, " +
+      "(rank - 1) * 100 < n * 50 AS kept FROM pr"
 
   /** DuckDB replay of the portable IVF pipeline (systematic centroid seed,
     * cosine assignment/probing with deterministic tie-breaks).

@@ -363,6 +363,29 @@ object VectorFunctions {
   def semDedupPortable(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, centroidEvery: Int = 25,
                        rounds: Int = 1, quantScale: Double = 65536.0): DataFrame = {
+    val (assigned, _) =
+      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale)
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid").as("cell"),
+        col("__dropped").isNull.as("kept"))
+  }
+
+  /** Shared deterministic k-means core for [[semDedupPortable]] and
+    * [[prototypePrune]]: quantize components to integers, seed centroids
+    * systematically (id % centroidEvery == 0), run `rounds` unrolled Lloyd
+    * passes (broadcast assignment + exact-integer mean update). Returns
+    * (assigned = (id, cid, __v), centroids = (cid, __cv)).
+    */
+  private def quantizedLloyd(df: DataFrame, idCol: String, vecCol: String,
+                             centroidEvery: Int, rounds: Int,
+                             quantScale: Double): (DataFrame, DataFrame) = {
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * quantScale + 0.5).cast("double")).as("__v"))
@@ -388,15 +411,38 @@ object VectorFunctions {
           p => p.getField("m")).as("__cv"))
       assigned = assign(cents)
     }
-    val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = assigned.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
-    val dropped = a.join(b, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("__va"), col("__vb")) >= threshold)
-      .select(col("id_b").as("id")).distinct()
-      .withColumn("__dropped", lit(true))
-    assigned.join(dropped, Seq("id"), "left")
+    (assigned, cents)
+  }
+
+  /** Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws: beating power law scaling via data pruning"):
+    * cluster the embedding space, rank each vector by its cosine to its
+    * cluster centroid, and KEEP the least prototypical `keepPct`% of every
+    * cell — the paper's result is that with abundant data the hard
+    * (far-from-prototype) examples are the ones worth training on, and
+    * pruning easy prototypical mass beats random subsampling.
+    *
+    * `proto_rank` 1 = farthest from the centroid (hardest). The keep rule
+    * `(rank-1)·100 < keepPct·cellN` is exact integer arithmetic — i.e.
+    * rank ≤ ceil(keepPct·cellN/100) — so the whole pipeline (shared
+    * [[quantizedLloyd]] core included) stays externally replayable
+    * bit-for-bit. Per-cell ranking is one window on the cell key; nothing
+    * pairwise anywhere — this prunes at corpus-linear cost.
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+                     keepPct: Int = 50, centroidEvery: Int = 25,
+                     rounds: Int = 1, quantScale: Double = 65536.0): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
+    val (assigned, cents) =
+      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale)
+    val w = Window.partitionBy(col("cid"))
+    val wRank = w.orderBy(col("__cs").asc, col("id").asc)
+    assigned.join(broadcast(cents), Seq("cid"))
+      .withColumn("__cs", cosine(col("__v"), col("__cv")))
+      .withColumn("proto_rank", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(w))
       .select(col("id").as(idCol), col("cid").as("cell"),
-        col("__dropped").isNull.as("kept"))
+        col("proto_rank").cast("long").as("proto_rank"),
+        ((col("proto_rank") - 1) * 100 < col("__n") * keepPct).as("kept"))
   }
 }

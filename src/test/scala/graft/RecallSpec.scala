@@ -131,4 +131,21 @@ class RecallSpec extends SparkSpec {
     droppedIds.foreach(id => assert(cellOf(id) == cellOf(id - 10001L)))
     assert(run() == out) // bit-identical rerun: quantized sums are exact
   }
+
+  test("prototypePrune keeps exactly ceil(keepPct·n/100) hardest per cell") {
+    val out = VectorFunctions.prototypePrune(
+      emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", keepPct = 50, centroidEvery = 25)
+      .select("vec_id", "cell", "proto_rank", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.size == emb.count()) // every vector ranked, none dropped from output
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      val n = rows.size
+      val expectKept = (n * 50 + 99) / 100 // ceil(n/2)
+      assert(rows.count(_._4) == expectKept, s"cell $cell: n=$n")
+      // the kept set is exactly the lowest ranks (hardest examples)
+      assert(rows.filter(_._4).map(_._3).toSet == (1L to expectKept.toLong).toSet)
+      assert(rows.map(_._3).sorted == (1L to n.toLong))
+    }
+  }
 }
