@@ -881,7 +881,13 @@ object SparkEntry {
       // half of every cell
       graft.functions.VectorFunctions.prototypePrune(
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", keepPct = 50, centroidEvery = 25)))
+        "vec_id", "embedding", keepPct = 50, centroidEvery = 25)),
+    "q105_epoch_shuffle" -> ((s, d) =>
+      // deterministic training order: 2 epochs x 8 shards, each epoch an
+      // independent hash permutation, contiguous positions within shards
+      graft.operators.Sampling.epochShuffle(
+        t(s, d, "documents").select(col("doc_id")),
+        col("doc_id"), epochs = 2, nShards = 8)))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1256,7 +1262,15 @@ SELECT t.doc_id,
 FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
 GROUP BY t.doc_id""",
     "q103_semdedup" -> semDedupOracleSql,
-    "q104_prototype_prune" -> prototypePruneOracleSql)
+    "q104_prototype_prune" -> prototypePruneOracleSql,
+    "q105_epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, CAST(ep AS INTEGER) AS epoch
+  FROM documents CROSS JOIN UNNEST(range(2)) AS r(ep)),
+h AS (SELECT doc_id, epoch,
+  ${portableHash60Sql("CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")} AS hv FROM e)
+SELECT doc_id, epoch, CAST(hv % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (PARTITION BY epoch, hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

@@ -83,4 +83,31 @@ object Sampling {
       .orderBy(portableHash60(tieBreak), tieBreak)
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Deterministic epoch shuffle — the training-order step: each epoch
+    * induces an independent pseudorandom permutation of the corpus (rank by
+    * hash(epoch ‖ key)), so every run, retry, and resume sees the same
+    * order, and consecutive epochs are decorrelated without any stored
+    * permutation state.
+    *
+    * The permutation is materialized the way shard writers consume it:
+    * rows land in `shard = hash % nShards` and get a contiguous
+    * `pos` (1..shardSize) WITHIN the shard — readers stream shards in
+    * position order. Ranking therefore windows on (epoch, shard) —
+    * epochs × nShards partitions, never the single-partition funnel a
+    * global dense rank would force — and the hash itself already is the
+    * global sort key when a total order is wanted.
+    */
+  def epochShuffle(df: DataFrame, keyCol: Column,
+                   epochs: Int, nShards: Int): DataFrame = {
+    require(epochs > 0 && nShards > 0,
+      s"need positive epochs/nShards, got $epochs/$nShards")
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__h").asc, keyCol.asc)
+    df.withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__h", portableHash60(concat_ws("_", col("epoch"), keyCol)))
+      .withColumn("shard", (col("__h") % nShards).cast(IntegerType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .drop("__h")
+  }
 }
