@@ -1194,8 +1194,10 @@ votes AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN
   FROM hx CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
 sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
   FROM votes GROUP BY doc_id),
-qr AS (SELECT doc_id, CAST(q AS INTEGER) AS q, (sig >> CAST(q * 15 AS INTEGER)) & 32767 AS qv
+qr0 AS (SELECT doc_id, CAST(q AS INTEGER) AS q, (sig >> CAST(q * 15 AS INTEGER)) & 32767 AS qv
   FROM sig CROSS JOIN range(4) r(q)),
+big AS (SELECT q, qv FROM qr0 GROUP BY q, qv HAVING count(*) > 10000),
+qr AS (SELECT qr0.* FROM qr0 LEFT JOIN big USING (q, qv) WHERE big.q IS NULL),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM qr a JOIN qr b ON a.q = b.q AND a.qv = b.qv AND a.doc_id < b.doc_id),
 h2 AS (SELECT id_a, id_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
@@ -1204,7 +1206,7 @@ SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM h2 WHERE hamming <= 
     "q95_lsh_portable" -> lshPortableOracleSql,
     "q96_ivf_portable" -> ivfPortableOracleSql,
     "q97_dup_spans" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks FROM documents),
 g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
   FROM tk CROSS JOIN UNNEST(range(1, greatest(len(toks) - 8, 0) + 2)) AS r(i)),
 d AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
@@ -1244,7 +1246,7 @@ c AS (SELECT doc_id, source, w // 100 + CASE WHEN b < w % 100 THEN 1 ELSE 0 END 
 SELECT doc_id, source, CAST(cp AS BIGINT) AS copy
 FROM c CROSS JOIN UNNEST(range(copies)) AS r(cp) WHERE copies > 0""",
     "q102_span_remove" ->
-      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks FROM documents),
 t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS tok
   FROM tk CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)),
 g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, array_to_string(toks[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g

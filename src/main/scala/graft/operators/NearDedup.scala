@@ -190,9 +190,16 @@ object NearDedup {
     * per bit over token hashes, 4×15-bit chunk bucketing, Hamming verify.
     * Tokenization is split-on-whitespace of the trimmed text — defined
     * here, mirrored in the oracle.
+    *
+    * Degenerate buckets (a corpus of near-identical docs collapsing onto
+    * one chunk value) are dropped WHOLE when larger than `maxBucketSize`
+    * — the same anti-join guard as the native [[simhashPairs]], but as
+    * whole-bucket exclusion so the rule stays deterministic and the
+    * oracle SQL replays it with a plain HAVING filter.
     */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 3): DataFrame = {
+                           maxHamming: Int = 3,
+                           maxBucketSize: Int = 10000): DataFrame = {
     val bits = 60
     val toks = df.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("t"))
@@ -209,8 +216,11 @@ object NearDedup {
         struct(lit(q).as("q"),
           shiftright(col("sig"), q * 15).bitwiseAND(0x7FFFL).as("qv"))): _*)).as("c"))
       .select(col("id"), col("sig"), col("c.q").as("q"), col("c.qv").as("qv"))
-    val aSide = quarters.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val bSide = quarters.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val hot = quarters.groupBy(col("q"), col("qv")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize).select(col("q"), col("qv"))
+    val kept = quarters.join(broadcast(hot), Seq("q", "qv"), "left_anti")
+    val aSide = kept.select(col("q"), col("qv"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val bSide = kept.select(col("q"), col("qv"), col("id").as("id_b"), col("sig").as("sig_b"))
     aSide.join(bSide, Seq("q", "qv")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

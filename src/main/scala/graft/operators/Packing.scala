@@ -22,11 +22,19 @@ object Packing {
     * layout: ordered by `orderCol` within `shardCol`, a document starting
     * at running-token-position s lands in sequence floor(s/budget) at
     * offset s % budget.
+    *
+    * The running sum uses an explicit ROWS frame so rows tied on
+    * `orderCol` still get distinct, non-overlapping start positions (the
+    * default RANGE frame would give every tie the same cumulative sum and
+    * hence overlapping offsets). The layout is always valid; it is only
+    * REPRODUCIBLE across runs when (shardCol, orderCol) is unique — pass a
+    * unique order key (e.g. doc_id) when determinism matters.
     */
   def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
                     tokens: Column, budget: Int): DataFrame = {
     require(budget > 0, "packSequences needs a positive token budget")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("__tok", tokens.cast("bigint"))
       .withColumn("__start", sum(col("__tok")).over(w) - col("__tok"))
       .withColumn("seq_id", floor(col("__start") / budget))

@@ -51,7 +51,7 @@ object SpanDedup {
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 8): DataFrame = {
     val grams = docs
-      .select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol).as("__id"), split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
       .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
     // A gram is duplicated when >= 2 distinct documents contain it. The
     // aggregation is two-phase (partial count-distinct per map task), so a
@@ -113,7 +113,7 @@ object SpanDedup {
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, minSpanTokens: Int = 20): DataFrame = {
     val tokenized = docs
-      .select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol).as("__id"), split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
     val toks = tokenized
       .select(col("__id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
       .select(col("__id"), col("pos").cast("long").as("pos"), col("tok"))

@@ -17,6 +17,17 @@ class PackingSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L), (4L, 2L, 76L)))
   }
 
+  test("ties on the order column still get distinct, non-overlapping starts") {
+    // Three docs sharing one order value: the ROWS frame must hand each a
+    // distinct running start (the default RANGE frame gave all three the
+    // same cumulative sum -> overlapping seq_id/seq_offset).
+    val docs = Seq((1L, "s1", 0L, 200L), (2L, "s1", 0L, 200L), (3L, "s1", 0L, 200L))
+      .toDF("id", "shard", "ord", "tok")
+    val got = Packing.packSequences(docs, "shard", "ord", col("tok"), budget = 512)
+      .select("seq_id", "seq_offset").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((0L, 0L), (0L, 200L), (0L, 400L)))
+  }
+
   test("shards pack independently") {
     val docs = Seq((1L, "a", 400L), (2L, "b", 400L), (3L, "a", 400L))
       .toDF("id", "shard", "tok")

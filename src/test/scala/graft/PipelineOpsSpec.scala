@@ -52,6 +52,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq((1L, "", 30L), (2L, "", 30L)))
   }
 
+  test("NULL-text rows survive spanStats and removeDupSpans (as empty docs)") {
+    // split(NULL) yields NULL and posexplode emits no rows, so without the
+    // coalesce a NULL-text doc silently vanished from both outputs.
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val stats = SpanDedup.spanStats(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats.map(_._1) == Seq(1L, 2L))
+    assert(stats(1) == ((2L, 1L, 0L, 0L))) // one whole-doc (empty) gram
+    val removed = SpanDedup.removeDupSpans(docs, "doc_id", "text",
+      n = 8, minSpanTokens = 20)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(removed.map(_._1) == Seq(1L, 2L))
+    assert(removed(1)._3 == 0L)
+  }
+
   test("spanStats: within-doc repetition alone is not duplication") {
     val docs = Seq((1L, Seq.fill(4)("p q r s t u v w").mkString(" ")))
       .toDF("doc_id", "text")
