@@ -887,7 +887,43 @@ object SparkEntry {
       // independent hash permutation, contiguous positions within shards
       graft.operators.Sampling.epochShuffle(
         t(s, d, "documents").select(col("doc_id")),
-        col("doc_id"), epochs = 2, nShards = 8)))
+        col("doc_id"), epochs = 2, nShards = 8)),
+    "q106_quality_classifier" -> ((s, d) =>
+      // fastText-style hashed linear quality scorer (the model-based
+      // filtering pass of CCNet/FineWeb-Edu/DCLM): integer bucket weights
+      // make the whole narrow-map pipeline oracle-replayable bit-for-bit
+      graft.functions.Classifier.scoreDocsPortable(
+        t(s, d, "documents"), "doc_id", "text")),
+    "q107_keyword_topk" -> ((s, d) =>
+      // inverted-index keyword retrieval: integer tf scoring, term filter
+      // before any shuffle, TakeOrderedAndProject top-k (BM25 is the
+      // spec-verified float twin — ln is not bit-portable across engines)
+      graft.operators.Retrieval.keywordTopK(t(s, d, "documents"),
+        "doc_id", "text", Seq("spark", "join", "window"), k = 10)),
+    "q108_line_dedup" -> ((s, d) =>
+      // C4/RefinedWeb global line dedup (keep first occurrence): the
+      // synthetic corpus has no newlines, so lines are constructed per doc
+      // (q67/q81 injection pattern) — a unique body line, a footer shared
+      // by ALL docs, and a banner shared within each source
+      graft.operators.SpanDedup.removeDupLines(
+        t(s, d, "documents").select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("standard footer line"),
+            concat(lit("source banner "), col("source"))).as("text")),
+        "doc_id", "text")),
+    "q109_vocab_coverage" -> ((s, d) =>
+      // tokenizer sizing curve: top-20 vocabulary with exact cumulative
+      // corpus coverage (integer counts, one final division)
+      graft.operators.Vocab.vocabCoverage(t(s, d, "documents"), "text",
+        vocabSize = 20)),
+    "q110_bpe_pairs" -> ((s, d) =>
+      // one BPE round's statistics (Sennrich et al. 2016) on the
+      // word-frequency table: adjacent symbol-pair counts incl. the </w>
+      // marker; the iterative trainer (Vocab.train) is spec-verified
+      graft.operators.Vocab.pairCounts(
+        graft.operators.Vocab.wordFreq(t(s, d, "documents"), "text")
+          .select(graft.operators.Vocab.charSymbols(col("word")).as("syms"),
+            col("freq")))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(20)))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1272,7 +1308,50 @@ h AS (SELECT doc_id, epoch,
   ${portableHash60Sql("CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)")} AS hv FROM e)
 SELECT doc_id, epoch, CAST(hv % 8 AS INTEGER) AS shard,
   CAST(row_number() OVER (PARTITION BY epoch, hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
-FROM h""")
+FROM h""",
+    "q106_quality_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS t FROM documents),
+w AS (SELECT doc_id, ((${portableHash60Sql("t")} % 32768) * 2654435761 % 1001) - 500 AS wt FROM tok),
+sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM w GROUP BY doc_id)
+SELECT doc_id, score, n_tokens,
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS quality
+FROM sc""",
+    "q107_keyword_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS t FROM documents),
+m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS score, CAST(count(DISTINCT t) AS BIGINT) AS n_terms
+  FROM tok WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id)
+SELECT doc_id, score, n_terms FROM m ORDER BY score DESC, doc_id LIMIT 10""",
+    "q108_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+  text || chr(10) || 'standard footer line' || chr(10) || 'source banner ' || source AS tx FROM documents),
+tk AS (SELECT doc_id, string_split(tx, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[CAST(i AS INTEGER)] AS line
+  FROM tk CROSS JOIN UNNEST(range(1, len(ls) + 1)) AS r(i)),
+k AS (SELECT doc_id, pos, line,
+  CASE WHEN len(trim(line)) = 0 THEN 1
+       ELSE row_number() OVER (PARTITION BY trim(line) ORDER BY doc_id, pos) END AS rk FROM l),
+r AS (SELECT doc_id, string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY pos) AS clean_text,
+  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed FROM k GROUP BY doc_id)
+SELECT doc_id, COALESCE(clean_text, '') AS clean_text, n_removed FROM r""",
+    "q109_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS word FROM documents),
+f AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w WHERE len(word) > 0 GROUP BY word),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM f),
+top AS (SELECT word, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+  FROM f QUALIFY rank <= 20)
+SELECT rank, word AS token, cnt,
+  CAST(CAST(sum(cnt) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+    / CAST(total AS DOUBLE) AS coverage
+FROM top CROSS JOIN t""",
+    "q110_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents),
+f AS (SELECT w, count(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY w),
+p AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+  CASE WHEN CAST(i AS INTEGER) = len(w) THEN '</w>' ELSE substr(w, CAST(i AS INTEGER) + 1, 1) END AS b,
+  freq FROM f CROSS JOIN UNNEST(range(1, len(w) + 1)) AS r(i)),
+c AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b)
+SELECT a, b, cnt FROM c ORDER BY cnt DESC, a, b LIMIT 20""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

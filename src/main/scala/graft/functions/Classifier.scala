@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Model-based document quality scoring with the hashing trick — the
+  * fastText-style linear classifier pass modern pipelines (CCNet,
+  * FineWeb-Edu, DCLM) run over every document: tokens hash into a fixed
+  * number of weight buckets, the document's score is the sum of its
+  * tokens' bucket weights, and a threshold on the length-normalized score
+  * keeps or drops the doc. The reference has no model-based filtering
+  * (its filters are row predicates: /root/reference/pybabe/base.py); this
+  * is the extension a training-data pipeline needs.
+  *
+  * Scale shape: scoring is a PURE NARROW MAP — the token array is
+  * projected once (Catalyst does not CSE across lambda boundaries), the
+  * weight fold runs inside whole-stage codegen, and no shuffle or state
+  * exists anywhere. Scoring parallelizes with the scan at any corpus
+  * size; the weight table never ships because it is a closed-form
+  * expression over the bucket id.
+  *
+  * Integer weights make every sum order-independent and exact, so the
+  * whole pipeline (hash, bucket, weight, fold, normalize) replays
+  * bit-for-bit in an external SQL engine when given a portable token
+  * hash — which is how the driver's oracle gates it.
+  */
+object Classifier {
+
+  /** Deterministic stand-in for a trained model's bucket weights: a
+    * Knuth-multiplicative scramble of the bucket id folded into
+    * [-500, 500]. Real deployments substitute their trained vector via
+    * `weightOf`; the scramble keeps the demo integer-exact and
+    * reproducible from any engine. (bucket < 2^15 and 2654435761 < 2^32,
+    * so the product stays under 2^47 — ANSI-overflow-safe.)
+    */
+  def scrambleWeight(bucket: Column): Column =
+    (bucket * lit(2654435761L)) % lit(1001L) - lit(500L)
+
+  /** Sum of bucket weights over a token ARRAY column (project the array
+    * first — an inline `split` would re-tokenize per element). `tokenHash`
+    * maps a token to a non-negative long (xxhash64-based for production,
+    * md5-based portable for oracle replay); `weightOf` maps bucket id to
+    * an integer weight expression.
+    */
+  def hashedScoreSum(toksCol: Column, nBuckets: Int,
+                     tokenHash: Column => Column,
+                     weightOf: Column => Column): Column = {
+    require(nBuckets > 0, "need a positive bucket count")
+    aggregate(toksCol, lit(0L),
+      (acc, t) => acc + weightOf(pmod(tokenHash(t), lit(nBuckets.toLong))).cast(LongType))
+  }
+
+  /** Score every document: (idCol, score, n_tokens, quality) where
+    * `quality` = score / n_tokens (one division of exact integers —
+    * bit-portable). Production hash = xxhash64.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                nBuckets: Int = 1 << 15,
+                tokenHash: Column => Column = t => abs(xxhash64(t)),
+                weightOf: Column => Column = scrambleWeight): DataFrame =
+    docs
+      .select(col(idCol),
+        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+      .select(col(idCol),
+        hashedScoreSum(col("__toks"), nBuckets, tokenHash, weightOf).as("score"),
+        size(col("__toks")).cast(LongType).as("n_tokens"))
+      .withColumn("quality",
+        when(col("n_tokens") === 0L, lit(0.0d))
+          .otherwise(col("score").cast("double") / col("n_tokens").cast("double")))
+
+  /** Oracle-replayable variant: the portable 60-bit md5 token hash
+    * (graft.operators.Sampling.portableHash60) in place of xxhash64 —
+    * same shape, same weights, reproducible from any SQL engine.
+    */
+  def scoreDocsPortable(docs: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 1 << 15): DataFrame =
+    scoreDocs(docs, idCol, textCol, nBuckets,
+      tokenHash = graft.operators.Sampling.portableHash60)
+}

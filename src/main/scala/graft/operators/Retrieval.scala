@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — the inverted-index/BM25
+  * counterpart of the embedding ANN surface (VectorFunctions): find the
+  * documents that best match a bag of query terms. Training-data pipelines
+  * use this for targeted corpus audits ("show me the docs about X"),
+  * decontamination triage, and seeded quality sampling.
+  *
+  * Extension surface beyond the reference's operator set (its filters are
+  * row predicates: /root/reference/pybabe/base.py `filter`); term-ranked
+  * retrieval is the search capability a 100 TB corpus needs.
+  *
+  * Scale shape: the term filter is a broadcast-literal `isin` applied
+  * BEFORE any shuffle, so the exploded token stream collapses to matching
+  * rows at the scan; per-doc scores are one hash aggregation on the doc
+  * key; and the final ranking is a `TakeOrderedAndProject` (every partition
+  * ships only its local top k — no global sort, no single-partition
+  * funnel). Nothing is ever quadratic and the driver sees k rows.
+  */
+object Retrieval {
+
+  private def toks(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("t"))
+
+  /** Top-k documents by total query-term frequency (integer-exact scoring;
+    * ties broken by ascending doc id so the cut at k is deterministic).
+    * Returns (doc_id, score, n_terms) — n_terms = distinct query terms
+    * present, the "coordination" signal rankers use to prefer docs matching
+    * more of the query.
+    */
+  def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k > 0, "keywordTopK needs terms and k > 0")
+    toks(docs, idCol, textCol)
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"), count_distinct(col("t")).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Okapi BM25 top-k (Robertson/Sparck Jones weighting, the standard
+    * probabilistic ranking function): idf-weighted, length-normalized term
+    * frequency. Corpus stats (N, avgdl) are a one-row aggregate broadcast
+    * by cross join; per-term document frequencies are a term-count
+    * aggregate broadcast into the tf join (both sides tiny next to the
+    * corpus); the doc-length table joins on the doc key. Float scores are
+    * engine-portable only to the last ulp (ln differs across libms), so
+    * this surface is spec-verified on ranking ORDER, not oracle-hashed —
+    * [[keywordTopK]] is the integer-exact twin the driver gates.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, "bm25TopK needs terms and k > 0")
+    val tk = toks(docs, idCol, textCol)
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = tk.filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("t"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))).as("idf"))
+    tf.join(broadcast(idf), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -151,4 +151,47 @@ object SpanDedup {
         sum(when(col("cov").isNotNull, 1L).otherwise(0L)).as("n_removed"))
       .select(col("__id").as(idCol), col("clean_text"), col("n_removed"))
   }
+
+  /** C4-style global LINE dedup: any non-blank line occurring in more than
+    * one place in the corpus survives only at its FIRST occurrence (global
+    * order = (doc id, line position) — deterministic, re-runs reproduce
+    * it). Blank lines are structure, not content, and always survive.
+    * Output: (idCol, clean_text, n_removed) — every input document appears
+    * exactly once; clean_text rejoins surviving lines with '\n'.
+    *
+    * This is the line-level policy of the C4 pipeline (Raffel et al. 2020
+    * — "we discard all but one of any three-sentence span occurring more
+    * than once", here at line granularity like Dolma/RefinedWeb); the
+    * n-gram span policy lives in [[removeDupSpans]].
+    *
+    * Scale shape: one shuffle keyed on the trimmed line text (first-
+    * occurrence rank via window — counts of a boilerplate line concentrate
+    * as ROWS of one key, never collected arrays), one shuffle back on the
+    * doc key for the rebuild (per-group memory bounded by document
+    * length). Linear end-to-end, no driver state.
+    */
+  def removeDupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+    val wFirst = Window.partitionBy(trim(col("line")))
+      .orderBy(col("__id"), col("pos"))
+    val kept = lines
+      .withColumn("rk",
+        when(length(trim(col("line"))) === 0, lit(1))
+          .otherwise(row_number().over(wFirst)))
+    val rebuilt = kept
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("rk") === 1,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_removed"))
+    docs.select(col(idCol).as("__id"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

@@ -82,4 +82,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise blow-up in:\n$p")
   }
+
+  test("q106 classifier scoring is a pure narrow map — zero exchanges") {
+    val p = planOf("q106_quality_classifier")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in scoring:\n$p")
+  }
+
+  test("q107 keyword retrieval filters before the shuffle, top-k heap tail") {
+    val p = planOf("q107_keyword_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    // the term filter runs on the exploded tokens BEFORE any exchange, so
+    // both count-distinct phases ((doc,t) then doc) shuffle only matching
+    // rows — two exchanges total, nothing corpus-sized
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected the two distinct-agg exchanges, got $exchanges in:\n$p")
+    assert(p.contains("Filter"), s"term filter missing in:\n$p")
+  }
+
+  test("q110 BPE pair counts aggregate word table, top-k heap tail") {
+    val p = planOf("q110_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
 }

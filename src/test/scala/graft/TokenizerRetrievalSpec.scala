@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, SpanDedup, Vocab}
+import graft.functions.Classifier
+
+/** Tokenizer induction (vocab/BPE), keyword retrieval, model-based quality
+  * scoring, and C4 line dedup.
+  */
+class TokenizerRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keywordTopK ranks by total term frequency with deterministic ties") {
+    val docs = Seq(
+      (1L, "spark spark join other words here"),
+      (2L, "spark join window"),          // 3 distinct terms, score 3
+      (3L, "spark spark spark spark"),    // score 4
+      (4L, "nothing relevant at all"),
+      (5L, "spark join window"))          // ties doc 2 -> doc 2 first
+      .toDF("doc_id", "text")
+    val got = Retrieval.keywordTopK(docs, "doc_id", "text",
+      Seq("spark", "join", "window"), k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 4L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
+  }
+
+  test("bm25TopK prefers rare terms and penalizes long documents") {
+    val filler = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "rare common"),              // short doc, has the rare term
+      (2L, s"common common $filler"),   // long doc, common term only
+      (3L, "common here"),
+      (4L, s"rare $filler $filler"),    // rare term but much longer
+      (5L, "common filler text")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 1: rare idf + short length -> top; doc 4 next (rare, long);
+    // common-only docs trail
+    assert(got.head == 1L)
+    assert(got.indexOf(4L) < got.indexOf(2L))
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text", Seq("rare"), k = 2)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L, 4L))
+  }
+
+  test("vocabCoverage: ranked vocabulary with exact cumulative coverage") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, d=1 (ties lexicographic), total 9
+    val got = Vocab.vocabCoverage(docs, "text", vocabSize = 3)
+      .orderBy("rank").as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 4L, 4.0 / 9), (2L, "b", 3L, 7.0 / 9), (3L, "c", 1L, 8.0 / 9)))
+  }
+
+  test("BPE learns the classic merges on a toy corpus") {
+    // Sennrich-style example: 'low' x5, 'lowest' x2, 'newer' x6, 'wider' x3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lowest") ++
+      Seq.fill(6)("newer") ++ Seq.fill(3)("wider")).mkString(" ")
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val merges = Vocab.train(docs, "text", nMerges = 4)
+    // pair freqs round 1: (e,r)=9 wins; then (er,</w>)=9; then 'low' pairs
+    assert(merges.take(2) == Seq(("e", "r"), ("er", "</w>")))
+    assert(merges.length == 4)
+    // encoding replays the merges: 'newer' ends in the er</w> symbol
+    val enc = docs.select(Vocab.encode(col("text"), merges).as("s"))
+      .as[Seq[String]].head()
+    assert(enc.contains("er</w>"))
+  }
+
+  test("applyMerge is greedy left-to-right on overlapping runs") {
+    val df = Seq(Seq("o", "o", "o"), Seq("a", "b", "b"), Seq("a", "a", "b"))
+      .toDF("syms")
+    val got = df.select(Vocab.applyMerge(col("syms"), "o", "o").as("m"),
+      Vocab.applyMerge(col("syms"), "a", "b").as("ab"))
+      .as[(Seq[String], Seq[String])].collect().toSeq
+    assert(got(0)._1 == Seq("oo", "o"))
+    assert(got(1)._2 == Seq("ab", "b"))
+    assert(got(2)._2 == Seq("a", "ab"))
+  }
+
+  test("hashed linear scorer is exact, narrow, and length-normalized") {
+    val docs = Seq((1L, "a b c"), (2L, "a a a a a a"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = Classifier.scoreDocsPortable(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // same token repeated: score scales linearly, quality constant
+    val qa = out(1).getAs[Double]("quality")
+    val one = Classifier.scoreDocsPortable(
+      Seq((9L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+      .head().getAs[Double]("quality")
+    assert(math.abs(qa - one) < 1e-12)
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    // no shuffle anywhere in the scoring plan
+    val plan = Classifier.scoreDocsPortable(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("removeDupLines keeps first global occurrence, blanks survive") {
+    val docs = Seq(
+      (1L, "unique one\nshared boilerplate\n\nclosing line"),
+      (2L, "shared boilerplate\nits own text"),
+      (3L, "shared boilerplate"),          // fully duplicated -> empty
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = SpanDedup.removeDupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got(0) == ((1L, "unique one\nshared boilerplate\n\nclosing line", 0L)))
+    assert(got(1) == ((2L, "its own text", 1L)))
+    assert(got(2) == ((3L, "", 1L)))
+    assert(got(3) == ((4L, "", 0L)))
+  }
+}
