@@ -923,7 +923,70 @@ object SparkEntry {
         graft.operators.Vocab.wordFreq(t(s, d, "documents"), "text")
           .select(graft.operators.Vocab.charSymbols(col("word")).as("syms"),
             col("freq")))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(20)))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(20)),
+    "q111_bloom_decontaminate" -> ((s, d) => {
+      // Bloom-filter decontamination: q80's benchmark (docs 0-4) but the
+      // exclusion set is a FIXED-SIZE m-bit filter (k=3 md5 positions,
+      // m=4096) instead of the exact gram set; per-doc count of grams the
+      // filter claims. m is deliberately small enough that the driver also
+      // exercises the false-positive path at sf0.1.
+      val docs = t(s, d, "documents")
+      val bits = graft.operators.Contamination.bloomBuild(
+        docs.filter(col("doc_id") < 5), "text", n = 5, k = 3, m = 4096L)
+      graft.operators.Contamination.bloomContaminatedIds(
+        docs, "doc_id", "text", bits, n = 5, k = 3, m = 4096L)
+    }),
+    "q112_dsir" -> ((s, d) => {
+      // DSIR (Xie et al. 2023) importance weights: make the corpus look
+      // like the src0/src1 slice; hashed unigram+bigram buckets, portable
+      // exact-integer ratio scoring (the log-weight twin is spec-verified)
+      val docs = t(s, d, "documents")
+      graft.operators.Importance.importanceScoresPortable(
+        docs, "doc_id", "text",
+        docs.filter(col("source").isin("src0", "src1")), "text",
+        buckets = 256)
+    }),
+    "q113_len_histogram" -> ((s, d) =>
+      // token-budget planning: power-of-two document-length histogram with
+      // EXACT integer floor(log2) buckets (length of the base-2 string)
+      graft.operators.Profile.lengthHistogram(t(s, d, "documents"),
+        size(split(trim(col("text")), "\\s+")))),
+    "q114_url_canonicalize" -> ((s, d) => {
+      // crawl URL hygiene (CCNet/RefinedWeb stage): canonicalize messy
+      // URLs (case, default ports, tracking params, fragments), extract
+      // the registered domain, flag blocklisted domains. The synthetic
+      // corpus has no URL column, so URLs are constructed deterministically
+      // from (source, doc_id) — q67/q81's injection pattern.
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://www.")).otherwise(lit("http://sub.")),
+        col("source"),
+        when(col("doc_id") % 2 === 0, lit(".co.uk:443/Docs/")).otherwise(lit(".org:80/Docs/")),
+        col("doc_id").cast(StringType),
+        lit("/page?utm_source=feed&q="), (col("doc_id") % 3).cast(StringType),
+        lit("&utm_campaign=x&gclid=abc#frag"))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.urlCanonicalize(col("url")).as("canon"),
+          graft.functions.UrlFunctions.registeredDomain(
+            graft.functions.UrlFunctions.urlHost(col("url"))).as("domain"))
+        .withColumn("blocked",
+          col("domain").isin("src3.co.uk", "src7.org"))
+    }),
+    "q115_wet_roundtrip" -> ((s, d) => {
+      // WARC/WET (ISO 28500) round-trip: write the corpus as sharded WET
+      // conversion records, re-ingest via the Content-Length byte parser,
+      // recover (doc_id, text) — the CommonCrawl front door
+      val out = tmpDir() + "/wet"
+      graft.sources.Warc.writeWet(
+        t(s, d, "documents").select(
+          concat(lit("https://corpus.local/doc/"), col("doc_id").cast(StringType)).as("uri"),
+          col("text")),
+        "uri", "text", out)
+      graft.sources.Warc.readWet(s, out)
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("content_length"), col("payload").as("text"))
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1351,7 +1414,82 @@ p AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
   CASE WHEN CAST(i AS INTEGER) = len(w) THEN '</w>' ELSE substr(w, CAST(i AS INTEGER) + 1, 1) END AS b,
   freq FROM f CROSS JOIN UNNEST(range(1, len(w) + 1)) AS r(i)),
 c AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b)
-SELECT a, b, cnt FROM c ORDER BY cnt DESC, a, b LIMIT 20""")
+SELECT a, b, cnt FROM c ORDER BY cnt DESC, a, b LIMIT 20""",
+    "q111_bloom_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+  ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END AS s FROM tk),
+gr AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+pos AS (SELECT doc_id, g, ${portableHash60Sql("(CAST(k.i AS VARCHAR) || ':' || g)")} % 4096 AS pos
+  FROM gr CROSS JOIN (VALUES (0), (1), (2)) k(i)),
+bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 5),
+miss AS (SELECT DISTINCT doc_id, g FROM pos WHERE pos NOT IN (SELECT pos FROM bits))
+SELECT doc_id, count(*) AS hit_grams FROM gr
+WHERE NOT EXISTS (SELECT 1 FROM miss m WHERE m.doc_id = gr.doc_id AND m.g = gr.g)
+GROUP BY doc_id""",
+    "q112_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+feats AS (
+  SELECT doc_id, source, unnest(toks) AS f FROM tk
+  UNION ALL
+  SELECT doc_id, source, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]) END) AS f
+  FROM tk),
+fb AS (SELECT doc_id, source, ${portableHash60Sql("f")} % 256 AS bucket FROM feats),
+qc AS (SELECT bucket, count(*) AS qcnt FROM fb GROUP BY bucket),
+pc AS (SELECT bucket, count(*) AS pcnt FROM fb WHERE source IN ('src0', 'src1') GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM fb) AS qtot,
+               (SELECT count(*) FROM fb WHERE source IN ('src0', 'src1')) AS ptot),
+w AS (SELECT qc.bucket, COALESCE(pc.pcnt, 0) AS pcnt, qc.qcnt AS qcnt FROM qc LEFT JOIN pc USING (bucket))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+  CAST(sum((1000000 * (w.pcnt + 1) * (tot.qtot + 256)) // ((w.qcnt + 1) * (tot.ptot + 256))) AS BIGINT) AS score_scaled
+FROM fb JOIN w USING (bucket) CROSS JOIN tot GROUP BY doc_id""",
+    "q113_len_histogram" ->
+      """WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len FROM documents),
+b AS (SELECT CASE WHEN len <= 0 THEN CAST(-1 AS BIGINT)
+  ELSE CAST(length(to_base(len, 2)) - 1 AS BIGINT) END AS bucket, len FROM d)
+SELECT bucket, count(*) AS n_docs,
+  CAST(sum(CASE WHEN len > 0 THEN len ELSE 0 END) AS BIGINT) AS total_tokens,
+  CAST(min(len) AS BIGINT) AS min_len, CAST(max(len) AS BIGINT) AS max_len,
+  CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+    ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INTEGER)) END AS bucket_lo
+FROM b GROUP BY bucket""",
+    "q114_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://sub.' END) || source ||
+  (CASE WHEN doc_id % 2 = 0 THEN '.co.uk:443/Docs/' ELSE '.org:80/Docs/' END) ||
+  CAST(doc_id AS VARCHAR) || '/page?utm_source=feed&q=' || CAST(doc_id % 3 AS VARCHAR) ||
+  '&utm_campaign=x&gclid=abc#frag' AS url FROM documents),
+parts AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2) AS hostport,
+  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS path,
+  regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+hp AS (SELECT doc_id, url, scheme, path, query,
+  lower(regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
+  regexp_extract(regexp_replace(hostport, '^[^@]*@', ''), ':([0-9]*)$', 1) AS port FROM parts),
+pp AS (SELECT doc_id, url, scheme, path, host, port,
+  list_filter(str_split(query, '&'),
+    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)')) AS params FROM hp),
+cn AS (SELECT doc_id, host,
+  scheme || '://' || host ||
+  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        AND NOT (scheme = 'https' AND port = '443') THEN ':' || port ELSE '' END) ||
+  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+  (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) AS canon FROM pp),
+dm AS (SELECT doc_id, canon,
+  CASE WHEN len(str_split(host, '.')) >= 3
+        AND (str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]) IN
+          ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'co.jp', 'ne.jp', 'or.jp',
+           'com.au', 'net.au', 'org.au', 'co.nz', 'com.br', 'com.cn', 'com.mx',
+           'co.in', 'co.kr', 'com.sg', 'com.tr', 'com.ar')
+    THEN str_split(host, '.')[-3] || '.' || str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]
+    WHEN len(str_split(host, '.')) >= 2
+    THEN str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]
+    ELSE host END AS domain FROM cn)
+SELECT doc_id, canon, domain, domain IN ('src3.co.uk', 'src7.org') AS blocked FROM dm""",
+    "q115_wet_roundtrip" ->
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length, text FROM documents")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-crawl corpora — the stage every CommonCrawl-derived
+  * pipeline (CCNet, C4, RefinedWeb) runs before any content work: normalize
+  * URLs so the same page has ONE key (URL-level dedup), extract the
+  * registered domain, and drop documents from blocklisted domains.
+  *
+  * Everything here is a pure narrow map built from RE2-safe regexes and
+  * higher-order array functions — no UDFs, no shuffle, fully codegen'd, and
+  * ANSI-replayable so URL keys can be re-derived by any engine.
+  *
+  * Canonicalization rules (the conservative, lossless-for-dedup subset):
+  * lowercase scheme and host, strip userinfo, strip the scheme's default
+  * port (:80 http, :443 https), empty path -> "/", drop the fragment, drop
+  * tracking parameters (utm_*, gclid, fbclid), keep remaining parameter
+  * ORDER (reordering can change semantics for some sites). Strings without
+  * a scheme://host prefix pass through unchanged.
+  */
+object UrlFunctions {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val TrackingRe = "^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)"
+
+  /** Lowercased host of a URL (userinfo and port stripped); "" if the
+    * string has no scheme://host shape.
+    */
+  def urlHost(url: Column): Column = {
+    val hostport = regexp_extract(url, SchemeRe + "([^/?#]*)", 2)
+    lower(regexp_replace(regexp_replace(hostport, "^[^@]*@", ""), ":[0-9]*$", ""))
+  }
+
+  /** Canonical form of a URL per the rules above. */
+  def urlCanonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeRe, 1))
+    val hostport = regexp_extract(url, SchemeRe + "([^/?#]*)", 2)
+    val noUser = regexp_replace(hostport, "^[^@]*@", "")
+    val port = regexp_extract(noUser, ":([0-9]*)$", 1)
+    val host = lower(regexp_replace(noUser, ":[0-9]*$", ""))
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 2)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingRe))
+    val canon = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+    when(scheme === "", url).otherwise(canon)
+  }
+
+  /** Multi-label public suffixes recognized by `registeredDomain` — the
+    * high-traffic subset of the Public Suffix List (the full PSL is a data
+    * file a production deployment would broadcast; the heuristic covers the
+    * common country-code second-level registries).
+    */
+  val MultiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.sg", "com.tr", "com.ar")
+
+  /** Registered (pay-level) domain of a lowercase host: the public suffix
+    * plus one label — "a.b.src3.co.uk" -> "src3.co.uk",
+    * "www.example.org" -> "example.org". Hosts with fewer labels pass
+    * through unchanged.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val nl = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    when(nl >= 3 && last2.isin(MultiSuffixes: _*), last3)
+      .when(nl >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Drop every row whose URL's registered domain is blocklisted. The
+    * blocklist ships as a literal (blocklists are KBs-to-MBs; a full PSL-
+    * scale list would broadcast-anti-join instead) — a pure per-row filter
+    * that composes unchanged with Structured Streaming.
+    */
+  def blockByDomain(df: DataFrame, urlCol: Column,
+                    blocked: Seq[String]): DataFrame =
+    df.filter(!registeredDomain(urlHost(urlCol)).isin(blocked.map(_.toLowerCase): _*))
+}

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Benchmark decontamination — remove training documents that share any
   * word n-gram with an evaluation/benchmark corpus, so the model is never
@@ -50,4 +51,72 @@ object Contamination {
     docs.filter(coalesce(!arrays_overlap(
       graft.expressions.GraftFunctions.shingles(col(textCol), n),
       typedLit(benchGrams)), lit(true)))
+
+  // -----------------------------------------------------------------------
+  // Bloom-filter decontamination — the constant-size variant of the
+  // semi-join above. `decontaminate` broadcasts the benchmark's DISTINCT
+  // n-grams (fine for MB-scale benchmarks); when the exclusion set grows to
+  // hundreds of millions of grams (aggregated eval suites, all previously
+  // shipped training shards), the standard move is a Bloom filter: an m-bit
+  // array with k hash positions per gram, giving a FIXED broadcast size and
+  // a bounded false-positive rate (1 - e^{-kG/m})^k, false negatives never.
+  // The bit array is represented as its SET-POSITION table (<= m rows of
+  // longs) so the whole pipeline stays declarative AND ANSI-replayable: a
+  // position set IS a Bloom bitmap, just stored sparse. Positions use the
+  // repo's portable 60-bit md5 fold with the hash index as a prefix salt,
+  // so any engine that can md5 can rebuild and audit the filter.
+  // -----------------------------------------------------------------------
+
+  /** The k Bloom positions of one gram: pos_i = md5_60(i ++ ":" ++ gram) % m. */
+  def bloomPositions(gram: Column, k: Int, m: Long): Column =
+    array((0 until k).map { i =>
+      pmod(conv(substring(md5(concat(lit(s"$i:"), gram)), 1, 15), 16, 10)
+        .cast(LongType), lit(m))
+    }: _*)
+
+  /** Build the filter from a benchmark corpus: the distinct set positions of
+    * every word n-gram. At most m rows (one long each) regardless of
+    * benchmark size — materialize once with `Memoize.memoize` and reuse
+    * across corpus shards.
+    */
+  def bloomBuild(benchmark: DataFrame, benchTextCol: String,
+                 n: Int = 8, k: Int = 3, m: Long = 1 << 20): DataFrame =
+    benchmark
+      .select(explode(graft.expressions.GraftFunctions.shingles(col(benchTextCol), n)).as("g"))
+      .select(explode(bloomPositions(col("g"), k, m)).as("pos"))
+      .distinct()
+
+  /** Per-document Bloom verdict: (id, hit_grams) for every document with at
+    * least one n-gram whose k positions are ALL set in `bits`. One narrow
+    * pass over the corpus (explode grams, explode positions), one broadcast
+    * anti-join against the fixed-size position set, then per-doc counting —
+    * no corpus-sized shuffle key ever carries text payloads.
+    */
+  def bloomContaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+                           bits: DataFrame, n: Int = 8, k: Int = 3,
+                           m: Long = 1 << 20): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(graft.expressions.GraftFunctions.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val pos = grams.select(col(idCol), col("g"),
+      explode(bloomPositions(col("g"), k, m)).as("pos"))
+    // a gram MISSES the filter iff any of its positions is unset
+    val missing = pos.join(broadcast(bits), Seq("pos"), "left_anti")
+      .select(col(idCol), col("g")).distinct()
+    grams.join(missing, Seq(idCol, "g"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hit_grams"))
+  }
+
+  /** The corpus minus every document the Bloom filter flags. Supersets the
+    * exact `decontaminate` result (false positives drop extra docs at the
+    * configured rate; false negatives cannot happen), which is the safe
+    * direction for decontamination.
+    */
+  def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 8, k: Int = 3, m: Long = 1 << 20): DataFrame = {
+    val bits = bloomBuild(benchmark, benchTextCol, n, k, m)
+    docs.join(bloomContaminatedIds(docs, idCol, textCol, bits, n, k, m),
+      Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.shingles
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023): score
+  * every raw-corpus document by how much it looks like a small TARGET corpus
+  * under a hashed n-gram bag-of-words model, then keep the highest-scoring
+  * slice. This is the standard "make 100 TB of crawl look like Wikipedia"
+  * pre-training selection pass.
+  *
+  * Model: features are word unigrams + bigrams hashed into `buckets`
+  * buckets (the paper's hashed n-gram generative model); each bucket gets a
+  * Laplace-smoothed probability under the target (p) and raw (q)
+  * distributions, and a document's importance weight is
+  * sum_f c_f * log(p_f / q_f).
+  *
+  * Scale shape: both distributions are ONE aggregation over exploded
+  * feature buckets (corpus-linear, integer counts, map-side combine); the
+  * per-bucket weight table is at most `buckets` rows and broadcasts into
+  * the scoring pass, which is explode -> broadcast join -> per-doc sum. No
+  * corpus-sized shuffle carries text, and the weight table can be reused
+  * across corpus shards.
+  *
+  * Two scorers, the repo's portable-twin pattern:
+  *  - `importanceScores` — the production log-weight (doubles; ln is not
+  *    bit-portable across engines, so this one is spec-verified);
+  *  - `importanceScoresPortable` — identical pipeline with the log-ratio
+  *    replaced by an exact BIGINT-scaled ratio
+  *    (scale * (pcnt+1) * (qtot+B)) div ((qcnt+1) * (ptot+B)), making the
+  *    whole pass ANSI-SQL replayable bit-for-bit. Monotone in p/q per
+  *    bucket, so it ranks like a first-order Taylor proxy of the log
+  *    weight; domain bound: scale * max(pcnt) * (qtot+B) must stay under
+  *    2^63 (holds through sf1-scale corpora at the default scale=10^6).
+  */
+object Importance {
+
+  /** Hashed feature-bucket stream of one document: unigrams ++ bigrams
+    * WITH multiplicity (the paper's count features — `TextFunctions.
+    * shingles`, not the deduping native kernel), each mapped to
+    * md5_60(feature) % buckets (the portable hash basis, so any engine can
+    * re-derive bucket membership).
+    */
+  def featureBuckets(textCol: Column, buckets: Int): Column =
+    transform(
+      concat(shingles(textCol, 1), shingles(textCol, 2)),
+      f => pmod(Sampling.portableHash60(f), lit(buckets.toLong)))
+
+  /** (bucket, cnt) totals of a corpus — one map-side-combined aggregation. */
+  def bucketCounts(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
+    corpus.select(explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The per-bucket (pcnt, qcnt) table plus the two corpus totals. The
+    * table is bounded by `buckets` rows, so it is collected ONCE (one
+    * corpus pass each side) and re-shipped as a local frame — the scoring
+    * join then broadcasts it without re-running the counting aggregations,
+    * and nothing lingers in the session cache. Totals fall out of the same
+    * collected rows. (Same bounded-driver-collect contract as the pivot
+    * value list; default 1024 buckets = kilobytes.)
+    */
+  private def weightTable(raw: DataFrame, target: DataFrame, textCol: String,
+                          targetTextCol: String, buckets: Int)
+      : (DataFrame, Long, Long) = {
+    val q = bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "qcnt")
+    val p = bucketCounts(target, targetTextCol, buckets).withColumnRenamed("cnt", "pcnt")
+    val w = q.join(p, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("pcnt"), lit(0L)).as("pcnt"),
+        coalesce(col("qcnt"), lit(0L)).as("qcnt"))
+    val rows = w.collect()
+    val ptot = rows.map(_.getLong(1)).sum
+    val qtot = rows.map(_.getLong(2)).sum
+    val spark = raw.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), w.schema)
+    (local, ptot, qtot)
+  }
+
+  /** Per-document DSIR log-importance weight (production scorer, doubles):
+    * (id, n_feats, log_weight). Higher = more target-like.
+    */
+  def importanceScores(raw: DataFrame, idCol: String, textCol: String,
+                       target: DataFrame, targetTextCol: String,
+                       buckets: Int = 1024): DataFrame = {
+    val (w, ptot, qtot) = weightTable(raw, target, textCol, targetTextCol, buckets)
+    val b = buckets.toLong
+    val weighted = w.select(col("bucket"),
+      (log((col("pcnt") + 1).cast("double") / lit((ptot + b).toDouble)) -
+        log((col("qcnt") + 1).cast("double") / lit((qtot + b).toDouble))).as("w"))
+    raw.select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+      .join(broadcast(weighted), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("log_weight"))
+  }
+
+  /** Portable twin: exact-integer scaled ratio weights, same pipeline.
+    * (id, n_feats, score_scaled) — ANSI-replayable for auditing.
+    */
+  def importanceScoresPortable(raw: DataFrame, idCol: String, textCol: String,
+                               target: DataFrame, targetTextCol: String,
+                               buckets: Int = 1024,
+                               scale: Long = 1000000L): DataFrame = {
+    val (w, ptot, qtot) = weightTable(raw, target, textCol, targetTextCol, buckets)
+    val b = buckets.toLong
+    val weighted = w.select(col("bucket"),
+      expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
+        .as("w"))
+    raw.select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+      .join(broadcast(weighted), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_scaled"))
+  }
+
+  /** Keep the `keepPct`% most target-like documents of `scored` (a frame
+    * from one of the scorers), deterministic tie-break on the id. DSIR
+    * proper adds Gumbel noise for diversity; the deterministic top slice is
+    * the reproducible variant (seeded noise can be layered on the score
+    * column by the caller). TakeOrderedAndProject — no global sort
+    * materializes.
+    */
+  def resampleTop(scored: DataFrame, idCol: String, scoreCol: String,
+                  keepPct: Int): DataFrame = {
+    require(keepPct > 0 && keepPct <= 100, s"keepPct in (0,100], got $keepPct")
+    val n = scored.count()
+    val keep = ((n * keepPct + 99) / 100).toInt
+    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(keep)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the exploration companion to `TypeDetect`/
@@ -33,5 +33,31 @@ object Profile {
         .select(lit(c).as("column"), col("n"), col("nulls"),
           col("n_distinct"), col("min_str"), col("max_str"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Power-of-two length histogram — the token-budget planning view of a
+    * corpus (how many documents and tokens land in each [2^b, 2^{b+1})
+    * bucket, what fraction of the token budget each bucket carries). The
+    * standard first look before choosing a packing sequence length: the
+    * tail buckets are what overflow fixed-length sequences.
+    *
+    * floor(log2 n) is computed EXACTLY as length(base2(n)) - 1 — pure
+    * integer/string ops, so the histogram is ANSI-replayable (float log2
+    * is not trustworthy at bucket boundaries). Empty/whitespace docs land
+    * in bucket -1. One narrow map + one tiny aggregation (<= 64 buckets).
+    */
+  def lengthHistogram(df: DataFrame, lenCol: Column): DataFrame = {
+    val n = lenCol.cast("long")
+    val bucket = when(n <= 0, lit(-1L))
+      .otherwise(length(conv(n, 10, 2)).cast("long") - 1)
+    df.select(bucket.as("bucket"), n.as("len"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("len") > 0, col("len")).otherwise(0L)).as("total_tokens"),
+        min("len").cast("long").as("min_len"),
+        max("len").cast("long").as("max_len"))
+      .withColumn("bucket_lo",
+        when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")))
   }
 }

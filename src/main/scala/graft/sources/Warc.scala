@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET reading and writing (ISO 28500 / the Common Crawl shipping
+  * format) — the ingestion front door of every web-scale training-data
+  * pipeline. A WET file is a sequence of records, each a `WARC/1.0` header
+  * block (CRLF-separated `Name: value` lines, terminated by a blank line)
+  * followed by exactly `Content-Length` payload bytes.
+  *
+  * Scale shape: parallelism is FILE-at-a-time, which is exactly how
+  * production WARC processing works — CC ships ~1 GB .wet.gz shards and
+  * gzip members are not splittable, so one task per shard is the native
+  * unit. `binaryFile` spreads shards across executors; the parser is a
+  * single forward byte scan per shard (no regex over the payload, no
+  * line-splitting — `Content-Length` is authoritative, so payloads may
+  * contain anything, including lines that look like record headers).
+  * Writing emits one valid WET member per partition, mirroring the sharded
+  * layout readers expect.
+  */
+object Warc {
+
+  /** One parsed WET record. */
+  final case class WetRecord(warcType: String, targetUri: String,
+                             contentLength: Long, payload: String)
+
+  /** Parse every record of one WET member (forward scan, Content-Length
+    * authoritative; tolerates any CR/LF padding between records).
+    */
+  def parseRecords(bytes: Array[Byte]): Seq[WetRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WetRecord]
+    var i = 0
+    def atSep(j: Int): Boolean =
+      j + 3 < bytes.length && bytes(j) == '\r' && bytes(j + 1) == '\n' &&
+        bytes(j + 2) == '\r' && bytes(j + 3) == '\n'
+    while (i < bytes.length) {
+      // skip inter-record padding
+      while (i < bytes.length && (bytes(i) == '\r' || bytes(i) == '\n')) i += 1
+      if (i >= bytes.length) return out.toSeq
+      // header block ends at the first CRLFCRLF
+      var j = i
+      while (j < bytes.length && !atSep(j)) j += 1
+      require(j < bytes.length, s"WARC: unterminated header block at byte $i")
+      val header = new String(bytes, i, j - i, UTF_8)
+      val lines = header.split("\r\n")
+      require(lines.headOption.exists(_.startsWith("WARC/")),
+        s"WARC: record at byte $i does not start with a WARC/ version line")
+      val fields = lines.tail.flatMap { l =>
+        val c = l.indexOf(':')
+        if (c < 0) None else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+      }.toMap
+      val len = fields.getOrElse("content-length",
+        sys.error(s"WARC: record at byte $i has no Content-Length")).toLong
+      val bodyStart = j + 4
+      require(bodyStart + len <= bytes.length,
+        s"WARC: truncated payload at byte $bodyStart (want $len bytes)")
+      out += WetRecord(
+        fields.getOrElse("warc-type", ""),
+        fields.getOrElse("warc-target-uri", ""),
+        len,
+        new String(bytes, bodyStart, len.toInt, UTF_8))
+      i = bodyStart + len.toInt
+    }
+    out.toSeq
+  }
+
+  /** Read a directory of WET members into
+    * (file, warc_type, target_uri, content_length, payload).
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        parseRecords(bytes).map(r =>
+          (file, r.warcType, r.targetUri, r.contentLength, r.payload))
+      }
+      .toDF("file", "warc_type", "target_uri", "content_length", "payload")
+  }
+
+  /** Write (uri, text) rows as WET conversion records, one valid member per
+    * partition. Record framing is built declaratively (octet_length gives
+    * the exact payload byte count) and written through the text sink; the
+    * sink's record terminator is legal inter-record padding, which
+    * `parseRecords` skips.
+    */
+  def writeWet(df: DataFrame, uriCol: String, textCol: String,
+               path: String): Unit =
+    df.select(concat(
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        col(uriCol),
+        lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        octet_length(col(textCol)).cast("string"),
+        lit("\r\n\r\n"),
+        col(textCol),
+        lit("\r\n")).as("value"))
+      .write.mode("overwrite").text(path)
+}

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import graft.functions.UrlFunctions
+import graft.operators.{Contamination, Importance, Profile}
+import graft.sources.Warc
+
+/** Round-5 curation surfaces: Bloom decontamination, DSIR importance
+  * weighting, length histograms, URL hygiene, WARC/WET round-trip.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- bloom
+
+  private val benchDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"))
+  private val corpusDocs = benchDocs ++ Seq(
+    (3L, "prefix words then quick brown fox jumps over suffix"), // shares a 5-gram with doc 1
+    (4L, "completely unrelated text about nothing in particular at all"),
+    (5L, "another innocent document with its own distinct vocabulary here"))
+
+  test("bloom decontamination flags every exactly-contaminated doc") {
+    val docs = corpusDocs.toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" <= 2)
+    val exact = Contamination.contaminatedIds(docs, "doc_id", "text", bench, "text", n = 5)
+      .as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L))
+    val bits = Contamination.bloomBuild(bench, "text", n = 5, k = 3, m = 1 << 20)
+    val flagged = Contamination.bloomContaminatedIds(docs, "doc_id", "text", bits,
+      n = 5, k = 3, m = 1 << 20)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives ever; m = 2^20 over ~10 grams -> no false positives
+    assert(flagged == exact)
+  }
+
+  test("bloomDecontaminate is never looser than exact decontamination") {
+    val docs = corpusDocs.toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" <= 2)
+    val exactKept = Contamination.decontaminate(docs, "doc_id", "text", bench, "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    // tiny m = 64 forces false positives; kept set must stay a SUBSET
+    val bloomKept = Contamination.bloomDecontaminate(docs, "doc_id", "text",
+      bench, "text", n = 5, k = 3, m = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomKept.subsetOf(exactKept))
+  }
+
+  // ----------------------------------------------------------------- dsir
+
+  private val targetLike = (0L until 6L).map(i =>
+    (i, "alpha beta gamma delta alpha beta", "tgt"))
+  private val offTarget = (6L until 12L).map(i =>
+    (i, "zulu yankee xray whiskey victor uniform", "raw"))
+
+  test("DSIR log-weights rank target-like docs above off-target docs") {
+    val raw = (targetLike ++ offTarget).toDF("doc_id", "text", "kind")
+    val target = raw.filter($"kind" === "tgt").select($"doc_id", $"text")
+    val scored = Importance.importanceScores(raw, "doc_id", "text", target, "text")
+      .join(raw.select($"doc_id", $"kind"), "doc_id")
+      .select($"kind", $"log_weight").as[(String, Double)].collect()
+    val tgtMin = scored.collect { case ("tgt", w) => w }.min
+    val rawMax = scored.collect { case ("raw", w) => w }.max
+    assert(tgtMin > rawMax,
+      s"target-like min $tgtMin should exceed off-target max $rawMax")
+  }
+
+  test("portable integer scorer ranks like the log scorer") {
+    val mixed = (0L until 12L).map { i =>
+      val nTgt = i.toInt % 4
+      val words = Seq.fill(nTgt)("alpha beta") ++ Seq.fill(4 - nTgt)("zulu yankee")
+      (i, words.mkString(" "))
+    }
+    val raw = mixed.toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    def ranking(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.orderBy(col(score).desc, col("doc_id")).select("doc_id").as[Long].collect().toSeq
+    val logRank = ranking(
+      Importance.importanceScores(raw, "doc_id", "text", target, "text", buckets = 128),
+      "log_weight")
+    val intRank = ranking(
+      Importance.importanceScoresPortable(raw, "doc_id", "text", target, "text", buckets = 128),
+      "score_scaled")
+    // same top tier: the 3-alpha-pair docs (i % 4 == 3) lead both rankings
+    assert(logRank.take(3).toSet == intRank.take(3).toSet)
+    assert(logRank.take(3).forall(_ % 4 == 3))
+  }
+
+  test("resampleTop keeps the ceiling slice deterministically") {
+    val scored = (1L to 10L).map(i => (i, i.toDouble)).toDF("doc_id", "s")
+    val kept = Importance.resampleTop(scored, "doc_id", "s", keepPct = 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 9L, 8L)) // ceil(10 * 0.25) = 3, highest scores
+  }
+
+  // ------------------------------------------------------------ histogram
+
+  test("lengthHistogram buckets on exact integer floor(log2)") {
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 8L).map(n => Tuple1(n)).toDF("len")
+    val h = Profile.lengthHistogram(docs, $"len")
+      .orderBy("bucket")
+      .select("bucket", "n_docs", "total_tokens", "min_len", "max_len", "bucket_lo")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(h == Seq(
+      (0L, 1L, 1L, 1L, 1L, 1L),
+      (1L, 2L, 5L, 2L, 3L, 2L),
+      (2L, 2L, 11L, 4L, 7L, 4L),
+      (3L, 1L, 8L, 8L, 8L, 8L)))
+  }
+
+  // ------------------------------------------------------------------ url
+
+  private def canon1(url: String): String =
+    Seq(Tuple1(url)).toDF("u")
+      .select(UrlFunctions.urlCanonicalize($"u")).as[String].head()
+
+  test("urlCanonicalize normalizes case, ports, tracking params, fragments") {
+    assert(canon1("HTTPS://User@WWW.Example.CO.UK:443/Path/x?utm_source=a&q=1&fbclid=z#frag")
+      == "https://www.example.co.uk/Path/x?q=1")
+    assert(canon1("http://example.com:8080") == "http://example.com:8080/")
+    assert(canon1("http://Example.com:80/a%20b?x=1&utm_x=2&gclid=c") == "http://example.com/a%20b?x=1")
+    assert(canon1("https://example.org/?utm_campaign=only") == "https://example.org/")
+    assert(canon1("not a url") == "not a url") // schemeless passthrough
+  }
+
+  test("registeredDomain applies the multi-label suffix heuristic") {
+    val got = Seq("a.b.src3.co.uk", "www.example.org", "example.org", "localhost")
+      .map(h => Seq(Tuple1(h)).toDF("h")
+        .select(UrlFunctions.registeredDomain($"h")).as[String].head())
+    assert(got == Seq("src3.co.uk", "example.org", "example.org", "localhost"))
+  }
+
+  test("blockByDomain drops exactly the blocklisted registered domains") {
+    val rows = Seq(
+      (1L, "https://a.src3.co.uk/x"), (2L, "http://keep.example.org/y"),
+      (3L, "https://www.src7.org:443/z?q=1")).toDF("id", "url")
+    val kept = UrlFunctions.blockByDomain(rows, $"url", Seq("src3.co.uk", "SRC7.org"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  // ----------------------------------------------------------------- warc
+
+  test("parseRecords reads hand-built members and rejects truncation") {
+    val payload = "héllo wörld"
+    val body = payload.getBytes(UTF_8)
+    val rec = ("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://x/1\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body ++ "\r\n\r\n".getBytes(UTF_8)
+    val parsed = Warc.parseRecords(rec ++ rec)
+    assert(parsed.map(_.payload) == Seq(payload, payload))
+    assert(parsed.head.contentLength == body.length && parsed.head.targetUri == "http://x/1")
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(rec.dropRight(6)) // cut into the payload
+    }
+  }
+
+  test("WET round-trip survives tricky payloads across partitions") {
+    val tricky = "line one\nWARC/1.0\r\nContent-Length: 3\r\n\r\nabc" // header-lookalike INSIDE a payload
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "héllo wörld ☃"),
+      (3L, tricky)).toDF("doc_id", "text")
+      .select(concat(lit("https://c.local/doc/"), $"doc_id").as("uri"), $"text")
+      .repartition(2)
+    val dir = tmp("wet_roundtrip")
+    Warc.writeWet(docs, "uri", "text", dir)
+    val back = Warc.readWet(spark, dir)
+      .select(regexp_extract($"target_uri", "([0-9]+)$", 1).cast("long").as("doc_id"),
+        $"warc_type", $"content_length", $"payload")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, String)].collect().toSeq
+    assert(back.map(_._1) == Seq(1L, 2L, 3L))
+    assert(back.forall(_._2 == "conversion"))
+    assert(back.map(_._4) == Seq("plain ascii text", "héllo wörld ☃", tricky))
+    assert(back.map(_._3) == back.map(_._4.getBytes(UTF_8).length.toLong))
+  }
+}
