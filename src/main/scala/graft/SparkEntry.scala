@@ -986,6 +986,41 @@ object SparkEntry {
         .select(
           regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
           col("content_length"), col("payload").as("text"))
+    }),
+    "q116_countmin" -> ((s, d) => {
+      // count-min point-frequency estimates for the whole vocabulary next
+      // to exact counts — est >= exact always; width 512 forces visible
+      // collisions so the bound is exercised, not vacuous
+      val words = t(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("item"))
+        .filter(length(col("item")) > 0)
+      val sketch = graft.operators.Sketches.countMinSketch(
+        words, col("item"), depth = 4, width = 512L)
+      graft.operators.Sketches.countMinEstimate(
+          sketch, words.distinct(), depth = 4, width = 512L)
+        .join(words.groupBy("item").agg(count(lit(1)).as("exact")), Seq("item"))
+    }),
+    "q117_hll" -> ((s, d) => {
+      // portable HyperLogLog distinct-word estimate (exact-integer harmonic
+      // sum, one final double division) next to the exact distinct count
+      val words = t(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.operators.Sketches.hllEstimate(words, col("w"), p = 8)
+        .crossJoin(words.agg(count_distinct(col("w")).as("exact_distinct")))
+    }),
+    "q118_vocab_encode" -> ((s, d) => {
+      // corpus -> token ids under the induced top-20 vocabulary (rank = id,
+      // OOV = 0): the encode step between vocabulary induction (q109) and
+      // sequence packing (q82)
+      val docs = t(s, d, "documents")
+      val vocab = graft.operators.Vocab.vocabCoverage(docs, "text", 20)
+        .select(col("token"), col("rank").as("id"))
+      graft.operators.Vocab.encodeIds(docs, "doc_id", "text", vocab)
+        // ids surfaced as a joined string: the driver compare sorts rows by
+        // every column and raw arrays are unsortable on the pandas side
+        .select(col("doc_id"), array_join(col("ids"), " ").as("ids"),
+          col("n_tokens"), col("n_oov"))
     }))
 
   // =====================================================================
@@ -1489,7 +1524,42 @@ dm AS (SELECT doc_id, canon,
     ELSE host END AS domain FROM cn)
 SELECT doc_id, canon, domain, domain IN ('src3.co.uk', 'src7.org') AS blocked FROM dm""",
     "q115_wet_roundtrip" ->
-      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length, text FROM documents")
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length, text FROM documents",
+    "q116_countmin" ->
+      s"""WITH wf AS (SELECT w AS item FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) t WHERE len(w) > 0),
+sk AS (SELECT k.i AS r, ${portableHash60Sql("(CAST(k.i AS VARCHAR) || ':' || item)")} % 512 AS c, count(*) AS cnt
+  FROM wf CROSS JOIN (VALUES (0), (1), (2), (3)) k(i) GROUP BY 1, 2),
+q AS (SELECT DISTINCT item FROM wf),
+qc AS (SELECT item, k.i AS r, ${portableHash60Sql("(CAST(k.i AS VARCHAR) || ':' || item)")} % 512 AS c
+  FROM q CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)),
+est AS (SELECT item, CAST(min(cnt) AS BIGINT) AS est FROM qc JOIN sk USING (r, c) GROUP BY item),
+ex AS (SELECT item, count(*) AS exact FROM wf GROUP BY item)
+SELECT item, est, exact FROM est JOIN ex USING (item)""",
+    "q117_hll" ->
+      s"""WITH wf AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) t WHERE len(w) > 0),
+h AS (SELECT ${portableHash60Sql("w")} AS h FROM wf),
+rk AS (SELECT h >> 52 AS register,
+  CAST(52 - (CASE WHEN h % 4503599627370496 = 0 THEN 0 ELSE length(to_base(h % 4503599627370496, 2)) END) + 1 AS BIGINT) AS rank FROM h),
+regs AS (SELECT register, max(rank) AS max_rank FROM rk GROUP BY register),
+agg AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(54 - max_rank AS INTEGER)) AS BIGINT) AS s_seen,
+  count(*) AS m_seen FROM regs),
+sc AS (SELECT CAST(256 AS BIGINT) AS m,
+  s_seen + CAST(256 - m_seen AS BIGINT) * CAST(18014398509481984 AS BIGINT) AS s_scaled FROM agg)
+SELECT m, s_scaled,
+  (CAST(${0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256} AS DOUBLE) * CAST(18014398509481984 AS DOUBLE)) / CAST(s_scaled AS DOUBLE) AS estimate,
+  (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM wf) AS exact_distinct
+FROM sc""",
+    "q118_vocab_encode" ->
+      """WITH wf AS (SELECT w AS token, count(*) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) t WHERE len(w) > 0 GROUP BY w),
+v AS (SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS id FROM wf ORDER BY freq DESC, token LIMIT 20),
+tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS word
+  FROM tk CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
+  WHERE len(toks[CAST(i AS INTEGER)]) > 0),
+j AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS tid FROM tok LEFT JOIN v ON tok.word = v.token)
+SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids, count(*) AS n_tokens,
+  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM j GROUP BY doc_id""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

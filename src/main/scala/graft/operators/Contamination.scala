@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Benchmark decontamination — remove training documents that share any
   * word n-gram with an evaluation/benchmark corpus, so the model is never
@@ -67,12 +66,11 @@ object Contamination {
   // so any engine that can md5 can rebuild and audit the filter.
   // -----------------------------------------------------------------------
 
-  /** The k Bloom positions of one gram: pos_i = md5_60(i ++ ":" ++ gram) % m. */
+  /** The k Bloom positions of one gram: pos_i = md5_60(i ++ ":" ++ gram) % m
+    * (the shared salted-hash basis in [[Sampling.saltedPositions]]).
+    */
   def bloomPositions(gram: Column, k: Int, m: Long): Column =
-    array((0 until k).map { i =>
-      pmod(conv(substring(md5(concat(lit(s"$i:"), gram)), 1, 15), 16, 10)
-        .cast(LongType), lit(m))
-    }: _*)
+    Sampling.saltedPositions(gram, k, m)
 
   /** Build the filter from a benchmark corpus: the distinct set positions of
     * every word n-gram. At most m rows (one long each) regardless of

@@ -28,6 +28,17 @@ object Sampling {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
 
+  /** The k salted positions of one item in a size-m table:
+    * pos_i = md5_60(i ++ ":" ++ item) % m — the shared basis of the Bloom
+    * filter (bit positions) and the count-min sketch (row cells), portable
+    * for the same reason as [[portableHash60]].
+    */
+  def saltedPositions(item: Column, k: Int, m: Long): Column =
+    array((0 until k).map { i =>
+      pmod(conv(substring(md5(concat(lit(s"$i:"), item)), 1, 15), 16, 10)
+        .cast(LongType), lit(m))
+    }: _*)
+
   /** Tag each row with a split label from `splits` — (name, percent) pairs
     * whose percents must sum to 100. Assignment is `hash(key) % 100` against
     * cumulative thresholds: a row's split NEVER changes when other rows are

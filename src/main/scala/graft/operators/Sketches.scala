@@ -79,4 +79,95 @@ object Sketches {
       .orderBy(col("cnt").desc, col("item"))
       .limit(k)
   }
+
+  // ----------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005) — point-frequency
+  // estimates in FIXED space: a depth x width counter grid where every item
+  // increments one cell per row (salted md5 positions, the portable basis),
+  // and an item's estimate is the MIN of its cells. Estimates never
+  // undercount; overcount is bounded by 2N/width with prob 1 - 2^-depth.
+  // The sketch is one aggregation with at most depth*width output rows —
+  // unlike groupBy(term), nothing cardinality-sized ever shuffles, and
+  // sketches of corpus shards MERGE by cell-wise addition (the same
+  // groupBy), the property that makes them composable across days/sources.
+  // ----------------------------------------------------------------------
+
+  /** Build the (row, cell, cnt) grid over `itemCol`. At most depth*width
+    * rows regardless of corpus cardinality; map-side combine does the heavy
+    * lifting. NULL items are skipped (parity with count() semantics).
+    */
+  def countMinSketch(df: DataFrame, itemCol: Column, depth: Int = 4,
+                     width: Long = 1024L): DataFrame =
+    df.select(itemCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(posexplode(Sampling.saltedPositions(col("item"), depth, width)))
+      .toDF("row", "cell")
+      .groupBy("row", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `queries` (a frame with an `item` string column)
+    * against a built sketch: est = min over rows of the item's cell count
+    * (0 when a cell was never touched). The sketch broadcasts (bounded
+    * size); queries stay distributed.
+    */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame,
+                       depth: Int = 4, width: Long = 1024L): DataFrame =
+    queries.select(col("item").cast("string").as("item"))
+      .select(col("item"),
+        posexplode(Sampling.saltedPositions(col("item"), depth, width)))
+      .toDF("item", "row", "cell")
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // ----------------------------------------------------------------------
+  // Portable HyperLogLog (Flajolet et al. 2007) — the distributed
+  // distinct-count workhorse, re-derived on the portable hash basis so the
+  // whole sketch is ANSI-replayable (the built-in approx_count_distinct is
+  // HLL++ but its registers are engine-internal). 2^p registers; each
+  // item's 60-bit hash contributes its top p bits as the register index and
+  // the position of the first 1-bit of the remainder as the rank; the
+  // register keeps the max rank. One aggregation, <= 2^p output rows,
+  // shard sketches merge by register-wise MAX.
+  // ----------------------------------------------------------------------
+
+  /** (register, max_rank) table of `itemCol` under 2^p registers. The rank
+    * uses exact integer bit arithmetic: bitlen via the base-2 string, rank =
+    * (60-p) - bitlen(remainder) + 1, so every engine agrees on every row.
+    */
+  def hllRegisters(df: DataFrame, itemCol: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16], got $p")
+    val rembits = 60 - p
+    val rem = pmod(col("h"), lit(1L << rembits))
+    val bitlen = when(rem === 0L, lit(0L))
+      .otherwise(length(conv(rem, 10, 2)).cast("long"))
+    df.select(itemCol.cast("string").as("i"))
+      .filter(col("i").isNotNull)
+      .select(Sampling.portableHash60(col("i")).as("h"))
+      .select(expr(s"shiftright(h, $rembits)").as("register"),
+        (lit(rembits.toLong) - bitlen + 1L).as("rank"))
+      .groupBy("register").agg(max("rank").as("max_rank"))
+  }
+
+  /** The raw HLL cardinality estimate as one row:
+    * (m, s_scaled, estimate). The harmonic sum is kept EXACT by scaling:
+    * s_scaled = sum_j 2^(54 - M_j) over all m registers (untouched
+    * registers contribute 2^54) — pure BIGINT shifts, order-independent —
+    * and only the final alpha*m^2*2^54 / s_scaled division is floating
+    * point, so the estimate is bit-identical on any engine. (Raw E without
+    * the small/large-range corrections; at corpus scale the raw branch is
+    * the one that fires.)
+    */
+  def hllEstimate(df: DataFrame, itemCol: Column, p: Int = 8): DataFrame = {
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val regs = hllRegisters(df, itemCol, p)
+    regs.agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - max_rank AS INT))")).as("s_seen"),
+        count(lit(1)).as("m_seen"))
+      .select(lit(m).as("m"),
+        (col("s_seen") + (lit(m) - col("m_seen")) * lit(1L << 54)).as("s_scaled"))
+      .select(col("m"), col("s_scaled"),
+        (lit(alpha * m * m) * lit(math.pow(2.0, 54)) /
+          col("s_scaled").cast("double")).as("estimate"))
+  }
 }

@@ -59,6 +59,35 @@ object Vocab {
         (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
   }
 
+  /** Encode each document into its token-id sequence under a word-level
+    * vocabulary frame (token, id) — the corpus -> ids step between
+    * vocabulary induction and sequence packing. Out-of-vocabulary words map
+    * to `oovId`. Output: (idCol, ids, n_tokens, n_oov).
+    *
+    * Scale shape: the vocabulary broadcasts (it is vocabulary-sized by
+    * definition); the corpus side is explode-with-position -> broadcast
+    * left join -> one per-doc aggregation whose `array_sort` on (pos, id)
+    * structs restores token order exactly — per-group memory bounded by
+    * document length, the same contract as the chunking/packing operators.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                vocab: DataFrame, oovId: Long = 0L): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")))
+      .toDF(idCol, "pos", "word")
+      .filter(length(col("word")) > 0)
+    toks.join(broadcast(vocab.select(col("token").as("word"), col("id"))),
+        Seq("word"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("id"), lit(oovId)).cast(LongType).as("tid"))
+      .groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === oovId, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** A word as its BPE symbol sequence: characters plus the canonical
     * end-of-word marker (Sennrich et al. 2016 §3.2 — the marker keeps
     * word-final merges distinct from word-internal ones).

@@ -104,4 +104,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
+
+  test("q111 bloom probe broadcasts the bit set, never a pairwise join") {
+    val p = planOf("q111_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bit set not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus-sized join in:\n$p")
+  }
+
+  test("q112 DSIR scoring joins the weight table broadcast-side") {
+    val p = planOf("q112_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join in:\n$p")
+  }
+
+  test("q116 count-min builds a bounded grid: sketch agg + broadcast lookup") {
+    val p = planOf("q116_countmin")
+    assert(p.contains("BroadcastHashJoin"), s"sketch not broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("q117 HLL is aggregation-only — no join anywhere in the sketch") {
+    val p = planOf("q117_hll")
+    // the exact-count comparison column joins one single-row frame; the
+    // sketch side itself must stay join-free beyond that
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unexpected heavy join in:\n$p")
+  }
 }

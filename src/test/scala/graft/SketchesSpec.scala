@@ -72,4 +72,47 @@ class SketchesSpec extends SparkSpec {
     val rows = Skew.saltedJoin(large, small, "k", col("id"), salts = 3).collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("id") == 1L)
   }
+
+  test("count-min never undercounts and is exact at generous width") {
+    // Zipf-ish multiset: item-i appears i times
+    val items = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i"))
+    val df = spark.sparkContext.parallelize(items, 4).toDF("item")
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // tight width (visible collisions): est >= exact for EVERY item
+    val tight = Sketches.countMinEstimate(
+        Sketches.countMinSketch(df, col("item"), depth = 4, width = 16L),
+        df.distinct(), depth = 4, width = 16L)
+      .as[(String, Long)].collect().toMap
+    assert(exact.forall { case (k, v) => tight(k) >= v })
+    // generous width: no row of the grid collides -> estimates are exact
+    val wide = Sketches.countMinEstimate(
+        Sketches.countMinSketch(df, col("item"), depth = 4, width = 65536L),
+        df.distinct(), depth = 4, width = 65536L)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact)
+  }
+
+  test("count-min shard sketches merge by cell-wise addition") {
+    val a = spark.sparkContext.parallelize(Seq("x", "x", "y"), 2).toDF("item")
+    val b = spark.sparkContext.parallelize(Seq("x", "z"), 2).toDF("item")
+    val merged = Sketches.countMinSketch(a, col("item"), 4, 64L)
+      .unionByName(Sketches.countMinSketch(b, col("item"), 4, 64L))
+      .groupBy("row", "cell").agg(sum("cnt").as("cnt"))
+    val whole = Sketches.countMinSketch(a.unionByName(b), col("item"), 4, 64L)
+    assert(merged.orderBy("row", "cell").collect().toSeq ==
+      whole.orderBy("row", "cell").collect().toSeq)
+  }
+
+  test("portable HLL estimate lands within the standard error envelope") {
+    val n = 20000
+    val df = spark.sparkContext.parallelize((1 to n).map(i => s"item$i"), 8).toDF("u")
+    val row = Sketches.hllEstimate(df, col("u"), p = 8).head()
+    val est = row.getAs[Double]("estimate")
+    // sigma = 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    assert(math.abs(est - n) < n * 0.26, s"estimate $est vs $n")
+    // determinism: the whole sketch re-derives bit-for-bit
+    val again = Sketches.hllEstimate(df, col("u"), p = 8).head()
+    assert(again.getAs[Long]("s_scaled") == row.getAs[Long]("s_scaled"))
+    assert(again.getAs[Double]("estimate") == est)
+  }
 }

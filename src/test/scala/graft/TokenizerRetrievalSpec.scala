@@ -110,4 +110,18 @@ class TokenizerRetrievalSpec extends SparkSpec {
     assert(got(2) == ((3L, "", 1L)))
     assert(got(3) == ((4L, "", 0L)))
   }
+
+  test("encodeIds maps tokens in order, OOV to the sentinel") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "unknown words only"),
+      (3L, "  the   the  ")) // ragged whitespace
+      .toDF("doc_id", "text")
+    val vocab = Seq(("the", 1L), ("cat", 2L), ("mat", 3L)).toDF("token", "id")
+    val got = Vocab.encodeIds(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").as[(Long, Seq[Long], Long, Long)].collect().toSeq
+    assert(got(0) == ((1L, Seq(1L, 2L, 0L, 0L, 1L, 3L), 6L, 2L)))
+    assert(got(1) == ((2L, Seq(0L, 0L, 0L), 3L, 3L)))
+    assert(got(2) == ((3L, Seq(1L, 1L), 2L, 0L)))
+  }
 }
