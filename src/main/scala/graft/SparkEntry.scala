@@ -1021,7 +1021,22 @@ object SparkEntry {
         // every column and raw arrays are unsortable on the pandas side
         .select(col("doc_id"), array_join(col("ids"), " ").as("ids"),
           col("n_tokens"), col("n_oov"))
-    }))
+    }),
+    "q119_temperature_mix" -> ((s, d) =>
+      // multilingual-style source balancing: p_i ~ sqrt(n_i) (alpha = 0.5,
+      // the exactly-rounded IEEE power), exact integer epoch allocation
+      graft.operators.Sampling.temperatureMixWeights(
+        t(s, d, "documents"), col("source"), epochSize = 100000L)),
+    "q120_cross_source_overlap" -> ((s, d) =>
+      // source-pair duplication audit; the synthetic corpus is
+      // collision-free, so a boilerplate text is injected on doc_id % 5
+      // (q108's injection pattern) to give sources real shared content
+      graft.operators.NearDedup.crossSourceOverlap(
+        t(s, d, "documents").select(
+          when(col("doc_id") % 5 === 0, lit("shared boilerplate snippet"))
+            .otherwise(col("text")).as("text"),
+          col("source")),
+        "text", "source")))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1559,7 +1574,23 @@ tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS wor
 j AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS tid FROM tok LEFT JOIN v ON tok.word = v.token)
 SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids, count(*) AS n_tokens,
   CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-FROM j GROUP BY doc_id""")
+FROM j GROUP BY doc_id""",
+    "q119_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+s AS (SELECT source, n_docs,
+  CAST(floor(CAST(1000000 AS DOUBLE) * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w_scaled FROM c),
+t AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS tot FROM s)
+SELECT source, n_docs, w_scaled,
+  CAST(w_scaled AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+  (w_scaled * 100000) // tot AS alloc
+FROM s CROSS JOIN t""",
+    "q120_cross_source_overlap" ->
+      """WITH d AS (SELECT DISTINCT
+  md5(lower(trim(regexp_replace(CASE WHEN doc_id % 5 = 0 THEN 'shared boilerplate snippet' ELSE text END, '\s+', ' ', 'g')))) AS fp,
+  source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_fps
+FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

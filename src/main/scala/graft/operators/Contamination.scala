@@ -85,25 +85,25 @@ object Contamination {
       .distinct()
 
   /** Per-document Bloom verdict: (id, hit_grams) for every document with at
-    * least one n-gram whose k positions are ALL set in `bits`. One narrow
-    * pass over the corpus (explode grams, explode positions), one broadcast
-    * anti-join against the fixed-size position set, then per-doc counting —
-    * no corpus-sized shuffle key ever carries text payloads.
+    * least one n-gram whose k positions are ALL set in `bits`. ONE linear
+    * pipeline over the corpus: explode grams, explode positions, broadcast
+    * left join against the fixed-size position set, then a min-aggregate
+    * per (id, gram) — a gram hits iff its MINIMUM set-marker is 1 (every
+    * position present), and the same aggregation dedups repeated grams, so
+    * the corpus is scanned once and only two exchanges run ((id, gram),
+    * then id).
     */
   def bloomContaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                            bits: DataFrame, n: Int = 8, k: Int = 3,
-                           m: Long = 1 << 20): DataFrame = {
-    val grams = docs.select(col(idCol),
-      explode(graft.expressions.GraftFunctions.shingles(col(textCol), n)).as("g"))
-      .distinct()
-    val pos = grams.select(col(idCol), col("g"),
-      explode(bloomPositions(col("g"), k, m)).as("pos"))
-    // a gram MISSES the filter iff any of its positions is unset
-    val missing = pos.join(broadcast(bits), Seq("pos"), "left_anti")
-      .select(col(idCol), col("g")).distinct()
-    grams.join(missing, Seq(idCol, "g"), "left_anti")
+                           m: Long = 1 << 20): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.expressions.GraftFunctions.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), col("g"), explode(bloomPositions(col("g"), k, m)).as("pos"))
+      .join(broadcast(bits.select(col("pos"), lit(1).as("set"))), Seq("pos"), "left")
+      .groupBy(col(idCol), col("g"))
+      .agg(min(coalesce(col("set"), lit(0))).as("allset"))
+      .filter(col("allset") === 1)
       .groupBy(col(idCol)).agg(count(lit(1)).as("hit_grams"))
-  }
 
   /** The corpus minus every document the Bloom filter flags. Supersets the
     * exact `decontaminate` result (false positives drop extra docs at the

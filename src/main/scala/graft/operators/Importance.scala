@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.shingles
+import graft.functions.TextFunctions.tokens
 
 /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023): score
   * every raw-corpus document by how much it looks like a small TARGET corpus
@@ -37,20 +37,41 @@ import graft.functions.TextFunctions.shingles
   */
 object Importance {
 
-  /** Hashed feature-bucket stream of one document: unigrams ++ bigrams
-    * WITH multiplicity (the paper's count features — `TextFunctions.
-    * shingles`, not the deduping native kernel), each mapped to
-    * md5_60(feature) % buckets (the portable hash basis, so any engine can
-    * re-derive bucket membership).
+  /** The feature array of one document given its PROJECTED token-array
+    * column: unigrams ++ bigrams WITH multiplicity (the paper's count
+    * features; single-token docs fall back to the whole text as their
+    * "bigram", the `TextFunctions.shingles` contract). `toks` MUST be an
+    * attribute reference, not a computed expression — Catalyst does not
+    * CSE across lambda boundaries, so a computed expression here would
+    * re-tokenize the document once per bigram (the q90 lesson; this cost
+    * q112 a 10x slowdown before the projection).
     */
-  def featureBuckets(textCol: Column, buckets: Int): Column =
-    transform(
-      concat(shingles(textCol, 1), shingles(textCol, 2)),
-      f => pmod(Sampling.portableHash60(f), lit(buckets.toLong)))
+  private def featureCol(toks: Column): Column =
+    concat(
+      toks,
+      when(size(toks) < 2, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))))
+
+  /** (id?, f) exploded feature stream with the tokenization projected once.
+    * Bucket hashing happens AFTER the explode, on a plain column — no
+    * per-element md5 inside a lambda.
+    */
+  private def featureStream(df: DataFrame, keep: Seq[Column],
+                            textCol: String): DataFrame =
+    df.select(keep :+ tokens(col(textCol)).as("__toks"): _*)
+      .select(keep :+ explode(featureCol(col("__toks"))).as("f"): _*)
+
+  /** The hashed bucket of one feature string: md5_60(f) % buckets (the
+    * portable hash basis, so any engine can re-derive bucket membership).
+    */
+  def featureBucket(f: Column, buckets: Int): Column =
+    pmod(Sampling.portableHash60(f), lit(buckets.toLong))
 
   /** (bucket, cnt) totals of a corpus — one map-side-combined aggregation. */
   def bucketCounts(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
-    corpus.select(explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+    featureStream(corpus, Nil, textCol)
+      .select(featureBucket(col("f"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   /** The per-bucket (pcnt, qcnt) table plus the two corpus totals. The
@@ -90,7 +111,8 @@ object Importance {
     val weighted = w.select(col("bucket"),
       (log((col("pcnt") + 1).cast("double") / lit((ptot + b).toDouble)) -
         log((col("qcnt") + 1).cast("double") / lit((qtot + b).toDouble))).as("w"))
-    raw.select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+    featureStream(raw, Seq(col(idCol)), textCol)
+      .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
       .join(broadcast(weighted), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("log_weight"))
@@ -108,7 +130,8 @@ object Importance {
     val weighted = w.select(col("bucket"),
       expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
         .as("w"))
-    raw.select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+    featureStream(raw, Seq(col(idCol)), textCol)
+      .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
       .join(broadcast(weighted), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_scaled"))

@@ -342,4 +342,24 @@ object NearDedup {
     */
   def exactDedupMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
     dedupOnFingerprint(df, idCol, TextFunctions.fingerprint(col(textCol)))
+
+  /** Cross-source duplication matrix — for every source pair, how many
+    * DISTINCT canonical fingerprints they share: the corpus-audit view of
+    * leakage between ingestion feeds (mirror sites, syndication, re-crawls)
+    * that decides which source to drop from a mix. One distinct pass
+    * ((fp, source) — at most sources× the fingerprint count), then a
+    * self-equi-join on the fingerprint whose per-key match cardinality is
+    * bounded by #sources, never by corpus size; output is a
+    * #sources² upper-triangle. Uses the md5 canonical fingerprint (the
+    * oracle-replayable key; swap `fingerprint64` at production scale).
+    */
+  def crossSourceOverlap(docs: DataFrame, textCol: String,
+                         sourceCol: String): DataFrame = {
+    val d = docs.select(TextFunctions.fingerprint(col(textCol)).as("fp"),
+      col(sourceCol).as("source")).distinct()
+    d.as("a").join(d.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
 }

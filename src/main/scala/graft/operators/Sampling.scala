@@ -79,6 +79,35 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-based source mixing weights (the multilingual balancing
+    * rule of Conneau & Lample 2019 / XLM-R: sample source i with
+    * p_i ∝ n_i^alpha, alpha < 1, so head sources are down-weighted and tail
+    * sources up-weighted). This surface hard-wires alpha = 0.5 — sqrt is
+    * the one fractional power IEEE 754 requires to be exactly rounded, so
+    * w_scaled = floor(scale * sqrt(n_docs)) is bit-identical on every
+    * engine and the whole table (including the integer epoch allocation)
+    * is ANSI-replayable; other alphas go through `pow` and belong on a
+    * spec-verified float path. Output per source:
+    * (source, n_docs, w_scaled, weight, alloc) where alloc is the exact
+    * integer number of samples out of `epochSize` — floor allocation, so
+    * sum(alloc) <= epochSize with the remainder < #sources.
+    * Domain bound: w_scaled * epochSize must stay under 2^63.
+    *
+    * One tiny aggregation (#sources rows); the totals row broadcasts.
+    */
+  def temperatureMixWeights(df: DataFrame, groupCol: Column, epochSize: Long,
+                            scale: Long = 1000000L): DataFrame = {
+    val counts = df.groupBy(groupCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_scaled",
+        floor(lit(scale.toDouble) * sqrt(col("n_docs").cast("double"))))
+    val tot = counts.agg(sum("w_scaled").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_scaled"),
+        (col("w_scaled").cast("double") / col("tot").cast("double")).as("weight"),
+        expr(s"(w_scaled * $epochSize) div tot").as("alloc"))
+  }
+
   /** Keep at most `k` rows per group, ranked by the portable hash of
     * `tieBreak` (then `tieBreak` itself, for full determinism on hash
     * collisions) — a deterministic "random K per domain" quota, the standard

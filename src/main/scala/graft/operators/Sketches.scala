@@ -95,6 +95,11 @@ object Sketches {
   /** Build the (row, cell, cnt) grid over `itemCol`. At most depth*width
     * rows regardless of corpus cardinality; map-side combine does the heavy
     * lifting. NULL items are skipped (parity with count() semantics).
+    *
+    * Streaming-composable as-is: applied to a streaming frame this is a
+    * bounded-state streaming aggregation (state = the grid, forever), so
+    * the same expression maintains a LIVE sketch over an unbounded feed —
+    * PipelineOpsSpec drives it from a MemoryStream and asserts batch parity.
     */
   def countMinSketch(df: DataFrame, itemCol: Column, depth: Int = 4,
                      width: Long = 1024L): DataFrame =
@@ -133,6 +138,8 @@ object Sketches {
   /** (register, max_rank) table of `itemCol` under 2^p registers. The rank
     * uses exact integer bit arithmetic: bitlen via the base-2 string, rank =
     * (60-p) - bitlen(remainder) + 1, so every engine agrees on every row.
+    * Like the count-min grid, this is a bounded-state streaming aggregation
+    * when applied to a streaming frame (state = 2^p registers, forever).
     */
   def hllRegisters(df: DataFrame, itemCol: Column, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16], got $p")

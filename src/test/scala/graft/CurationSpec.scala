@@ -96,6 +96,36 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(10L, 9L, 8L)) // ceil(10 * 0.25) = 3, highest scores
   }
 
+  // ------------------------------------------------------- mixing / audit
+
+  test("temperatureMixWeights: sqrt re-balance with exact integer allocation") {
+    // 100 vs 400 docs: raw ratio 1:4, sqrt ratio 1:2 — the tail source
+    // gets twice its proportional share
+    val df = (Seq.fill(100)("small") ++ Seq.fill(400)("big")).toDF("src")
+    val got = graft.operators.Sampling.temperatureMixWeights(
+        df, col("src"), epochSize = 3000L)
+      .orderBy("source")
+      .select("source", "n_docs", "w_scaled", "alloc")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // w_scaled: floor(1e6*sqrt(400))=20000000, floor(1e6*sqrt(100))=10000000
+    assert(got == Seq(
+      ("big", 400L, 20000000L, 2000L),
+      ("small", 100L, 10000000L, 1000L)))
+  }
+
+  test("crossSourceOverlap counts distinct shared fingerprints per pair") {
+    val docs = Seq(
+      ("A", "shared one"), ("A", "shared one"), // dup WITHIN source: distinct-collapsed
+      ("A", "shared  ONE "),                    // canonicalizes to the same fp
+      ("B", "shared one"), ("B", "shared two"),
+      ("C", "shared two"), ("C", "only in c"))
+      .toDF("source", "text")
+    val got = graft.operators.NearDedup.crossSourceOverlap(docs, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 1L), ("B", "C", 1L)))
+  }
+
   // ------------------------------------------------------------ histogram
 
   test("lengthHistogram buckets on exact integer floor(log2)") {

@@ -198,4 +198,35 @@ class PipelineOpsSpec extends SparkSpec {
       assert(a2._3 > a1._3) // state carried across triggers
     } finally q.stop()
   }
+
+  test("count-min and HLL registers maintain LIVE sketches over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val items = Seq("x", "y", "x", "z", "x", "y")
+    val mem = MemoryStream[String]
+    // the BATCH expressions applied verbatim to a streaming frame: both are
+    // bounded-state streaming aggregations (grid / register table)
+    val cm = graft.operators.Sketches.countMinSketch(
+      mem.toDF().toDF("item"), col("item"), depth = 4, width = 64L)
+    val hll = graft.operators.Sketches.hllRegisters(
+      mem.toDF().toDF("item"), col("item"), p = 6)
+    val q1 = cm.writeStream.format("memory").queryName("cm_live")
+      .outputMode("complete").start()
+    val q2 = hll.writeStream.format("memory").queryName("hll_live")
+      .outputMode("complete").start()
+    try {
+      mem.addData(items.take(3): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(items.drop(3): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batchDf = items.map(Tuple1(_)).toDF("item")
+      val cmBatch = graft.operators.Sketches.countMinSketch(
+        batchDf, col("item"), depth = 4, width = 64L)
+        .orderBy("row", "cell").collect().toSeq
+      val hllBatch = graft.operators.Sketches.hllRegisters(
+        batchDf, col("item"), p = 6)
+        .orderBy("register").collect().toSeq
+      assert(spark.table("cm_live").orderBy("row", "cell").collect().toSeq == cmBatch)
+      assert(spark.table("hll_live").orderBy("register").collect().toSeq == hllBatch)
+    } finally { q1.stop(); q2.stop() }
+  }
 }
