@@ -1036,7 +1036,23 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, lit("shared boilerplate snippet"))
             .otherwise(col("text")).as("text"),
           col("source")),
-        "text", "source")))
+        "text", "source")),
+    "q121_gopher_rules" -> ((s, d) =>
+      // the full Gopher/MassiveText rule battery; bullet/ellipsis/symbol/
+      // stopword lines injected per doc (q81's pattern) so every counter
+      // and both keep verdicts are exercised
+      graft.functions.TextFunctions.gopherRules(
+        t(s, d, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            col("text"),
+            lit("- a bullet item"),
+            when(col("doc_id") % 3 === 0, lit("drifting off..."))
+              .otherwise(lit("The words belong together with meaning.")),
+            when(col("doc_id") % 7 === 0, lit("# # #"))
+              .otherwise(lit("of that we have spoken"))).as("text")),
+        "text")
+        .select("doc_id", "n_words", "sum_chars", "n_symbols", "n_lines",
+          "bullet_lines", "ellipsis_lines", "alpha_words", "n_stop", "keep")))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1590,7 +1606,35 @@ FROM s CROSS JOIN t""",
   source FROM documents)
 SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_fps
 FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
-GROUP BY a.source, b.source""")
+GROUP BY a.source, b.source""",
+    "q121_gopher_rules" ->
+      """WITH base AS (SELECT doc_id,
+  text || chr(10) || '- a bullet item' || chr(10) ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'drifting off...' ELSE 'The words belong together with meaning.' END) || chr(10) ||
+  (CASE WHEN doc_id % 7 = 0 THEN '# # #' ELSE 'of that we have spoken' END) AS t
+  FROM documents),
+tk AS (SELECT doc_id, t,
+  regexp_split_to_array(trim(t), '\s+') AS toks,
+  list_filter(str_split(t, chr(10)), l -> length(trim(l)) > 0) AS lines FROM base),
+m AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS sum_chars,
+  CAST((length(t) - length(regexp_replace(t, '#', '', 'g'))) +
+       ((length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3) AS BIGINT) AS n_symbols,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\-\*]'))) AS BIGINT) AS bullet_lines,
+  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+  CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+    s1 -> list_contains(list_transform(toks, w -> lower(w)), s1))) AS BIGINT) AS n_stop
+ FROM tk)
+SELECT doc_id, n_words, sum_chars, n_symbols, n_lines, bullet_lines, ellipsis_lines,
+  alpha_words, n_stop,
+  (n_words >= 50 AND n_words <= 100000 AND sum_chars >= n_words * 3 AND sum_chars <= n_words * 10
+   AND n_symbols * 10 <= n_words AND bullet_lines * 10 <= n_lines * 9
+   AND ellipsis_lines * 10 <= n_lines * 3 AND alpha_words * 10 >= n_words * 8
+   AND n_stop >= 2) AS keep
+FROM m""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

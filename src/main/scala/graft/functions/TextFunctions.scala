@@ -295,6 +295,56 @@ object TextFunctions {
     * groups on this instead of the full text (hash shuffle keys stay small
     * at 100 TB).
     */
+  /** The Gopher/MassiveText quality-rule battery (Rae et al. 2021,
+    * Appendix A): word-count bounds, mean word length 3-10, symbol-to-word
+    * ratio (# and ellipsis), bullet-start and ellipsis-end line fractions,
+    * alphabetic-word fraction >= 80%, and >= 2 distinct function words.
+    * Emits every counter (so thresholds are auditable) plus the combined
+    * `keep` verdict; all rule comparisons are INTEGER cross-multiplications
+    * (10*symbols <= words, not symbols/words <= 0.1), so the whole battery
+    * is bit-portable with no float boundary cases.
+    *
+    * Narrow map only. The token/line arrays are PROJECTED columns —
+    * expressions referenced inside filter/aggregate lambdas re-evaluate per
+    * element otherwise (the q90/q112 lesson).
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L)
+      : org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = coalesce(col(textCol), lit(""))
+    val hashCnt = length(t) - length(regexp_replace(t, "#", ""))
+    val ellCnt = ((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))).cast(DoubleType) / 3.0)
+      .cast("long")
+    df.withColumn("__toks", tokens(t))
+      .withColumn("__lines", filter(split(t, "\n"), l => length(trim(l)) > 0))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("sum_chars",
+        aggregate(col("__toks"), lit(0L), (a, w) => a + length(w)))
+      .withColumn("n_symbols", hashCnt.cast("long") + ellCnt)
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("bullet_lines",
+        size(filter(col("__lines"), l => trim(l).rlike("^[•\\-\\*]"))).cast("long"))
+      .withColumn("ellipsis_lines",
+        size(filter(col("__lines"), l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long"))
+      .withColumn("alpha_words",
+        size(filter(col("__toks"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(array_intersect(transform(col("__toks"), w => lower(w)),
+          typedLit(stop))).cast("long"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("sum_chars") >= col("n_words") * 3 &&
+          col("sum_chars") <= col("n_words") * 10 &&
+          col("n_symbols") * 10 <= col("n_words") &&
+          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+          col("alpha_words") * 10 >= col("n_words") * 8 &&
+          col("n_stop") >= 2)
+      .drop("__toks", "__lines")
+  }
+
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 

@@ -141,6 +141,48 @@ class CurationSpec extends SparkSpec {
       (3L, 1L, 8L, 8L, 8L, 8L)))
   }
 
+  // --------------------------------------------------------------- gopher
+
+  test("gopherRules: every counter and the keep verdict on crafted docs") {
+    val good = ("good sentence text with the and that have " +
+      Seq.tabulate(12)(i => s"word$i more lines here too").mkString(" "))
+    val docs = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "too short with the and"),                // fails min word count
+      (3L, good + " ## ### " + "# " * 20),           // symbol soup
+      (4L, good + "\n" + Seq.fill(30)("- bullet").mkString("\n")), // bullet wall
+      (5L, ("99 88 77 " * 30) + "the of and"))       // numeric: alpha fraction < 80%
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .gopherRules(docs, "text", minWords = 40)
+      .orderBy("doc_id")
+      .select("doc_id", "keep", "n_symbols", "bullet_lines", "alpha_words", "n_stop")
+      .collect()
+    assert(got.map(_.getBoolean(1)).toSeq == Seq(true, false, false, false, false))
+    assert(got(2).getLong(2) >= 25L)  // hashes counted
+    assert(got(3).getLong(3) == 30L)  // bullet lines counted
+    val r5 = got(4)
+    assert(r5.getLong(4) * 10 < 8 * 93) // alpha words well under 80%
+    assert(got(0).getLong(5) >= 4L)     // the/with/and/that/have present
+  }
+
+  test("gopherRules ellipsis and mean-word-length boundaries") {
+    val base = Seq.fill(50)("word").mkString(" ") + " the of"
+    val docs = Seq(
+      (1L, base + "\nfading away...\nalso gone...\nand this one too..."),
+      (2L, Seq.fill(60)("a").mkString(" ") + " the of")) // mean word length 1
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .gopherRules(docs, "text", minWords = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "keep", "ellipsis_lines", "sum_chars", "n_words")
+      .collect()
+    assert(got(0).getLong(2) == 3L)
+    assert(!got(0).getBoolean(1)) // 3 of 4 lines end in ellipsis > 30%
+    val r2 = got(1)
+    assert(!r2.getBoolean(1) && r2.getLong(3) < 3 * r2.getLong(4)) // too-short words
+  }
+
   // ------------------------------------------------------------------ url
 
   private def canon1(url: String): String =
