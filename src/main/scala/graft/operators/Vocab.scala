@@ -88,6 +88,25 @@ object Vocab {
         sum(when(col("tid") === oovId, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Inverse of [[encodeIds]]: token-id arrays back to text under the same
+    * vocabulary frame. OOV sentinels render as `oovMark`. Same broadcast +
+    * order-restoring shape; round-trips exactly for fully in-vocabulary
+    * documents.
+    */
+  def decodeIds(encoded: DataFrame, idCol: String, idsCol: String,
+                vocab: DataFrame, oovMark: String = "<unk>"): DataFrame = {
+    val toks = encoded.select(col(idCol),
+      posexplode(col(idsCol))).toDF(idCol, "pos", "tid")
+    toks.join(broadcast(vocab.select(col("id").as("tid"), col("token"))),
+        Seq("tid"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token"), lit(oovMark)).as("w"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("text"))
+  }
+
   /** A word as its BPE symbol sequence: characters plus the canonical
     * end-of-word marker (Sennrich et al. 2016 §3.2 — the marker keeps
     * word-final merges distinct from word-internal ones).

@@ -49,6 +49,7 @@ object Sinks {
     case "txt" | "text" => w.text(path)
     case "parquet"      => w.parquet(path)
     case "json"         => w.json(path)
+    case "orc"          => w.orc(path)
     case other => throw new IllegalArgumentException(s"push: unknown format '$other'")
   }
 
@@ -82,6 +83,7 @@ object Sinks {
       case Some("csv") | Some("tsv") => "csv"
       case Some("txt")               => "txt"
       case Some("json")              => "json"
+      case Some("orc")               => "orc"
       case _                         => "parquet"
     }
   }

@@ -28,6 +28,7 @@ object Pull {
       case Some("txt")             => "txt"
       case Some("json")            => "json"
       case Some("parquet")         => "parquet"
+      case Some("orc")             => "orc"
       case Some("sql")             => "sql"
       case Some("xls")             => "xls"
       case Some("xlsx")            => "xlsx"
@@ -62,6 +63,7 @@ object Pull {
       case ("txt", _)     => Sources.txt(spark, path)
       case ("json", _)    => spark.read.json(path)
       case ("parquet", _) => spark.read.parquet(path)
+      case ("orc", _)     => spark.read.orc(path)
       case ("sql", _)     => SqlDump.read(spark, path,
         table.getOrElse(throw new IllegalArgumentException("pull(format=sql) needs table=")),
         fields)

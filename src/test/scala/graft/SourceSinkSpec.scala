@@ -93,6 +93,17 @@ class SourceSinkSpec extends SparkSpec {
       Seq(Seq("1", "x"), Seq("2", "y")))
   }
 
+  test("push orc + pull round-trips with native types (format guessed from extension)") {
+    val dir = tmp("push_orc") + "/out.orc"
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("k", "v", "d")
+    Sinks.push(df, dir) // .orc extension routes the guess
+    val back = graft.sources.Pull(spark, dir)
+    // ORC keeps types, unlike csv (readers relax nullability; ignore it)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
   test("push partitionBy writes hive-style partition dirs (base.py:517-541)") {
     val dir = tmp("part") + "/out"
     val df = Seq(("2012-04-04", "a", 1), ("2012-04-05", "b", 2)).toDF("date", "name", "value")

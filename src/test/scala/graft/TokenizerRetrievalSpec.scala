@@ -111,6 +111,15 @@ class TokenizerRetrievalSpec extends SparkSpec {
     assert(got(3) == ((4L, "", 0L)))
   }
 
+  test("decodeIds inverts encodeIds for in-vocabulary text, marks OOV") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the mat")).toDF("doc_id", "text")
+    val vocab = Seq(("the", 1L), ("cat", 2L), ("mat", 3L)).toDF("token", "id")
+    val enc = Vocab.encodeIds(docs, "doc_id", "text", vocab)
+    val dec = Vocab.decodeIds(enc, "doc_id", "ids", vocab)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(dec == Seq((1L, "the cat <unk>"), (2L, "the mat")))
+  }
+
   test("encodeIds maps tokens in order, OOV to the sentinel") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
