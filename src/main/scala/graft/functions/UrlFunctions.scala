@@ -76,7 +76,10 @@ object UrlFunctions {
     val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
       element_at(labels, -1))
-    when(nl >= 3 && last2.isin(MultiSuffixes: _*), last3)
+    // IP literals have no registered domain — suffix-stripping an IPv4
+    // would hand back a meaningless "216.34"
+    when(host.rlike("^[0-9.]+$") || host.startsWith("["), host)
+      .when(nl >= 3 && last2.isin(MultiSuffixes: _*), last3)
       .when(nl >= 2, last2)
       .otherwise(host)
   }

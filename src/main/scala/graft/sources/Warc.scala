@@ -67,19 +67,41 @@ object Warc {
     out.toSeq
   }
 
-  /** Read a directory of WET members into
-    * (file, warc_type, target_uri, content_length, payload).
-    */
-  def readWet(spark: SparkSession, path: String): DataFrame = {
+  private def parseMembers(binary: DataFrame): DataFrame = {
+    val spark = binary.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
+    binary.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, bytes) =>
         parseRecords(bytes).map(r =>
           (file, r.warcType, r.targetUri, r.contentLength, r.payload))
       }
       .toDF("file", "warc_type", "target_uri", "content_length", "payload")
+  }
+
+  /** Read a directory of WET members into
+    * (file, warc_type, target_uri, content_length, payload).
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    parseMembers(spark.read.format("binaryFile").load(path))
+
+  /** Streaming variant: each newly-arrived WET member becomes one
+    * micro-batch unit — the "crawl shards land on object storage, pipeline
+    * picks them up" ingestion loop, with exactly-once file tracking from
+    * the file-stream source. Same parser, same schema as [[readWet]].
+    */
+  def readWetStream(spark: SparkSession, path: String): DataFrame = {
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    parseMembers(
+      spark.readStream.format("binaryFile").schema(binarySchema).load(path))
   }
 
   /** Write (uri, text) rows as WET conversion records, one valid member per

@@ -199,10 +199,12 @@ class CurationSpec extends SparkSpec {
   }
 
   test("registeredDomain applies the multi-label suffix heuristic") {
-    val got = Seq("a.b.src3.co.uk", "www.example.org", "example.org", "localhost")
+    val got = Seq("a.b.src3.co.uk", "www.example.org", "example.org", "localhost",
+      "93.184.216.34", "[2001:db8::1]")
       .map(h => Seq(Tuple1(h)).toDF("h")
         .select(UrlFunctions.registeredDomain($"h")).as[String].head())
-    assert(got == Seq("src3.co.uk", "example.org", "example.org", "localhost"))
+    assert(got == Seq("src3.co.uk", "example.org", "example.org", "localhost",
+      "93.184.216.34", "[2001:db8::1]")) // IP literals pass through whole
   }
 
   test("blockByDomain drops exactly the blocklisted registered domains") {
@@ -227,6 +229,32 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Warc.parseRecords(rec.dropRight(6)) // cut into the payload
     }
+  }
+
+  test("WET members stream in incrementally, one shard per arrival") {
+    val dir = tmp("wet_stream")
+    def member(uri: String, payload: String): Array[Byte] = {
+      val body = payload.getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+        body ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val q = Warc.readWetStream(spark, dir)
+      .writeStream.format("memory").queryName("wet_stream").outputMode("append")
+      .start()
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "shard1.warc"), member("u://1", "first shard"))
+      q.processAllAvailable()
+      assert(spark.table("wet_stream").count() == 1)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "shard2.warc"),
+        member("u://2", "second") ++ member("u://3", "third"))
+      q.processAllAvailable()
+      val got = spark.table("wet_stream")
+        .select("target_uri", "payload").as[(String, String)].collect().toSet
+      assert(got == Set(("u://1", "first shard"), ("u://2", "second"), ("u://3", "third")))
+    } finally q.stop()
   }
 
   test("WET round-trip survives tricky payloads across partitions") {
