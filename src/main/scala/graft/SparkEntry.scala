@@ -1052,7 +1052,31 @@ object SparkEntry {
               .otherwise(lit("of that we have spoken"))).as("text")),
         "text")
         .select("doc_id", "n_words", "sum_chars", "n_symbols", "n_lines",
-          "bullet_lines", "ellipsis_lines", "alpha_words", "n_stop", "keep")))
+          "bullet_lines", "ellipsis_lines", "alpha_words", "n_stop", "keep")),
+    "q122_unicode_normalize" -> ((s, d) => {
+      // NFC canonicalization before byte-level dedup: decomposed sequences
+      // (e + combining acute, i + combining diaeresis) injected per doc
+      // must compose; DuckDB's nfc_normalize is the independent oracle
+      val raw = concat(col("text"), lit(" café naïve"))
+      t(s, d, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          graft.expressions.GraftFunctions.unicodeNormalize(col("raw"), "NFC").as("norm"),
+          length(col("raw")).cast("long").as("n_before"))
+        .withColumn("n_after", length(col("norm")).cast("long"))
+    }),
+    "q123_script_profile" -> ((s, d) =>
+      // writing-system routing profile; non-Latin snippets injected on
+      // doc_id % 4 so every counter and the tie-break order are exercised
+      graft.functions.TextFunctions.scriptProfile(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 1, lit(" привет мир"))
+              .when(col("doc_id") % 4 === 2, lit(" 你好世界 こんにちは"))
+              .when(col("doc_id") % 4 === 3, lit(" مرحبا بالعالم"))
+              .otherwise(lit(""))).as("text")),
+        "text")
+        .select("doc_id", "latin", "cyrillic", "greek", "cjk", "arabic",
+          "hangul", "devanagari", "dominant")))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1634,7 +1658,40 @@ SELECT doc_id, n_words, sum_chars, n_symbols, n_lines, bullet_lines, ellipsis_li
    AND n_symbols * 10 <= n_words AND bullet_lines * 10 <= n_lines * 9
    AND ellipsis_lines * 10 <= n_lines * 3 AND alpha_words * 10 >= n_words * 8
    AND n_stop >= 2) AS keep
-FROM m""")
+FROM m""",
+    "q122_unicode_normalize" ->
+      """WITH r AS (SELECT doc_id,
+  text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS raw FROM documents)
+SELECT doc_id, nfc_normalize(raw) AS norm,
+  CAST(length(raw) AS BIGINT) AS n_before,
+  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after
+FROM r""",
+    "q123_script_profile" ->
+      """WITH src AS (SELECT doc_id,
+  text || (CASE WHEN doc_id % 4 = 1 THEN ' привет мир'
+                WHEN doc_id % 4 = 2 THEN ' 你好世界 こんにちは'
+                WHEN doc_id % 4 = 3 THEN ' مرحبا بالعالم'
+                ELSE '' END) AS t FROM documents),
+m AS (SELECT doc_id,
+  CAST(length(regexp_replace(t, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS latin,
+  CAST(length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic,
+  CAST(length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS greek,
+  CAST(length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS cjk,
+  CAST(length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS arabic,
+  CAST(length(regexp_replace(t, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS hangul,
+  CAST(length(regexp_replace(t, '[^\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS devanagari
+ FROM src),
+d AS (SELECT *, greatest(latin, cyrillic, greek, cjk, arabic, hangul, devanagari) AS mx FROM m)
+SELECT doc_id, latin, cyrillic, greek, cjk, arabic, hangul, devanagari,
+  CASE WHEN mx = 0 THEN 'none'
+       WHEN latin = mx THEN 'latin'
+       WHEN cyrillic = mx THEN 'cyrillic'
+       WHEN greek = mx THEN 'greek'
+       WHEN cjk = mx THEN 'cjk'
+       WHEN arabic = mx THEN 'arabic'
+       WHEN hangul = mx THEN 'hangul'
+       ELSE 'devanagari' END AS dominant
+FROM d""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

@@ -29,6 +29,14 @@ object Kernels {
 
   private def pmod(x: Long, p: Long): Long = { val m = x % p; if (m < 0) m + p else m }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD via java.text.Normalizer) —
+    * the canonicalization step before any byte-level dedup of multilingual
+    * text (the same logical form can arrive precomposed or decomposed).
+    */
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form)))
+
   /** SimHash64 over whitespace tokens of the trimmed text — parity with
     * `aggregate`-based bit sums over xxhash64(token).
     */
@@ -477,6 +485,23 @@ case class TypeProbeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode normalization as a codegen'd expression (no UDF): `form` is one
+  * of NFC/NFD/NFKC/NFKD, validated at construction.
+  */
+case class UnicodeNormExpr(child: Expression, form: String)
+    extends UnaryExpression {
+  java.text.Normalizer.Form.valueOf(form) // fail fast on a bad form name
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_unicode_normalize"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.unicodeNormalize(s.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.expressions.Kernels.unicodeNormalize($c, "$form")""")
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormExpr =
+    copy(child = newChild)
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -572,6 +597,8 @@ object GraftFunctions {
     Shim.column(ShinglesExpr(Shim.expression(c), n))
   def typeProbe(c: Column): Column =
     Shim.column(TypeProbeExpr(Shim.expression(c)))
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    Shim.column(UnicodeNormExpr(Shim.expression(c), form))
   def minhashSignature(c: Column, numPerms: Int, seed: Long = 42L): Column =
     Shim.column(MinHashSigExpr(Shim.expression(c), numPerms, seed))
   def cosine(a: Column, b: Column): Column =

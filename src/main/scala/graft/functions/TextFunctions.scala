@@ -345,6 +345,39 @@ object TextFunctions {
       .drop("__toks", "__lines")
   }
 
+  /** Script blocks recognized by [[scriptProfile]], in tie-break priority
+    * order. Ranges use \x{...} escapes — the syntax BOTH java.util.regex
+    * and RE2 accept, so the same pattern replays in the oracle.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{024F}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}")
+
+  /** Per-script character counts plus the dominant script — the
+    * writing-system profile multilingual pipelines route on (which
+    * tokenizer, which language-ID model, which normalization). One narrow
+    * map: each count is a single keep-only regex replace; `dominant` is the
+    * first script (in [[ScriptRanges]] order) reaching the max count,
+    * "none" when no scripted character occurs.
+    */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val withCounts = ScriptRanges.foldLeft(df) { case (acc, (n, p)) =>
+      acc.withColumn(n, length(regexp_replace(t, s"[^$p]", "")).cast("long"))
+    }
+    val m = greatest(ScriptRanges.map { case (n, _) => col(n) }: _*)
+    val dom = ScriptRanges.foldRight(lit("none"): Column) {
+      case ((n, _), acc) => when(col(n) === m && m > 0, lit(n)).otherwise(acc)
+    }
+    withCounts.withColumn("dominant", dom)
+  }
+
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 

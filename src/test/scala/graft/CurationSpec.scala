@@ -216,6 +216,45 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  // ------------------------------------------------------ unicode / script
+
+  test("unicodeNormalize composes decomposed sequences (NFC) and folds compat (NFKC)") {
+    val df = Seq(
+      ("café", 1L), ("naïve", 2L), ("already clean", 3L),
+      ("ﬁne ①", 4L)) // fi-ligature + circled one
+      .toDF("t", "id")
+    def norm(form: String) = df.orderBy("id")
+      .select(graft.expressions.GraftFunctions.unicodeNormalize($"t", form))
+      .as[String].collect().toSeq
+    assert(norm("NFC") == Seq("café", "naïve", "already clean", "ﬁne ①"))
+    assert(norm("NFKC") == Seq("café", "naïve", "already clean", "fine 1"))
+    intercept[IllegalArgumentException] {
+      graft.expressions.GraftFunctions.unicodeNormalize($"t", "NOPE")
+    }
+  }
+
+  test("scriptProfile counts per block and breaks ties in listed order") {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "привет мир"),
+      (3L, "你好 こんにちは"),
+      (4L, "abc привет"),   // latin 3 vs cyrillic 6 -> cyrillic
+      (5L, "ab вг"),        // 2 vs 2 tie -> latin (listed first)
+      (6L, "123 !!!"))      // no scripted chars -> none
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions.scriptProfile(docs, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "latin", "cyrillic", "cjk", "dominant")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 0L, 0L, "latin"),
+      (2L, 0L, 9L, 0L, "cyrillic"),
+      (3L, 0L, 0L, 7L, "cjk"),
+      (4L, 3L, 6L, 0L, "cyrillic"),
+      (5L, 2L, 2L, 0L, "latin"),
+      (6L, 0L, 0L, 0L, "none")))
+  }
+
   // ----------------------------------------------------------------- warc
 
   test("parseRecords reads hand-built members and rejects truncation") {
