@@ -1463,13 +1463,14 @@ SELECT doc_id, epoch, CAST(hv % 8 AS INTEGER) AS shard,
   CAST(row_number() OVER (PARTITION BY epoch, hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
 FROM h""",
     "q106_quality_classifier" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS t FROM documents),
+      s"""WITH tok AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS t FROM documents) x WHERE len(t) > 0),
 w AS (SELECT doc_id, ((${portableHash60Sql("t")} % 32768) * 2654435761 % 1001) - 500 AS wt FROM tok),
 sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_tokens
   FROM w GROUP BY doc_id)
-SELECT doc_id, score, n_tokens,
-  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS quality
-FROM sc""",
+SELECT d.doc_id, COALESCE(sc.score, 0) AS score, COALESCE(sc.n_tokens, 0) AS n_tokens,
+  CASE WHEN COALESCE(sc.n_tokens, 0) = 0 THEN 0.0
+       ELSE CAST(sc.score AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE) END AS quality
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
     "q107_keyword_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS t FROM documents),
 m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS score, CAST(count(DISTINCT t) AS BIGINT) AS n_terms
@@ -1554,7 +1555,7 @@ parts AS (SELECT doc_id, url,
   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2) AS hostport,
   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS path,
-  regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+  regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query FROM u),
 hp AS (SELECT doc_id, url, scheme, path, query,
   lower(regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
   regexp_extract(regexp_replace(hostport, '^[^@]*@', ''), ':([0-9]*)$', 1) AS port FROM parts),
@@ -1611,10 +1612,13 @@ tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM docu
 tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS word
   FROM tk CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS r(i)
   WHERE len(toks[CAST(i AS INTEGER)]) > 0),
-j AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS tid FROM tok LEFT JOIN v ON tok.word = v.token)
-SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids, count(*) AS n_tokens,
+j AS (SELECT doc_id, pos, COALESCE(v.id, 0) AS tid FROM tok LEFT JOIN v ON tok.word = v.token),
+enc AS (SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids, count(*) AS n_tokens,
   CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-FROM j GROUP BY doc_id""",
+FROM j GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(enc.ids, '') AS ids,
+  COALESCE(enc.n_tokens, 0) AS n_tokens, COALESCE(enc.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id""",
     "q119_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
 s AS (SELECT source, n_docs,

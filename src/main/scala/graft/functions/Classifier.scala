@@ -60,8 +60,12 @@ object Classifier {
                 tokenHash: Column => Column = t => abs(xxhash64(t)),
                 weightOf: Column => Column = scrambleWeight): DataFrame =
     docs
+      // drop the phantom '' token a whitespace-only doc splits into, so
+      // empty docs hit the n_tokens == 0 branch instead of being scored
+      // with the '' bucket's arbitrary weight
       .select(col(idCol),
-        split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+        filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+          w => length(w) > 0).as("__toks"))
       .select(col(idCol),
         hashedScoreSum(col("__toks"), nBuckets, tokenHash, weightOf).as("score"),
         size(col("__toks")).cast(LongType).as("n_tokens"))

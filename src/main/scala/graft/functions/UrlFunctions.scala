@@ -43,7 +43,9 @@ object UrlFunctions {
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
     val path = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 2)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchor the query BEFORE any '#': a '?' inside the fragment
+    // ("https://app/#/search?q=x") is fragment content and must drop with it
+    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingRe))
     val canon = concat(

@@ -148,7 +148,13 @@ object Importance {
                   keepPct: Int): DataFrame = {
     require(keepPct > 0 && keepPct <= 100, s"keepPct in (0,100], got $keepPct")
     val n = scored.count()
-    val keep = ((n * keepPct + 99) / 100).toInt
-    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(keep)
+    val keep = (n * keepPct + 99) / 100
+    // limit() is Int-bounded by design (top-k materializes on one node);
+    // fail fast instead of letting .toInt wrap negative on corpus-scale
+    // slices — beyond this, take a score-threshold filter (via
+    // approx quantile) or hashSplit, which stay fully distributed
+    require(keep <= Int.MaxValue,
+      s"resampleTop keep=$keep exceeds limit()'s Int bound; use a score-threshold filter at this scale")
+    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(keep.toInt)
   }
 }

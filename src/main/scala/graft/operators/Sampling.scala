@@ -35,8 +35,7 @@ object Sampling {
     */
   def saltedPositions(item: Column, k: Int, m: Long): Column =
     array((0 until k).map { i =>
-      pmod(conv(substring(md5(concat(lit(s"$i:"), item)), 1, 15), 16, 10)
-        .cast(LongType), lit(m))
+      pmod(portableHash60(concat(lit(s"$i:"), item)), lit(m))
     }: _*)
 
   /** Tag each row with a split label from `splits` — (name, percent) pairs

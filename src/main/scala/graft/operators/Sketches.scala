@@ -157,24 +157,28 @@ object Sketches {
 
   /** The raw HLL cardinality estimate as one row:
     * (m, s_scaled, estimate). The harmonic sum is kept EXACT by scaling:
-    * s_scaled = sum_j 2^(54 - M_j) over all m registers (untouched
-    * registers contribute 2^54) — pure BIGINT shifts, order-independent —
-    * and only the final alpha*m^2*2^54 / s_scaled division is floating
-    * point, so the estimate is bit-identical on any engine. (Raw E without
+    * s_scaled = sum_j 2^(K - M_j) over all m registers with K = 62 - p
+    * (untouched registers contribute 2^K) — pure BIGINT shifts, order-
+    * independent — and only the final alpha*m^2*2^K / s_scaled division is
+    * floating point, so the estimate is bit-identical on any engine.
+    * K = 62 - p makes both bounds p-independent: the sum is at most
+    * m * 2^K = 2^62 (no Long overflow at any admissible p), and the
+    * smallest shift is K - (61 - p) = 1 (never negative). (Raw E without
     * the small/large-range corrections; at corpus scale the raw branch is
     * the one that fires.)
     */
   def hllEstimate(df: DataFrame, itemCol: Column, p: Int = 8): DataFrame = {
     val m = 1L << p
+    val k = 62 - p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val regs = hllRegisters(df, itemCol, p)
     regs.agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - max_rank AS INT))")).as("s_seen"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($k - max_rank AS INT))")).as("s_seen"),
         count(lit(1)).as("m_seen"))
       .select(lit(m).as("m"),
-        (col("s_seen") + (lit(m) - col("m_seen")) * lit(1L << 54)).as("s_scaled"))
+        (col("s_seen") + (lit(m) - col("m_seen")) * lit(1L << k)).as("s_scaled"))
       .select(col("m"), col("s_scaled"),
-        (lit(alpha * m * m) * lit(math.pow(2.0, 54)) /
+        (lit(alpha * m * m) * lit((1L << k).toDouble) /
           col("s_scaled").cast("double")).as("estimate"))
   }
 }

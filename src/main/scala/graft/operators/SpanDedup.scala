@@ -176,11 +176,19 @@ object SpanDedup {
         posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
     val wFirst = Window.partitionBy(trim(col("line")))
       .orderBy(col("__id"), col("pos"))
+    // blank lines are all "equal" under trim — routing them through the
+    // window would funnel every blank line in the corpus into ONE
+    // partition key (a guaranteed straggler at scale) only to override the
+    // rank afterwards; keep them out of the shuffle entirely
     val kept = lines
-      .withColumn("rk",
-        when(length(trim(col("line"))) === 0, lit(1))
-          .otherwise(row_number().over(wFirst)))
-    val rebuilt = kept
+      .filter(length(trim(col("line"))) > 0)
+      .withColumn("rk", row_number().over(wFirst))
+      .unionByName(lines
+        .filter(length(trim(col("line"))) === 0)
+        .withColumn("rk", lit(1)))
+    // split() yields at least one (possibly blank) line per doc, so every
+    // input doc reaches the groupBy — no restore join needed
+    kept
       .groupBy(col("__id"))
       .agg(
         array_join(transform(
@@ -188,10 +196,6 @@ object SpanDedup {
             struct(col("pos"), col("line"))))),
           x => x.getField("line")), "\n").as("clean_text"),
         sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_removed"))
-    docs.select(col(idCol).as("__id"))
-      .join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .select(col("__id").as(idCol), col("clean_text"), col("n_removed"))
   }
 }

@@ -76,7 +76,8 @@ object Vocab {
         posexplode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")))
       .toDF(idCol, "pos", "word")
       .filter(length(col("word")) > 0)
-    toks.join(broadcast(vocab.select(col("token").as("word"), col("id"))),
+    val encoded = toks
+      .join(broadcast(vocab.select(col("token").as("word"), col("id"))),
         Seq("word"), "left")
       .select(col(idCol), col("pos"),
         coalesce(col("id"), lit(oovId)).cast(LongType).as("tid"))
@@ -86,6 +87,13 @@ object Vocab {
           x => x.getField("tid")).as("ids"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("tid") === oovId, 1L).otherwise(0L)).as("n_oov"))
+    // empty/whitespace/null docs produce no token rows; restore them with
+    // an empty ids array so EVERY input doc appears exactly once
+    docs.select(col(idCol)).join(encoded, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
   }
 
   /** Inverse of [[encodeIds]]: token-id arrays back to text under the same
@@ -124,6 +132,10 @@ object Vocab {
     */
   def pairCounts(wordsWithSyms: DataFrame): DataFrame =
     wordsWithSyms
+      // fully-merged words (one symbol) have no adjacent pairs; without
+      // this filter sequence(1, 0) yields the DESCENDING [1, 0] and
+      // element_at(syms, 0) throws once any word merges to a single symbol
+      .filter(size(col("syms")) >= 2)
       .select(col("freq"), explode(transform(
         sequence(lit(1), size(col("syms")) - 1),
         i => struct(element_at(col("syms"), i).as("a"),

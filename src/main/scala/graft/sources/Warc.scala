@@ -111,14 +111,19 @@ object Warc {
     * `parseRecords` skips.
     */
   def writeWet(df: DataFrame, uriCol: String, textCol: String,
-               path: String): Unit =
+               path: String): Unit = {
+    // NULLs would propagate through concat into a NULL record and abort
+    // the text sink on the first bad row; empty payload/uri is the
+    // faithful WET rendering of a null field
+    val text = coalesce(col(textCol), lit(""))
     df.select(concat(
         lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
-        col(uriCol),
+        coalesce(col(uriCol), lit("")),
         lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
-        octet_length(col(textCol)).cast("string"),
+        octet_length(text).cast("string"),
         lit("\r\n\r\n"),
-        col(textCol),
+        text,
         lit("\r\n")).as("value"))
       .write.mode("overwrite").text(path)
+  }
 }

@@ -196,6 +196,8 @@ class CurationSpec extends SparkSpec {
     assert(canon1("http://Example.com:80/a%20b?x=1&utm_x=2&gclid=c") == "http://example.com/a%20b?x=1")
     assert(canon1("https://example.org/?utm_campaign=only") == "https://example.org/")
     assert(canon1("not a url") == "not a url") // schemeless passthrough
+    // a '?' INSIDE the fragment is fragment content, not a query
+    assert(canon1("https://app.example.com/#/search?q=x") == "https://app.example.com/")
   }
 
   test("registeredDomain applies the multi-label suffix heuristic") {

@@ -103,6 +103,17 @@ class SketchesSpec extends SparkSpec {
       whole.orderBy("row", "cell").collect().toSeq)
   }
 
+  test("HLL scaling holds across the admissible p range (no overflow, no negative shift)") {
+    val df = spark.sparkContext.parallelize((1 to 5000).map(i => s"v$i"), 4).toDF("u")
+    for (p <- Seq(4, 6, 10, 12, 16)) {
+      val r = Sketches.hllEstimate(df, col("u"), p = p).head()
+      val s = r.getAs[Long]("s_scaled")
+      assert(s > 0L, s"p=$p: harmonic sum wrapped negative: $s")
+      val est = r.getAs[Double]("estimate")
+      assert(est > 0.0 && !est.isInfinite, s"p=$p: estimate $est")
+    }
+  }
+
   test("portable HLL estimate lands within the standard error envelope") {
     val n = 20000
     val df = spark.sparkContext.parallelize((1 to n).map(i => s"item$i"), 8).toDF("u")

@@ -120,11 +120,13 @@ class TokenizerRetrievalSpec extends SparkSpec {
     assert(dec == Seq((1L, "the cat <unk>"), (2L, "the mat")))
   }
 
-  test("encodeIds maps tokens in order, OOV to the sentinel") {
+  test("encodeIds maps tokens in order, OOV to the sentinel, keeps empty docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
       (2L, "unknown words only"),
-      (3L, "  the   the  ")) // ragged whitespace
+      (3L, "  the   the  "),  // ragged whitespace
+      (4L, "   "),            // whitespace-only -> empty ids, not dropped
+      (5L, null: String))     // null text -> empty ids, not dropped
       .toDF("doc_id", "text")
     val vocab = Seq(("the", 1L), ("cat", 2L), ("mat", 3L)).toDF("token", "id")
     val got = Vocab.encodeIds(docs, "doc_id", "text", vocab)
@@ -132,5 +134,19 @@ class TokenizerRetrievalSpec extends SparkSpec {
     assert(got(0) == ((1L, Seq(1L, 2L, 0L, 0L, 1L, 3L), 6L, 2L)))
     assert(got(1) == ((2L, Seq(0L, 0L, 0L), 3L, 3L)))
     assert(got(2) == ((3L, Seq(1L, 1L), 2L, 0L)))
+    assert(got(3) == ((4L, Seq(), 0L, 0L)))
+    assert(got(4) == ((5L, Seq(), 0L, 0L)))
+  }
+
+  test("pairCounts survives fully-merged single-symbol words; train runs deep") {
+    val wf = Seq(("a", 5L)).toDF("word", "freq")
+      .select(Vocab.charSymbols(col("word")).as("syms"), col("freq"))
+    val merged = wf.select(Vocab.applyMerge(col("syms"), "a", "</w>").as("syms"), col("freq"))
+    // 'a' + '</w>' merges to the single symbol 'a</w>' -> zero pairs, no crash
+    assert(Vocab.pairCounts(merged).count() == 0L)
+    // a deep train on a tiny corpus exhausts some words completely
+    val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("id", "text")
+    val merges = Vocab.train(docs, "text", nMerges = 12)
+    assert(merges.nonEmpty && merges.size <= 12)
   }
 }
