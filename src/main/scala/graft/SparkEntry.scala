@@ -1076,7 +1076,46 @@ object SparkEntry {
               .otherwise(lit(""))).as("text")),
         "text")
         .select("doc_id", "latin", "cyrillic", "greek", "cjk", "arabic",
-          "hangul", "devanagari", "dominant")))
+          "hangul", "devanagari", "dominant")),
+    "q124_dedup_snapshot" -> ((s, d) => {
+      // daily-ingest dedup: docs < 250 are the released snapshot, the whole
+      // corpus is the fresh batch; %5 boilerplate injection (q120) gives
+      // real cross-batch and in-batch duplication
+      val all = t(s, d, "documents").select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0, lit("shared boilerplate snippet"))
+          .otherwise(col("text")).as("text"))
+      graft.operators.NearDedup.dedupAgainstSnapshot(
+        all, "doc_id", "text", all.filter(col("doc_id") < 250), "text")
+        .select(col("doc_id"), col("source"))
+    }),
+    "q125_topk_per_group" -> ((s, d) =>
+      // three longest documents per source (deterministic tie-break on id)
+      graft.operators.Grouping.topKPerGroup(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        Seq(col("source")), k = 3,
+        Seq(col("n_chars").desc, col("doc_id").asc))),
+    "q126_rollup" -> ((s, d) =>
+      // native OLAP rollup: per (source, lang), per source, grand total;
+      // explicit grouping() bitmask so the level id replays anywhere
+      t(s, d, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          (grouping(col("source")) * 2 + grouping(col("lang"))).cast(LongType).as("gid"))),
+    "q127_range_frame" -> ((s, d) => {
+      // time-range window frame: per-user trailing 1-hour event count and
+      // integer-scaled value sum (RANGE frame on the microsecond axis —
+      // float sums would hit engine-order differences, integers don't)
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("t_us"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_scaled"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+        .rangeBetween(-3600000000L, 0L)
+      e.select(col("event_id"), col("user_id"), col("t_us"),
+        count(lit(1)).over(w).as("events_1h"),
+        sum(col("v_scaled")).over(w).as("value_1h_scaled"))
+    }))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1695,7 +1734,35 @@ SELECT doc_id, latin, cyrillic, greek, cjk, arabic, hangul, devanagari,
        WHEN arabic = mx THEN 'arabic'
        WHEN hangul = mx THEN 'hangul'
        ELSE 'devanagari' END AS dominant
-FROM d""")
+FROM d""",
+    "q124_dedup_snapshot" ->
+      """WITH d AS (SELECT doc_id, source,
+  CASE WHEN doc_id % 5 = 0 THEN 'shared boilerplate snippet' ELSE text END AS text FROM documents),
+fp AS (SELECT doc_id, source,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f FROM d),
+prior AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+fresh AS (SELECT doc_id, source, f FROM fp WHERE f NOT IN (SELECT f FROM prior)),
+r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fresh)
+SELECT doc_id, source FROM r WHERE rn = 1""",
+    "q125_topk_per_group" ->
+      """SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk FROM
+  (SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+   FROM documents)
+WHERE rk <= 3""",
+    "q126_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+FROM documents GROUP BY ROLLUP (source, lang)""",
+    "q127_range_frame" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us,
+  CAST(floor(value * 1000) AS BIGINT) AS v_scaled FROM events)
+SELECT event_id, user_id, t_us,
+  count(*) OVER w AS events_1h,
+  CAST(sum(v_scaled) OVER w AS BIGINT) AS value_1h_scaled
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

@@ -65,4 +65,21 @@ object Grouping {
       def bufferEncoder: Encoder[BUF] = implicitly[Encoder[BUF]]
       def outputEncoder: Encoder[OUT] = implicitly[Encoder[OUT]]
     }
+
+  /** Top-k rows within every group under an explicit ordering (best
+    * documents per source, hottest items per shard, latest events per
+    * user): one exchange on the group key, a rank inside each group, the
+    * filter drops everything past k before any downstream stage. Pass a
+    * fully deterministic ordering (include a tie-break column) or ties make
+    * the kept SET nondeterministic — same contract as `Sampling
+    * .capPerGroup`, which is this with a hash ordering.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], k: Int,
+                   order: Seq[Column]): DataFrame = {
+    require(k > 0 && groupCols.nonEmpty && order.nonEmpty,
+      "topKPerGroup needs a group, an ordering, and k > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -343,6 +343,25 @@ object NearDedup {
   def exactDedupMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
     dedupOnFingerprint(df, idCol, TextFunctions.fingerprint(col(textCol)))
 
+  /** Incremental dedup against a prior snapshot — the daily-ingest
+    * workflow: drop every new document whose canonical fingerprint already
+    * exists in the released corpus, THEN exact-dedup what remains within
+    * the batch. The prior side reduces to its distinct fingerprint set
+    * (one narrow column), so re-releasing doesn't rescan prior text; at
+    * production scale materialize that fingerprint set once per release
+    * (Memoize) or swap in `bloomBuild` for a constant-size filter.
+    */
+  def dedupAgainstSnapshot(fresh: DataFrame, idCol: String, textCol: String,
+                           prior: DataFrame, priorTextCol: String): DataFrame = {
+    val priorFps = prior
+      .select(TextFunctions.fingerprint(col(priorTextCol)).as("__fp")).distinct()
+    val unseen = fresh
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(priorFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    exactDedupMd5(unseen, idCol, textCol)
+  }
+
   /** Cross-source duplication matrix — for every source pair, how many
     * DISTINCT canonical fingerprints they share: the corpus-audit view of
     * leakage between ingestion feeds (mirror sites, syndication, re-crawls)

@@ -126,6 +126,28 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("A", "B", 1L), ("B", "C", 1L)))
   }
 
+  test("dedupAgainstSnapshot drops prior fingerprints then dedups the batch") {
+    val prior = Seq((1L, "released doc one"), (2L, "released doc two")).toDF("id", "t")
+    val fresh = Seq(
+      (10L, "released  DOC one"),   // canonical dup of prior -> dropped
+      (11L, "genuinely new"),
+      (12L, "genuinely new"),       // in-batch dup -> min-id survives
+      (13L, "another fresh one")).toDF("id", "t")
+    val kept = graft.operators.NearDedup
+      .dedupAgainstSnapshot(fresh, "id", "t", prior, "t")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("topKPerGroup keeps exactly k under a deterministic order") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
+      ("b", 5L, 1L)).toDF("g", "id", "score")
+    val got = graft.operators.Grouping.topKPerGroup(
+        df, Seq(col("g")), k = 2, Seq(col("score").desc, col("id").asc))
+      .select("g", "id", "rk").as[(String, Long, Int)].collect().toSet
+    assert(got == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
+
   // ------------------------------------------------------------ histogram
 
   test("lengthHistogram buckets on exact integer floor(log2)") {
