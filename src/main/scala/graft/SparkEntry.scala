@@ -1115,6 +1115,14 @@ object SparkEntry {
       e.select(col("event_id"), col("user_id"), col("t_us"),
         count(lit(1)).over(w).as("events_1h"),
         sum(col("v_scaled")).over(w).as("value_1h_scaled"))
+    }),
+    "q128_pq_topk" -> ((s, d) => {
+      // product-quantization ADC (Jégou et al. 2011): 8 subspaces x 8 dims,
+      // integer Lloyd codebooks, sum-of-table-lookups ranking — training,
+      // encoding and ADC all exact-integer, replayed by the oracle
+      val emb = t(s, d, "embeddings")
+      VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dim = 64)
     }))
 
   // =====================================================================
@@ -1762,7 +1770,45 @@ SELECT event_id, user_id, t_us,
   CAST(sum(v_scaled) OVER w AS BIGINT) AS value_1h_scaled
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY t_us
-  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q128_pq_topk" ->
+      """WITH iv AS (SELECT vec_id AS id,
+  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256 + 0.5) AS BIGINT)) AS v FROM embeddings),
+sub AS (SELECT id, CAST(s AS BIGINT) AS sub,
+  v[CAST(s * 8 + 1 AS INTEGER):CAST(s * 8 + 8 AS INTEGER)] AS sv
+  FROM iv CROSS JOIN UNNEST(range(0, 8)) AS r(s)),
+seed AS (SELECT sub, id AS cid, sv AS cv FROM sub WHERE id % 50 = 0),
+d0 AS (SELECT s.id, s.sub, s.sv, c.cid,
+  CAST(list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM sub s JOIN seed c USING (sub)),
+a0 AS (SELECT id, sub, sv, cid FROM
+  (SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn FROM d0) WHERE rn = 1),
+comp AS (SELECT sub, cid, CAST(dd AS BIGINT) AS d, sv[CAST(dd AS INTEGER)] AS x
+  FROM a0 CROSS JOIN UNNEST(range(1, 9)) AS r(dd)),
+upd AS (SELECT sub, cid, d,
+  CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mc
+  FROM comp GROUP BY sub, cid, d),
+book AS (SELECT sub, cid, list(mc ORDER BY d) AS cv FROM upd GROUP BY sub, cid),
+d1 AS (SELECT s.id, s.sub, c.cid,
+  CAST(list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM sub s JOIN book c USING (sub)),
+codes AS (SELECT id, sub, cid FROM
+  (SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+tab AS (SELECT s.id AS query_id, s.sub, c.cid,
+  CAST(list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM sub s JOIN book c USING (sub) WHERE s.id < 5),
+adc AS (SELECT t.query_id, c.id AS neighbor_id, CAST(sum(t.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN tab t ON c.sub = t.sub AND c.cid = t.cid
+  WHERE c.id <> t.query_id GROUP BY t.query_id, c.id),
+cand AS (SELECT query_id, neighbor_id FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rn FROM adc)
+  WHERE rn <= 20),
+ex AS (SELECT c.query_id, c.neighbor_id,
+  CAST(list_sum(list_transform(list_zip(n.v, q.v), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+  FROM cand c JOIN iv n ON c.neighbor_id = n.id JOIN iv q ON c.query_id = q.id)
+SELECT query_id, neighbor_id, d2, CAST(rank AS INTEGER) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank FROM ex)
+WHERE rank <= 5""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most

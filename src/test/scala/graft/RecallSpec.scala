@@ -114,6 +114,52 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized recall@5 = $recall")
   }
 
+  test("PQ/ADC recall@5 vs exact integer-L2 brute force, and planted-copy rank 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // exact squared-L2 top-5 on the SAME integer quantization (apples to
+    // apples: ADC approximates quantized L2, not cosine)
+    val iv = emb.select(col("vec_id").as("id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 256 + 0.5).cast("long")).as("v"))
+    val q = iv.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val exact = iv.crossJoin(q).filter(col("id") =!= col("query_id"))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2").asc, col("id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("id")).as[(Long, Long)].collect().toSet
+    // pure ADC on near-orthogonal noise sits at the quantization floor
+    val adcOnly = VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dim = 64, rescoreFactor = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (exact intersect adcOnly).size.toDouble / exact.size
+    assert(adcRecall >= 0.15, s"pure-ADC recall@5 = $adcRecall")
+    // the refine stage (exact re-rank of 4k ADC candidates) is the
+    // production configuration
+    val refined = VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dim = 64, rescoreFactor = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect refined).size.toDouble / exact.size
+    assert(recall >= 0.5, s"refined PQ recall@5 = $recall")
+    assert(recall > adcRecall, "refine must improve on pure ADC")
+    // planted exact copies must be unbeatable: ADC(copy) = 0 in every
+    // subspace, so the copy ranks first for its original
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    val got = VectorFunctions.pqTopK(
+        emb.select(col("vec_id"), col("embedding")).unionByName(copies),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 1, dim = 64)
+      .select("query_id", "neighbor_id", "d2")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)) == (0L until 5L).map(i => (i, i + 9000L)),
+      s"planted copies not rank-1: $got")
+    assert(got.forall(_._3 == 0L))
+  }
+
   test("semDedup drops every planted copy, keeps all originals, and is deterministic") {
     val copies = emb.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 10001L).as("vec_id"), col("embedding"))
