@@ -1123,6 +1123,21 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, dim = 64)
+    }),
+    "q129_zorder_key" -> ((s, d) =>
+      // Morton keys for 2-D data-skipping layout (Delta/Iceberg OPTIMIZE
+      // ZORDER): pure shift/mask codegen, replayed bit-for-bit in SQL;
+      // the layout rewrite itself (zorderSort) is spec-verified
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        graft.operators.Layout.zorderKey(
+          col("l_partkey"), col("l_suppkey"), bits = 16).as("zkey"))),
+    "q130_sparse_tfidf" -> ((s, d) => {
+      // inverted-index doc-to-doc similarity: df-weighted tf dot product,
+      // integer-exact; the sparse counterpart of the embedding ANN surface
+      val docs = t(s, d, "documents")
+      graft.operators.Retrieval.sparseTfIdfTopK(
+        docs, "doc_id", "text", docs.filter(col("doc_id") < 3), k = 5)
     }))
 
   // =====================================================================
@@ -1808,6 +1823,25 @@ ex AS (SELECT c.query_id, c.neighbor_id,
   FROM cand c JOIN iv n ON c.neighbor_id = n.id JOIN iv q ON c.query_id = q.id)
 SELECT query_id, neighbor_id, d2, CAST(rank AS INTEGER) AS rank FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank FROM ex)
+WHERE rank <= 5""",
+    "q129_zorder_key" -> {
+      val zterms = (0 until 16).flatMap(i => Seq(
+        s"(((l_partkey >> $i) & 1) << ${2 * i})",
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+  CAST($zterms AS BIGINT) AS zkey FROM lineitem"""
+    },
+    "q130_sparse_tfidf" ->
+      """WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dft AS (SELECT t, count(*) AS df, 1000000 // count(*) AS w FROM tf GROUP BY t),
+qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE doc_id < 3),
+sc AS (SELECT q.query_id, tf.doc_id,
+  CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms
+  FROM qtf q JOIN dft USING (t) JOIN tf USING (t)
+  WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, doc_id, score, shared_terms, CAST(rank AS INTEGER) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
 WHERE rank <= 5""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the

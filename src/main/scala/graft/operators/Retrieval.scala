@@ -78,4 +78,47 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Doc-to-doc similarity search over the SPARSE term space (the
+    * classical inverted-index alternative to embedding ANN): rank corpus
+    * documents against each query document by a df-weighted term-frequency
+    * dot product, score = sum over shared terms of
+    * tf_q · tf_d · (scale div df_t). The 1/df weight is the integer-exact
+    * stand-in for idf² (monotone in rarity; ln is not bit-portable, so the
+    * log-idf variant belongs on a spec-verified float path like
+    * `bm25TopK`). Output: (query_id, doc_id, score, shared_terms, rank).
+    *
+    * Scale shape: both sides reduce to (doc, term, tf) postings; the join
+    * key is the TERM (the inverted-index axis), so only documents sharing
+    * a term with a query ever meet, and per-term match cardinality is
+    * #query-docs × df_t — prune stop-terms with `maxDf` (standard posting-
+    * list capping) to keep hot terms from dominating. Scoring is one hash
+    * aggregation on (query, doc); ranking is one window per query.
+    */
+  def sparseTfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, k: Int,
+                      scale: Long = 1000000L,
+                      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, "sparseTfIdfTopK needs k > 0")
+    val tf = toks(docs, idCol, textCol).filter(length(col("t")) > 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .withColumn("w", expr(s"$scale div df"))
+    val qtf = toks(queries, idCol, textCol).filter(length(col("t")) > 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
+      .withColumnRenamed("doc_id", "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    qtf.join(dfT, Seq("t"))
+      .join(tf, Seq("t"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qtf") * col("tf") * col("w")).as("score"),
+        count(lit(1)).as("shared_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -240,6 +240,47 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  // ----------------------------------------------------- layout / retrieval
+
+  test("zorderKey interleaves bits; zorderSort clusters both dimensions") {
+    import graft.operators.Layout
+    val k = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zorderKey($"a", $"b", 4)).as[Long].head()
+    // a=0011, b=0101 -> interleaved (b3 a3 b2 a2 b1 a1 b0 a0) = 00100111
+    assert(k == 39L)
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)).toDF("a", "b")
+    val sorted = Layout.zorderSort(grid, $"a", $"b", numPartitions = 4, bits = 4)
+    // each partition's (a, b) envelope must cover < the full 16x16 domain
+    // on BOTH axes combined — the file-skipping property
+    val spans = sorted.select(spark_partition_id().as("p"), $"a", $"b")
+      .groupBy("p").agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+      .as[(Int, Long, Long)].collect()
+    assert(spans.length == 4)
+    assert(spans.forall { case (_, sa, sb) => sa + sb <= 23 },
+      s"unclustered partitions: ${spans.toSeq}") // random layout would be ~30
+  }
+
+  test("sparseTfIdfTopK ranks by shared rare terms, integer-exact") {
+    val docs = Seq(
+      (1L, "alpha beta common"),          // query
+      (2L, "alpha beta common extra"),    // shares rare alpha+beta -> best
+      (3L, "alpha common common filler"), // shares rare alpha
+      (4L, "common filler filler filler"),// shares only the stop-ish term
+      (5L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.sparseTfIdfTopK(
+        docs, "doc_id", "text", docs.filter($"doc_id" === 1), k = 3)
+      .orderBy("rank")
+      .select("doc_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 3L, 4L))
+    // maxDf = 2 prunes both 'common' (df 4) and 'alpha' (df 3): only the
+    // beta posting list survives, so doc 2 is the sole remaining match
+    val pruned = graft.operators.Retrieval.sparseTfIdfTopK(
+        docs, "doc_id", "text", docs.filter($"doc_id" === 1), k = 3, maxDf = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pruned == Set(2L))
+  }
+
   // ------------------------------------------------------ unicode / script
 
   test("unicodeNormalize composes decomposed sequences (NFC) and folds compat (NFKC)") {
