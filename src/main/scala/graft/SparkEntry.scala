@@ -1617,7 +1617,7 @@ parts AS (SELECT doc_id, url,
   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2) AS hostport,
   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS path,
-  regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query FROM u),
+  regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query FROM u),
 hp AS (SELECT doc_id, url, scheme, path, query,
   lower(regexp_replace(regexp_replace(hostport, '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
   regexp_extract(regexp_replace(hostport, '^[^@]*@', ''), ':([0-9]*)$', 1) AS port FROM parts),
@@ -1760,7 +1760,7 @@ SELECT doc_id, latin, cyrillic, greek, cjk, arabic, hangul, devanagari,
 FROM d""",
     "q124_dedup_snapshot" ->
       """WITH d AS (SELECT doc_id, source,
-  CASE WHEN doc_id % 5 = 0 THEN 'shared boilerplate snippet' ELSE text END AS text FROM documents),
+  CASE WHEN doc_id % 5 = 0 THEN 'shared boilerplate snippet' ELSE coalesce(text, '') END AS text FROM documents),
 fp AS (SELECT doc_id, source,
   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f FROM d),
 prior AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
@@ -1834,7 +1834,7 @@ WHERE rank <= 5""",
     "q130_sparse_tfidf" ->
       """WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
 tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
-dft AS (SELECT t, count(*) AS df, 1000000 // count(*) AS w FROM tf GROUP BY t),
+dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
 qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE doc_id < 3),
 sc AS (SELECT q.query_id, tf.doc_id,
   CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms

@@ -43,9 +43,11 @@ object UrlFunctions {
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
     val path = regexp_extract(url, SchemeRe + "[^/?#]*([^?#]*)", 2)
-    // anchor the query BEFORE any '#': a '?' inside the fragment
-    // ("https://app/#/search?q=x") is fragment content and must drop with it
-    val query = regexp_extract(url, "^[^#]*\\?([^#]*)", 1)
+    // anchor the query BEFORE any '#' and at the FIRST '?': a '?' inside
+    // the fragment ("https://app/#/search?q=x") is fragment content and
+    // must drop with it, and a '?' inside the query itself (legal per
+    // RFC 3986) belongs to the query, not before it
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingRe))
     val canon = concat(

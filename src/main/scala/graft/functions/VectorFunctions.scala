@@ -170,6 +170,10 @@ object VectorFunctions {
           i => struct(i.cast("long").as("sub"),
             slice(col("__iv"), i * dsub + 1, lit(dsub)).as("sv")))).as("p"))
         .select(col(idAs), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    // fail fast on an id space with no seed multiples (hashed/offset ids):
+    // an empty codebook would silently inner-join everything away
+    require(corpus.filter(col(idCol) % centroidEvery === 0).limit(1).count() > 0,
+      s"pqTopK: no corpus id is a multiple of centroidEvery=$centroidEvery — no codebook seeds")
     val csub = subs(corpus, "id")
     def assign(book: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("id"), col("sub"))

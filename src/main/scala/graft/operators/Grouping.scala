@@ -78,6 +78,8 @@ object Grouping {
                    order: Seq[Column]): DataFrame = {
     require(k > 0 && groupCols.nonEmpty && order.nonEmpty,
       "topKPerGroup needs a group, an ordering, and k > 0")
+    require(!df.columns.contains("rk"),
+      "topKPerGroup emits a 'rk' column; rename the existing one first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols: _*).orderBy(order: _*)
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -15,16 +15,20 @@ object Layout {
     * lands at position 2i, bit i of `b` at 2i+1. Pure shift/mask terms
     * with plan-time bit positions, so the key stays inside whole-stage
     * codegen and replays in ANSI SQL verbatim ((x >> i) & 1 in both
-    * dialects). `bits` <= 31 per column (2·bits <= 62 key bits); bits of
-    * the inputs above `bits` are ignored — hash or clamp wider domains
-    * first. Inputs must be non-negative.
+    * dialects). `bits` <= 31 per column (2·bits <= 62 key bits); inputs
+    * are taken MODULO 2^bits (pmod), so negative sentinels wrap into the
+    * domain deterministically instead of sign-extending into a
+    * near-maximal key that would funnel every negative row into one range
+    * partition — hash or clamp wider domains first.
     */
   def zorderKey(a: Column, b: Column, bits: Int = 20): Column = {
     require(bits > 0 && bits <= 31, s"bits in [1,31], got $bits")
+    val am = pmod(a.cast("long"), lit(1L << bits))
+    val bm = pmod(b.cast("long"), lit(1L << bits))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(am, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ + _)
   }

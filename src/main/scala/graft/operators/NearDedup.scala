@@ -353,13 +353,18 @@ object NearDedup {
     */
   def dedupAgainstSnapshot(fresh: DataFrame, idCol: String, textCol: String,
                            prior: DataFrame, priorTextCol: String): DataFrame = {
-    val priorFps = prior
-      .select(TextFunctions.fingerprint(col(priorTextCol)).as("__fp")).distinct()
-    val unseen = fresh
-      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    // coalesce: fingerprint(NULL) is NULL, and NULL keys neither match the
+    // anti-join nor group consistently — null-text docs dedup as empty docs
+    def fp(c: Column) = TextFunctions.fingerprint(coalesce(c, lit("")))
+    val priorFps = prior.select(fp(col(priorTextCol)).as("__fp")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    fresh
+      .withColumn("__fp", fp(col(textCol))) // materialized ONCE: anti-join key and dedup key
       .join(priorFps, Seq("__fp"), "left_anti")
-      .drop("__fp")
-    exactDedupMd5(unseen, idCol, textCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__fp")
   }
 
   /** Cross-source duplication matrix — for every source pair, how many

@@ -105,7 +105,10 @@ object Retrieval {
     val dfT = tf.groupBy(col("t"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .withColumn("w", expr(s"$scale div df"))
+      // clamp: df > scale would floor the weight to 0 — the term would pay
+      // its full posting-list join cost while contributing nothing and
+      // breaking monotonicity; at 1 it still ranks below every rarer term
+      .withColumn("w", greatest(expr(s"$scale div df"), lit(1L)))
     val qtf = toks(queries, idCol, textCol).filter(length(col("t")) > 0)
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
       .withColumnRenamed("doc_id", "query_id")

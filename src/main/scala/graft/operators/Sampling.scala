@@ -118,6 +118,8 @@ object Sampling {
     */
   def capPerGroup(df: DataFrame, groupCol: Column, k: Int,
                   tieBreak: Column): DataFrame = {
+    require(!df.columns.contains("rk"),
+      "capPerGroup emits a 'rk' column; rename the existing one first")
     val w = Window.partitionBy(groupCol)
       .orderBy(portableHash60(tieBreak), tieBreak)
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
