@@ -198,4 +198,55 @@ class PropertySpec extends SparkSpec {
       assert(packed.map(_._4).toSeq == toks.map(_.toLong))
     }
   }
+
+  test("bloom filter never produces a false negative for ANY corpus") {
+    import graft.operators.Contamination
+    val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    forAll(Gen.listOfN(8, doc), n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val bench = docs.filter(col("id") < 3)
+      val exact = Contamination.contaminatedIds(docs, "id", "t", bench, "t", n = 4)
+        .as[Long].collect().toSet
+      // tiny m = 32 maximizes false positives; containment must still hold
+      val bits = Contamination.bloomBuild(bench, "t", n = 4, k = 3, m = 32)
+      val flagged = Contamination
+        .bloomContaminatedIds(docs, "id", "t", bits, n = 4, k = 3, m = 32)
+        .select("id").as[Long].collect().toSet
+      assert(exact.subsetOf(flagged), s"false negative: $exact vs $flagged")
+    }
+  }
+
+  test("zorderKey is a bijection on the bits-bounded grid") {
+    import graft.operators.Layout
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L))), n = 6) { pts =>
+      val df = pts.distinct.toDF("a", "b")
+      val keys = df.select(col("a"), col("b"),
+          Layout.zorderKey(col("a"), col("b"), bits = 8).as("z"))
+        .as[(Long, Long, Long)].collect()
+      // injective: distinct points -> distinct keys; invertible by
+      // de-interleaving the bits
+      assert(keys.map(_._3).distinct.length == keys.length)
+      keys.foreach { case (a, b, z) =>
+        val ra = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val rb = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        assert(ra == a && rb == b, s"($a,$b) -> $z -> ($ra,$rb)")
+      }
+    }
+  }
+
+  test("count-min estimates dominate exact counts for ANY multiset") {
+    import graft.operators.Sketches
+    val item = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString) // tiny alphabet -> collisions
+    forAll(Gen.listOfN(60, item), n = 6) { items =>
+      val df = items.toDF("item")
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val est = Sketches.countMinEstimate(
+          Sketches.countMinSketch(df, col("item"), depth = 3, width = 8L),
+          df.distinct(), depth = 3, width = 8L)
+        .as[(String, Long)].collect().toMap
+      assert(exact.forall { case (k, v) => est(k) >= v },
+        s"undercount: $exact vs $est")
+    }
+  }
 }
