@@ -1138,7 +1138,15 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       graft.operators.Retrieval.sparseTfIdfTopK(
         docs, "doc_id", "text", docs.filter(col("doc_id") < 3), k = 5)
-    }))
+    }),
+    "q131_cube" -> ((s, d) =>
+      // full grouping-sets lattice (cube = rollup q126 plus the
+      // lang-only marginal); native Expand, one aggregation
+      t(s, d, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          (grouping(col("source")) * 2 + grouping(col("lang"))).cast(LongType).as("gid"))))
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -1842,7 +1850,11 @@ sc AS (SELECT q.query_id, tf.doc_id,
   WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id)
 SELECT query_id, doc_id, score, shared_terms, CAST(rank AS INTEGER) AS rank FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
-WHERE rank <= 5""")
+WHERE rank <= 5""",
+    "q131_cube" ->
+      """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+FROM documents GROUP BY CUBE (source, lang)""")
 
   /** DuckDB replay of [[graft.operators.Sampling.portableHash60]] — folds the
     * first 15 hex digits of md5(col) into a 60-bit BIGINT (digit 1 most
