@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-experiment data generator: replicate an existing sf directory
+  * `copies`× with key-space offsets so every join key still matches within
+  * its copy — a 10× upscale of sf0.1 approximates sf1 for measuring the
+  * 0.1→1.0 decade (SCALING.md). Facts and their dimensions shift together
+  * (orderkey/custkey/partkey/suppkey strides from each table's max), text
+  * gets a per-copy suffix and embeddings a tiny deterministic perturbation
+  * so near-dup/ANN queries don't degenerate into pure planted-copy mode.
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [copies=10]
+  * Output stays under the repo (target/) — /root/testdata is read-only.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "target/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def stride(df: DataFrame, idCol: String): Long =
+      df.agg(max(col(idCol))).head().getLong(0) + 1
+
+    // copy index column: explode a literal range, then shift keys per copy
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+      val base = df.withColumn("__c",
+        explode(array((0 until copies).map(i => lit(i.toLong)): _*)))
+      shifts.foldLeft(base) { case (d, (c, s)) =>
+        d.withColumn(c, col(c) + col("__c") * s)
+      }.drop("__c")
+    }
+
+    val orders = read("orders"); val lineitem = read("lineitem")
+    val customer = read("customer"); val part = read("part")
+    val supplier = read("supplier"); val events = read("events")
+    val documents = read("documents"); val embeddings = read("embeddings")
+
+    val oS = stride(orders, "o_orderkey"); val cS = stride(customer, "c_custkey")
+    val pS = stride(part, "p_partkey"); val sS = stride(supplier, "s_suppkey")
+
+    new java.io.File(out).mkdirs()
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // region/nation are true dimensions — unchanged at any sf
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(replicate(customer, Map("c_custkey" -> cS)), "customer")
+    write(replicate(part, Map("p_partkey" -> pS)), "part")
+    write(replicate(supplier, Map("s_suppkey" -> sS)), "supplier")
+    write(replicate(orders, Map("o_orderkey" -> oS, "o_custkey" -> cS)), "orders")
+    write(replicate(lineitem, Map(
+      "l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS)), "lineitem")
+    write(replicate(events, Map(
+        "event_id" -> stride(events, "event_id"),
+        "user_id" -> stride(events, "user_id"))), "events")
+    // per-copy text suffix: copies are NEAR-dups (high jaccard), not exact,
+    // so dedup pipelines keep realistic candidate distributions
+    write(replicate(documents, Map("doc_id" -> stride(documents, "doc_id")))
+      .withColumn("text",
+        when(col("doc_id") >= stride(documents, "doc_id"),
+          concat(col("text"), lit(" v"), (col("doc_id") % copies).cast("string")))
+          .otherwise(col("text"))), "documents")
+    // deterministic tiny perturbation keyed on (vec_id, position): copies
+    // are near-neighbors of their originals, not bit-identical
+    write(replicate(embeddings, Map("vec_id" -> stride(embeddings, "vec_id")))
+      .withColumn("embedding",
+        transform(col("embedding"),
+          (x, i) => (x + (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3))
+            .cast("float") / lit(1000.0f)).cast("float"))), "embeddings")
+
+    println(s"""{"generated":"$out","copies":$copies,"lineitem_rows":${
+      spark.read.parquet(s"$out/lineitem.parquet").count()}}""")
+    spark.stop()
+  }
+}

@@ -314,9 +314,12 @@ object TextFunctions {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val t = coalesce(col(textCol), lit(""))
     val hashCnt = length(t) - length(regexp_replace(t, "#", ""))
+    // symbol ellipses: ASCII "..." (3 chars each) plus the Unicode '…'
+    // (1 char each) — matching the ellipsis_lines regex, which accepts both
     val ellCnt = ((length(t) -
       length(regexp_replace(t, "\\.\\.\\.", ""))).cast(DoubleType) / 3.0)
-      .cast("long")
+      .cast("long") +
+      (length(t) - length(regexp_replace(t, "…", "")))
     df.withColumn("__toks", tokens(t))
       .withColumn("__lines", filter(split(t, "\n"), l => length(trim(l)) > 0))
       .withColumn("n_words", size(col("__toks")).cast("long"))

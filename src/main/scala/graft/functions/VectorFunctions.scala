@@ -156,30 +156,63 @@ object VectorFunctions {
              vecCol: String, k: Int, dim: Int, m: Int = 8,
              centroidEvery: Int = 50, rounds: Int = 1,
              quantScale: Double = 256.0, rescoreFactor: Int = 4): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val book = pqTrain(corpus, idCol, vecCol, dim, m, centroidEvery, rounds, quantScale)
+    pqTopKWith(corpus, queries, book, idCol, vecCol, k, dim, m, quantScale, rescoreFactor)
+  }
+
+  /** L2 over two integer arrays (exact — long accumulation). */
+  private def intL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (idAs, sub, sv): integer-quantized subvectors of (idCol, vecCol). */
+  private def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
+                           idAs: String, dim: Int, m: Int,
+                           quantScale: Double): DataFrame = {
     val dsub = dim / m
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    // (idAs, sub, sv): integer-quantized subvectors
-    def subs(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-          transform(col(vecCol),
-            x => floor(x.cast("double") * quantScale + 0.5).cast("long")).as("__iv"))
-        .select(col(idAs), explode(transform(sequence(lit(0), lit(m - 1)),
-          i => struct(i.cast("long").as("sub"),
-            slice(col("__iv"), i * dsub + 1, lit(dsub)).as("sv")))).as("p"))
-        .select(col(idAs), col("p.sub").as("sub"), col("p.sv").as("sv"))
-    // fail fast on an id space with no seed multiples (hashed/offset ids):
-    // an empty codebook would silently inner-join everything away
-    require(corpus.filter(col(idCol) % centroidEvery === 0).limit(1).count() > 0,
-      s"pqTopK: no corpus id is a multiple of centroidEvery=$centroidEvery — no codebook seeds")
-    val csub = subs(corpus, "id")
+    df.select(col(idCol).as(idAs),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * quantScale + 0.5).cast("long")).as("__iv"))
+      .select(col(idAs), explode(transform(sequence(lit(0), lit(m - 1)),
+        i => struct(i.cast("long").as("sub"),
+          slice(col("__iv"), i * dsub + 1, lit(dsub)).as("sv")))).as("p"))
+      .select(col(idAs), col("p.sub").as("sub"), col("p.sv").as("sv"))
+  }
+
+  /** Broadcast-join `subs` against the codebook and raise at RUNTIME if a
+    * subspace has no centroids (empty codebook — e.g. an id space with no
+    * centroidEvery multiples). A left join + per-row raise_error costs no
+    * extra job or scan, unlike an eager composition-time count: the check
+    * rides inside the action that needs the codebook anyway.
+    */
+  private def joinBookGuarded(subs: DataFrame, book: DataFrame,
+                              what: String): DataFrame =
+    subs.join(broadcast(book), Seq("sub"), "left")
+      .withColumn("cv",
+        when(col("cv").isNull, raise_error(concat(
+          lit(s"$what: empty PQ codebook for subspace "), col("sub"),
+          lit(" — train with pqTrain on an id space containing centroidEvery multiples"))))
+          .otherwise(col("cv")))
+
+  /** Train PQ codebooks offline: (sub, cid, cv) — m subspaces, one row per
+    * (subspace, centroid), centroid vectors of dim/m longs. Seeds are the
+    * corpus vectors with id ≡ 0 (mod centroidEvery), refined by `rounds`
+    * Lloyd iterations with floor-mean integer updates (order-independent —
+    * oracle-replayable). Train ONCE per corpus release, persist the (tiny)
+    * result, and serve any number of queries through `pqTopKWith` — at
+    * production scale the training cost must not ride inside every query
+    * (the round-5 q128 bench tail).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, centroidEvery: Int = 50,
+              rounds: Int = 1, quantScale: Double = 256.0): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
     def assign(book: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("id"), col("sub"))
         .orderBy(col("__d2").asc, col("cid").asc)
-      csub.join(broadcast(book), Seq("sub"))
-        .withColumn("__d2", l2(col("sv"), col("cv")))
+      joinBookGuarded(csub, book, "pqTrain")
+        .withColumn("__d2", intL2(col("sv"), col("cv")))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("id"), col("sub"), col("cid"), col("sv"))
@@ -198,7 +231,31 @@ object VectorFunctions {
           p => p.getField("mc")).as("cv"))
       assigned = assign(book)
     }
-    val codes = assigned.select(col("id"), col("sub"), col("cid"))
+    book
+  }
+
+  /** Serve PQ top-k with PRE-TRAINED codebooks (the production entry point;
+    * `pqTopK` = pqTrain + this). Encodes the corpus against `codebooks`
+    * ((sub, cid, cv) from `pqTrain` — pass it persisted), builds the
+    * per-query ADC distance table, aggregates, and optionally refines.
+    */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+                 idCol: String, vecCol: String, k: Int, dim: Int, m: Int = 8,
+                 quantScale: Double = 256.0, rescoreFactor: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    def l2(a: Column, b: Column): Column = intL2(a, b)
+    def subs(df: DataFrame, idAs: String): DataFrame =
+      pqSubvectors(df, idCol, vecCol, idAs, dim, m, quantScale)
+    val csub = subs(corpus, "id")
+    val book = codebooks
+    // encode: nearest centroid per (corpus row, subspace)
+    val wEnc = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("__d2").asc, col("cid").asc)
+    val codes = joinBookGuarded(csub, book, "pqTopKWith")
+      .withColumn("__d2", l2(col("sv"), col("cv")))
+      .withColumn("__rn", row_number().over(wEnc))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("sub"), col("cid"))
     val table = subs(queries, "query_id")
       .join(broadcast(book), Seq("sub"))
       .withColumn("__d2", l2(col("sv"), col("cv")))

@@ -85,6 +85,11 @@ object Importance {
   private def weightTable(raw: DataFrame, target: DataFrame, textCol: String,
                           targetTextCol: String, buckets: Int)
       : (DataFrame, Long, Long) = {
+    // The bounded-collect contract is only bounded if `buckets` is: cap it
+    // so a caller can't turn the weight-table collect into a driver OOM
+    // (2^20 buckets = ~24 MB of rows, already far past DSIR's useful range).
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20] (driver-collected weight table), got $buckets")
     val q = bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "qcnt")
     val p = bucketCounts(target, targetTextCol, buckets).withColumnRenamed("cnt", "pcnt")
     val w = q.join(p, Seq("bucket"), "full_outer")
@@ -145,9 +150,18 @@ object Importance {
     * materializes.
     */
   def resampleTop(scored: DataFrame, idCol: String, scoreCol: String,
-                  keepPct: Int): DataFrame = {
+                  keepPct: Int, totalRows: Long = -1L): DataFrame = {
     require(keepPct > 0 && keepPct <= 100, s"keepPct in (0,100], got $keepPct")
-    val n = scored.count()
+    // Sizing the keep slice needs the row count, and the top-k pass needs the
+    // rows — without a persist the whole scoring pipeline (two corpus
+    // aggregations + driver collect when fed straight from a scorer) would
+    // execute twice. Callers that already know the count pass `totalRows`
+    // and skip both the persist and the counting job; the persist is left in
+    // place deliberately so the top-k job reuses it (unpersist when done).
+    val src =
+      if (totalRows >= 0) scored
+      else scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = if (totalRows >= 0) totalRows else src.count()
     val keep = (n * keepPct + 99) / 100
     // limit() is Int-bounded by design (top-k materializes on one node);
     // fail fast instead of letting .toInt wrap negative on corpus-scale
@@ -155,6 +169,6 @@ object Importance {
     // approx quantile) or hashSplit, which stay fully distributed
     require(keep <= Int.MaxValue,
       s"resampleTop keep=$keep exceeds limit()'s Int bound; use a score-threshold filter at this scale")
-    scored.orderBy(col(scoreCol).desc, col(idCol).asc).limit(keep.toInt)
+    src.orderBy(col(scoreCol).desc, col(idCol).asc).limit(keep.toInt)
   }
 }

@@ -6,11 +6,13 @@ package graft.operators
   *
   *  - image DIMENSIONS from PNG/GIF/BMP/JPEG headers (no pixel decode needed);
   *  - full pixel decode + nearest-neighbor RESIZE for uncompressed 24-bit BMP;
+  *  - full PNG pixel decode (zlib IDAT inflate via java.util.zip + all five
+  *    scanline filters, gray/RGB/palette/alpha at bit depth 8);
   *  - PCM WAV: sample rate / channels / duration + an 8-segment RMS envelope
   *    (a real audio feature, not a hash);
   *  - MP4: frame count of the video track from the `stts` box sums.
   *
-  * Compressed pixel/sample data (JPEG entropy decode, MP3 frames, H.264)
+  * Entropy-coded pixel/sample data (JPEG huffman decode, MP3 frames, H.264)
   * still falls back to `Multimodal.decodeStub` — that boundary is the honest
   * stub; everything here is exercised against hand-built fixtures.
   */
@@ -139,6 +141,132 @@ object MediaCodecs {
         y += 1
       }
       out
+    }
+
+  // ------------------------------------------------------------------
+  // PNG: full pixel decode (deflate is in the JDK — no codec library)
+  // ------------------------------------------------------------------
+
+  /** Decode a non-interlaced bit-depth-8 PNG (color types 0 gray, 2 RGB,
+    * 3 palette, 4 gray+alpha, 6 RGBA) to (width, height, top-down row-major
+    * RGB triplets): concatenate IDAT chunks, inflate (java.util.zip), undo
+    * the per-scanline filter (None/Sub/Up/Average/Paeth — RFC 2083 §6), and
+    * expand samples to RGB (alpha dropped — features below are luminance).
+    * Interlaced, 1/2/4/16-bit, or malformed input → None (dims still come
+    * from `imageDims`; feature falls back to the stub).
+    */
+  def pngDecode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!(b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+      return None
+    var i = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1; var interlace = 0
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= b.length) {
+      val len = be32(b, i)
+      if (len < 0 || i + 12 + len > b.length) { i = b.length } // truncated: stop
+      else {
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        typ match {
+          case "IHDR" if len >= 13 =>
+            w = be32(b, i + 8); h = be32(b, i + 12)
+            bitDepth = b(i + 16) & 0xFF; colorType = b(i + 17) & 0xFF
+            interlace = b(i + 20) & 0xFF
+          case "PLTE" => palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+          case "IDAT" => idat.write(b, i + 8, len)
+          case _ => ()
+        }
+        i += 12 + len                                        // len + type + payload + crc
+      }
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (colorType == 3 && palette == null) return None
+    val stride = w * channels
+    // guard against dimension bombs before allocating (64 MP cap ≈ 192 MB
+    // RGB — one task's worth, not a corrupted-header multi-GB allocation)
+    if (w.toLong * h > 64L * 1024 * 1024) return None
+    val raw = new Array[Byte]((stride + 1) * h)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          inf.end(); return None                             // truncated stream
+        }
+        off += n
+      }
+      inf.end()
+      if (off < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    // defilter in place into the reconstructed sample plane
+    val px = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xFF
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val v = raw(rowIn + x) & 0xFF
+        val a = if (x >= channels) px(rowOut + x - channels) & 0xFF else 0
+        val up = if (y > 0) px(rowOut - stride + x) & 0xFF else 0
+        val c = if (x >= channels && y > 0) px(rowOut - stride + x - channels) & 0xFF else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + up
+          case 3 => v + ((a + up) >> 1)
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None                              // invalid filter id
+        }
+        px(rowOut + x) = (recon & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // expand to RGB
+    val rgb = new Array[Byte](w * h * 3)
+    var s = 0; var d = 0
+    while (s < px.length) {
+      colorType match {
+        case 0 | 4 =>                                        // gray (+alpha)
+          val g = px(s); rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+        case 2 | 6 =>                                        // RGB(+alpha)
+          rgb(d) = px(s); rgb(d + 1) = px(s + 1); rgb(d + 2) = px(s + 2)
+        case 3 =>                                            // palette index
+          val pi = (px(s) & 0xFF) * 3
+          if (pi + 2 >= palette.length) return None
+          rgb(d) = palette(pi); rgb(d + 1) = palette(pi + 1); rgb(d + 2) = palette(pi + 2)
+      }
+      s += channels; d += 3
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Normalized 8-bin luminance histogram from REAL PNG pixels — same
+    * feature contract as `bmpLuminanceHistogram`.
+    */
+  def pngLuminanceHistogram(b: Array[Byte]): Option[Array[Float]] =
+    pngDecode(b).map { case (w, h, rgb) =>
+      val bins = new Array[Float](8)
+      var o = 0
+      while (o < rgb.length) {
+        val lum = ((rgb(o) & 0xFF) * 299 + (rgb(o + 1) & 0xFF) * 587 + (rgb(o + 2) & 0xFF) * 114) / 1000
+        bins(math.min(lum >> 5, 7)) += 1f
+        o += 3
+      }
+      val n = (w * h).toFloat
+      if (n > 0) { var i = 0; while (i < 8) { bins(i) /= n; i += 1 } }
+      bins
     }
 
   // ------------------------------------------------------------------

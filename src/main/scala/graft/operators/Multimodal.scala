@@ -70,15 +70,17 @@ object Multimodal {
   }
 
   /** Decode one blob: REAL parsing where no codec library is needed
-    * (PNG/GIF/BMP/JPEG header dims, BMP pixel histograms, PCM WAV info +
-    * RMS envelope, MP4 stts frame count — see MediaCodecs), deterministic
-    * stub otherwise.
+    * (PNG/GIF/BMP/JPEG header dims, full BMP and PNG pixel histograms,
+    * PCM WAV info + RMS envelope, MP4 stts frame count — see MediaCodecs),
+    * deterministic stub otherwise (the remaining stub surface is
+    * entropy-coded media: JPEG pixel data, MP3, H.264).
     */
   def decodeOne(path: String, mediaType: String, content: Array[Byte]): Row = mediaType match {
     case "image" =>
       MediaCodecs.imageDims(content) match {
         case Some((w, h)) =>
           val feat = MediaCodecs.bmpLuminanceHistogram(content)
+            .orElse(MediaCodecs.pngLuminanceHistogram(content))
             .map(_.toSeq)
             .getOrElse(decodeStub(path, mediaType, content).getAs[Seq[Float]](7))
           Row(path, mediaType, w, h, 1, 0, 0L, feat)

@@ -291,19 +291,41 @@ object NearDedup {
     * jaccard = 0 and can never pass a positive threshold, so requiring
     * `threshold > 0` keeps the result identical to all-pairs.
     * The worst case is a shingle shared by k docs contributing k²/2 pair
-    * rows (the classic hot-token blowup) — the size-ratio prune
-    * (jaccard <= min/max of the set sizes) is applied before the aggregate
-    * to cut non-qualifying pairs early; at 100 TB the LSH paths are the
-    * route and this remains the audit baseline.
+    * rows (the classic hot-token blowup) — two defenses: the size-ratio
+    * prune (jaccard <= min/max of the set sizes) cuts non-qualifying pairs
+    * before the aggregate, and shingles whose document frequency exceeds
+    * `maxDf` (boilerplate present in "every" document — the degenerate
+    * quadratic key) are pruned BEFORE the self-join by a count-only
+    * aggregate + broadcast anti-join, the same guard family as
+    * `bucketedCandidates` and Retrieval's posting cap. A dropped shingle
+    * can only UNDERCOUNT an intersection (|A∪B| still uses the full set
+    * sizes), so the cap never invents a pair — it can only miss pairs whose
+    * entire overlap is corpus-wide boilerplate, which are exactly the pairs
+    * near-dup detection should not fire on. Dropped volume is observable
+    * (`jaccard_dropped_shingles_*`). maxDf <= 0 disables the cap for
+    * exact-audit runs; at 100 TB the LSH paths are the route and this
+    * remains the audit baseline.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        maxDf: Int = 1000): DataFrame = {
     require(threshold > 0.0,
       "ngramJaccardPairs requires threshold > 0 (zero-overlap pairs are never produced)")
     val sh = df.select(col(idCol).as("id"),
       graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-    val tok = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val allTok = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val tok = if (maxDf <= 0) allTok else {
+      // Shingle sets are distinct per doc (ShinglesExpr emits a set), so a
+      // plain count per shingle IS its document frequency — no
+      // count_distinct shuffle needed.
+      val dfCounts = allTok.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .observe(s"jaccard_dropped_shingles_${dropSeq.incrementAndGet()}",
+          sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_shingles"),
+          sum(when(col("df") > maxDf, col("df")).otherwise(lit(0L))).as("dropped_occurrences"))
+      val hot = dfCounts.filter(col("df") > maxDf).select(col("s"))
+      allTok.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     val a = tok.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
     val b = tok.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))

@@ -14,13 +14,18 @@ object Skew {
     * key. Correct for DISTRIBUTIVE aggregates (sum/count/min/max): pass the
     * partial expression and the matching merge expression.
     *
+    * The salt is a deterministic row hash (xxhash64 over all input columns),
+    * not rand(): partial-stage row placement is then identical across task
+    * retries and reruns — the same reproducibility argument saltedJoin
+    * documents — while spreading a hot key just as evenly.
+    *
     * Example: sum → partial sum(x), merge sum(partial).
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       partials: Seq[(String, Column)],
                       merges: Seq[(String, String => Column)]): DataFrame = {
     val salted = df.withColumn("__salt",
-      (rand(42) * saltBuckets).cast("int"))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int"))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._2.as(partials.head._1),
         partials.tail.map { case (n, c) => c.as(n) }: _*)

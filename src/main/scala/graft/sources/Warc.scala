@@ -116,9 +116,13 @@ object Warc {
     // the text sink on the first bad row; empty payload/uri is the
     // faithful WET rendering of a null field
     val text = coalesce(col(textCol), lit(""))
+    // a CR/LF inside the URI value would terminate the header line early and
+    // desynchronize Content-Length framing for the whole member — strip them
+    // (the payload is safe: it is framed by Content-Length, not by markers)
+    val uri = regexp_replace(coalesce(col(uriCol), lit("")), "[\\r\\n]", "")
     df.select(concat(
         lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
-        coalesce(col(uriCol), lit("")),
+        uri,
         lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
         octet_length(text).cast("string"),
         lit("\r\n\r\n"),

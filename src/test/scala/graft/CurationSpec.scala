@@ -381,4 +381,19 @@ class CurationSpec extends SparkSpec {
     assert(back.map(_._4) == Seq("plain ascii text", "héllo wörld ☃", tricky))
     assert(back.map(_._3) == back.map(_._4.getBytes(UTF_8).length.toLong))
   }
+
+  test("WET sink strips CR/LF from URIs so headers can't desynchronize") {
+    // a hostile URI containing \r\n\r\n would otherwise end the header
+    // block early and corrupt Content-Length framing for the whole member
+    val docs = Seq(
+      ("https://evil.local/a\r\nContent-Length: 9999\r\n\r\nfake", "payload one"),
+      ("https://ok.local/b", "payload two")).toDF("uri", "text")
+    val dir = tmp("wet_crlf")
+    Warc.writeWet(docs, "uri", "text", dir)
+    val back = Warc.readWet(spark, dir)
+      .select($"target_uri", $"payload").orderBy("payload")
+      .as[(String, String)].collect().toSeq
+    assert(back.map(_._2) == Seq("payload one", "payload two"))
+    assert(back.head._1 == "https://evil.local/aContent-Length: 9999fake")
+  }
 }

@@ -119,6 +119,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
   }
 
+  test("jaccard hot-shingle df cap kills the boilerplate quadratic key") {
+    // 60 docs share ONLY a boilerplate bigram (each otherwise unique):
+    // uncapped, every pair qualifies at threshold 0.3 (jaccard 1/3) —
+    // the k²/2 blowup. A df cap below 60 prunes the boilerplate shingle
+    // before the self-join, so those pairs never materialize; a genuine
+    // dup pair (df=2 shingles, under the cap) is still found.
+    val boiler = (1L to 60L).map(i => (i, s"boiler plate u$i"))
+    val dups = Seq((100L, "alpha beta gamma delta"), (101L, "alpha beta gamma delta"))
+    val corpus2 = (boiler ++ dups).toDF("id", "text")
+    val uncapped = NearDedup.ngramJaccardPairs(corpus2, "id", "text",
+      shingleSize = 2, threshold = 0.3, maxDf = 0)
+    assert(uncapped.count() == 60L * 59 / 2 + 1)
+    val capped = NearDedup.ngramJaccardPairs(corpus2, "id", "text",
+      shingleSize = 2, threshold = 0.3, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // default cap (1000) must not fire on small corpora: q46's slice stays
+    // bit-identical to its all-pairs oracle
+    val default = NearDedup.ngramJaccardPairs(corpus2, "id", "text",
+      shingleSize = 2, threshold = 0.3)
+    assert(default.count() == 60L * 59 / 2 + 1)
+  }
+
   test("LSH bucket cap drops degenerate buckets") {
     // 50 identical docs -> one giant bucket; cap 10 means no pairs survive.
     val many = (1L to 50L).map(i => (i, "same same same same")).toDF("id", "text")

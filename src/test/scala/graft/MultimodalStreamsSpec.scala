@@ -132,6 +132,99 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(math.abs(smallHist(0) - 0.5f) < 1e-6 && math.abs(smallHist(7) - 0.5f) < 1e-6)
   }
 
+  /** Encode a PNG at bit depth 8 for the given color type, one scanline
+    * filter per row (cycling None/Sub/Up/Average/Paeth) so decode must
+    * invert all five. `px(x)(y)` gives per-channel samples.
+    */
+  private def makePng(w: Int, h: Int, colorType: Int,
+                      palette: Array[Byte])(px: (Int, Int) => Array[Int]): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
+    val stride = w * channels
+    def sample(x: Int, y: Int, ch: Int): Int =
+      if (x < 0 || y < 0) 0 else px(x, y)(ch)
+    def paeth(a: Int, up: Int, c: Int): Int = {
+      val p = a + up - c
+      val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+    }
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      for (i <- 0 until stride) {
+        val x = i / channels; val ch = i % channels
+        val g = sample(x, y, ch)
+        val a = sample(x - 1, y, ch)
+        val up = sample(x, y - 1, ch)
+        val c = sample(x - 1, y - 1, ch)
+        val v = f match {
+          case 0 => g
+          case 1 => g - a
+          case 2 => g - up
+          case 3 => g - ((a + up) >> 1)
+          case 4 => g - paeth(a, up, c)
+        }
+        raw(y * (stride + 1) + 1 + i) = (v & 0xFF).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(payload)
+      be32(payload.length) ++ tb ++ payload ++ be32(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    val plte = if (palette == null) Array.empty[Byte] else chunk("PLTE", palette)
+    sig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", zout.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("png pixel decode is real: inflate + all five filters, gray/RGB/palette/RGBA") {
+    import graft.operators.MediaCodecs
+    // grayscale: left half black, right half white; rows cycle all filters
+    val gray = makePng(8, 10, 0, null)((x, _) => Array(if (x < 4) 0 else 255))
+    val (gw, gh, grgb) = MediaCodecs.pngDecode(gray).get
+    assert(gw == 8 && gh == 10)
+    val gh0 = MediaCodecs.pngLuminanceHistogram(gray).get
+    assert(math.abs(gh0(0) - 0.5f) < 1e-6 && math.abs(gh0(7) - 0.5f) < 1e-6)
+    assert(grgb(0) == 0 && (grgb(3 * 7) & 0xFF) == 255) // first black, row-end white
+    // RGB with a gradient (exercises Sub/Average/Paeth on non-trivial deltas)
+    val rgb = makePng(6, 6, 2, null)((x, y) => Array(40 * x, 30 * y, 17 * (x + y)))
+    val (_, _, rpix) = MediaCodecs.pngDecode(rgb).get
+    for (y <- 0 until 6; x <- 0 until 6) {
+      val o = (y * 6 + x) * 3
+      assert((rpix(o) & 0xFF) == 40 * x && (rpix(o + 1) & 0xFF) == 30 * y &&
+        (rpix(o + 2) & 0xFF) == 17 * (x + y), s"pixel ($x,$y)")
+    }
+    // palette: index 0 -> red, 1 -> blue
+    val pal = Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val idx = makePng(4, 4, 3, pal)((x, _) => Array(if (x < 2) 0 else 1))
+    val (_, _, ppix) = MediaCodecs.pngDecode(idx).get
+    assert((ppix(0) & 0xFF) == 255 && (ppix(2) & 0xFF) == 0)        // red
+    assert((ppix(3 * 3) & 0xFF) == 0 && (ppix(3 * 3 + 2) & 0xFF) == 255) // blue
+    // RGBA: alpha dropped, color kept
+    val rgba = makePng(4, 4, 6, null)((x, y) => Array(10 * x, 20 * y, 30, 128))
+    val (_, _, apix) = MediaCodecs.pngDecode(rgba).get
+    // pixel (3,0): r=10*3=30, g=0, b=30 — alpha (128) dropped
+    assert((apix(9) & 0xFF) == 30 && (apix(10) & 0xFF) == 0 && (apix(11) & 0xFF) == 30)
+    // malformed: truncated IDAT must return None, not throw
+    val trunc = gray.dropRight(20)
+    assert(MediaCodecs.pngDecode(trunc).isEmpty)
+    // interlaced flag rejected (IHDR payload byte 12, abs offset 8+8+12)
+    val inter = gray.clone()
+    inter(28) = 1
+    assert(MediaCodecs.pngDecode(inter).isEmpty)
+  }
+
   test("decode stage uses real parsers per media type; resizeImages end-to-end") {
     val dir = tmp("media_real")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bmp"),

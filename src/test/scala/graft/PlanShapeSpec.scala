@@ -16,10 +16,13 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
-  test("q46 exact jaccard plans no cartesian / nested-loop join") {
+  test("q46 exact jaccard plans no cartesian / nested-loop join, df cap present") {
     val p = planOf("q46_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+    // the hot-shingle df guard: boilerplate shingles are anti-joined away
+    // (broadcast) BEFORE the quadratic self-join can see them
+    assert(p.contains("LeftAnti"), s"no df-cap anti-join in:\n$p")
   }
 
   test("q14 top-k plans TakeOrderedAndProject, not a global sort") {

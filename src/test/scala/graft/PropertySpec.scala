@@ -249,4 +249,21 @@ class PropertySpec extends SparkSpec {
         s"undercount: $exact vs $est")
     }
   }
+
+  test("saltedAggregate equals plain groupBy and is rerun-identical (hash salt)") {
+    import graft.operators.Skew
+    val kv = Gen.listOfN(80, Gen.zip(Gen.oneOf("hot", "a", "b"), Gen.choose(0L, 1000L)))
+    forAll(kv, n = 6) { pairs =>
+      val df = pairs.toDF("k", "v")
+      def run() = Skew.saltedSumCount(df, Seq("k"), col("v"), saltBuckets = 4)
+        .as[(String, Long, Long)].collect().toSet
+      val salted = run()
+      // deterministic salt (xxhash64, not rand): re-running the same plan
+      // yields the same result AND the same partial-stage placement
+      assert(run() == salted)
+      val plain = df.groupBy("k").agg(sum(col("v")).as("sum"), count(lit(1)).as("cnt"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(salted == plain, s"salted $salted != plain $plain")
+    }
+  }
 }

@@ -160,6 +160,31 @@ class RecallSpec extends SparkSpec {
     assert(got.forall(_._3 == 0L))
   }
 
+  test("pqTrain + pqTopKWith (train-once API) equals in-query pqTopK") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val book = VectorFunctions.pqTrain(emb, "vec_id", "embedding", dim = 64)
+    // the codebook is tiny and reusable — the production path persists it
+    val split = VectorFunctions.pqTopKWith(emb, queries, book,
+        "vec_id", "embedding", k = 5, dim = 64)
+      .select("query_id", "neighbor_id", "d2", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val fused = VectorFunctions.pqTopK(emb, queries,
+        "vec_id", "embedding", k = 5, dim = 64)
+      .select("query_id", "neighbor_id", "d2", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(split == fused, "split train/serve API diverged from fused pqTopK")
+    // empty codebook (id space with no centroidEvery multiples) fails at
+    // RUNTIME with a diagnostic, not silently-empty results
+    val offset = emb.select((col("vec_id") * 2 + 1).as("vec_id"), col("embedding"))
+    val err = intercept[Exception] {
+      VectorFunctions.pqTopK(offset, queries, "vec_id", "embedding",
+        k = 5, dim = 64).count()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(err).contains("codebook"), s"unexpected error: ${chain(err)}")
+  }
+
   test("semDedup drops every planted copy, keeps all originals, and is deterministic") {
     val copies = emb.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 10001L).as("vec_id"), col("embedding"))
