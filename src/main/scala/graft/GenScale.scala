@@ -51,8 +51,13 @@ object GenScale {
     val pS = stride(part, "p_partkey"); val sS = stride(supplier, "s_suppkey")
 
     new java.io.File(out).mkdirs()
+    // A real `copies`× dataset has ~`copies`× the files: round-robin into
+    // `copies` output files so scan parallelism grows with the data (the
+    // driver's sf dirs are one file per table — leaving the upscale as one
+    // file would single-thread every scan and measure the LAYOUT, not the
+    // plans, across the decade).
     def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      df.repartition(copies).write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     // region/nation are true dimensions — unchanged at any sf
     write(read("region"), "region")

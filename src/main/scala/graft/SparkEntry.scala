@@ -97,6 +97,65 @@ object SparkEntry {
       chunk("IEND", Array.empty[Byte])
   }
 
+  /** Grayscale 16×8 baseline JPEG (two DC-only 8×8 MCUs: left pixels 0,
+    * right pixels 128 — luminance bin 0 exactly 0.5) hand-built from ITU
+    * T.81 with a flat all-ones quant table and trivial huffman tables (DC:
+    * twelve 4-bit codes for categories 0–11; AC: a single 1-bit EOB), so
+    * the oracle row only matches if the decoder's canonical-huffman entropy
+    * decode, EXTEND sign logic, dequantization, and IDCT are all exact.
+    */
+  private def fixtureJpeg(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xFF))
+    wr(0xFF, 0xD8)                                            // SOI
+    wr(0xFF, 0xDB, 0x00, 0x43, 0x00)                          // DQT tq=0, 8-bit
+    (0 until 64).foreach(_ => wr(1))                          // flat: dequant is identity
+    wr(0xFF, 0xC0, 0x00, 0x0B, 8, 0x00, 0x08, 0x00, 0x10, 1, 1, 0x11, 0) // SOF0 h=8 w=16 gray
+    wr(0xFF, 0xC4, 0x00, 0x1F, 0x00)                          // DHT DC class0 id0
+    wr(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)      // 12 codes of length 4
+    (0 to 11).foreach(v => wr(v))                             // categories 0..11
+    wr(0xFF, 0xC4, 0x00, 0x14, 0x10)                          // DHT AC class1 id0
+    wr(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)       // one code of length 1
+    wr(0x00)                                                  // symbol 0x00 = EOB
+    wr(0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 63, 0)          // SOS
+    // MCU1: DC cat11 '1011' + (-1024 → 01111111111) + EOB '0';
+    // MCU2: DC cat11 '1011' + (+1024 → 10000000000) + EOB '0'  = 32 bits
+    wr(0xB7, 0xFE, 0xB8, 0x00)
+    wr(0xFF, 0xD9)                                            // EOI
+    out.toByteArray
+  }
+
+  /** 8×8 GIF89a, left half black / right half white (luminance bin 0
+    * exactly 0.5, like the other image fixtures), 4-entry palette, LZW
+    * stream written clear-per-pixel (a valid stream per GIF89a appendix F)
+    * so the decoder's variable-width code reader and CLEAR handling are
+    * both on the oracle path.
+    */
+  private def fixtureGif(): Array[Byte] = {
+    val w = 8; val h = 8
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ISO-8859-1"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(w); le16(h)
+    out.write(0xF1); out.write(0); out.write(0)               // GCT flag, 4 entries
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1, 127, 127, 127, 127, 127, 127))
+    out.write(0x2C); le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(2)                                              // LZW min code size
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0; var accBits = 0
+    def put(code: Int): Unit = {                              // 3-bit codes, LSB-first
+      acc |= code << accBits; accBits += 3
+      while (accBits >= 8) { bits.write(acc & 0xFF); acc >>= 8; accBits -= 8 }
+    }
+    for (x <- 0 until w * h) { put(4); put(if (x % w < 4) 0 else 1) } // CLEAR px …
+    put(5)                                                    // END
+    if (accBits > 0) bits.write(acc & 0xFF)
+    val lzw = bits.toByteArray
+    out.write(lzw.length); out.write(lzw, 0, lzw.length); out.write(0)
+    out.write(0x3B)
+    out.toByteArray
+  }
+
   private def fixtureWav(): Array[Byte] = {
     val rate = 8000; val n = 8000
     val out = new Array[Byte](44 + n * 2)
@@ -616,12 +675,16 @@ object SparkEntry {
     "q73_media_decode" -> ((s, d) => {
       // real parsers over deterministic fixtures: BMP pixels (hist bin
       // exactly 0.5), PNG pixels through inflate + all five scanline
-      // filters (hist bin exactly 0.5), PCM WAV (RMS exactly 0.5), MP4
+      // filters (hist bin exactly 0.5), baseline-JPEG pixels through the
+      // huffman+IDCT path (hist bin exactly 0.5), GIF pixels through the
+      // LZW path (hist bin exactly 0.5), PCM WAV (RMS exactly 0.5), MP4
       // stts (30 frames)
       val dir = tmpDir() + "/media_q73"
       new java.io.File(dir).mkdirs()
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bmp"), fixtureBmp())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.png"), fixturePng())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.jpg"), fixtureJpeg())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.gif"), fixtureGif())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.wav"), fixtureWav())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.mp4"), fixtureMp4())
       val media = graft.operators.Multimodal.readMedia(s, s"$dir/*")
@@ -1262,6 +1325,35 @@ object SparkEntry {
           unix_millis(col("start")).as("session_start"),
           unix_millis(col("end")).as("session_end"),
           col("events"))
+    }),
+    "q134_dedup_stream" -> ((s, d) => {
+      // batch-parity gate for STREAMING dedup: the events table replayed
+      // through a MemoryStream into Streams.dedupWithinWatermark keyed on
+      // (user_id, event_type). One micro-batch holds the whole corpus (the
+      // initial watermark is MIN, so nothing is dropped for lateness), and
+      // the surviving set is exactly the distinct key set; projecting keys
+      // only makes the output deterministic regardless of which concrete
+      // row survives per key. Oracle: plain DISTINCT. Production streams
+      // use readStream sources with the same dedupWithinWatermark call —
+      // state stays bounded by the 30-minute horizon.
+      import s.implicits._
+      val rows = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"))
+        .as[(Long, String, Long)].collect().toSeq
+        .map { case (u, e, ms) => (u, e, new java.sql.Timestamp(ms)) }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      mem.addData(rows: _*)
+      val qn = s"q134_dedup_${memSeq.incrementAndGet()}"
+      val q = graft.streaming.Streams.dedupWithinWatermark(
+          mem.toDF().toDF("user_id", "event_type", "ts"), "ts", "30 minutes",
+          Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select(col("user_id"), col("event_type"))
     }))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
@@ -1449,6 +1541,8 @@ object SparkEntry {
     "q73_media_decode" ->
       ("SELECT * FROM (VALUES " +
         "('img.bmp', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
+        "('img.gif', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
+        "('img.jpg', 'image', 16, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('img.png', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('sound.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('clip.mp4', 'video', 0, 0, 30, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) " +
@@ -1482,6 +1576,8 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT user_id, CAST(sid AS BIGINT) AS session_seq, min(t) AS session_start, " +
         "max(t) AS session_end, count(*) AS events FROM s GROUP BY user_id, sid"),
+    "q134_dedup_stream" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q133_sessionize_stream" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

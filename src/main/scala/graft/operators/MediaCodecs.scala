@@ -8,13 +8,16 @@ package graft.operators
   *  - full pixel decode + nearest-neighbor RESIZE for uncompressed 24-bit BMP;
   *  - full PNG pixel decode (zlib IDAT inflate via java.util.zip + all five
   *    scanline filters, gray/RGB/palette/alpha at bit depth 8);
+  *  - full BASELINE JPEG pixel decode (canonical huffman entropy decode,
+  *    dequantization, 8×8 IDCT, chroma upsampling, YCbCr→RGB, restart
+  *    markers — ITU T.81 sequential DCT, written from the spec);
   *  - PCM WAV: sample rate / channels / duration + an 8-segment RMS envelope
   *    (a real audio feature, not a hash);
   *  - MP4: frame count of the video track from the `stts` box sums.
   *
-  * Entropy-coded pixel/sample data (JPEG huffman decode, MP3 frames, H.264)
-  * still falls back to `Multimodal.decodeStub` — that boundary is the honest
-  * stub; everything here is exercised against hand-built fixtures.
+  * Compressed audio/video sample data (MP3 frames, H.264) still falls back
+  * to `Multimodal.decodeStub` — that boundary is the honest stub; everything
+  * here is exercised against hand-built fixtures.
   */
 object MediaCodecs {
 
@@ -252,22 +255,511 @@ object MediaCodecs {
     Some((w, h, rgb))
   }
 
+  /** Normalized 8-bin luminance histogram over a top-down RGB plane — the
+    * shared feature kernel behind the PNG/JPEG histograms.
+    */
+  private def rgbLuminanceHistogram(w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](8)
+    var o = 0
+    while (o < rgb.length) {
+      val lum = ((rgb(o) & 0xFF) * 299 + (rgb(o + 1) & 0xFF) * 587 + (rgb(o + 2) & 0xFF) * 114) / 1000
+      bins(math.min(lum >> 5, 7)) += 1f
+      o += 3
+    }
+    val n = (w * h).toFloat
+    if (n > 0) { var i = 0; while (i < 8) { bins(i) /= n; i += 1 } }
+    bins
+  }
+
   /** Normalized 8-bin luminance histogram from REAL PNG pixels — same
     * feature contract as `bmpLuminanceHistogram`.
     */
   def pngLuminanceHistogram(b: Array[Byte]): Option[Array[Float]] =
-    pngDecode(b).map { case (w, h, rgb) =>
-      val bins = new Array[Float](8)
-      var o = 0
-      while (o < rgb.length) {
-        val lum = ((rgb(o) & 0xFF) * 299 + (rgb(o + 1) & 0xFF) * 587 + (rgb(o + 2) & 0xFF) * 114) / 1000
-        bins(math.min(lum >> 5, 7)) += 1f
-        o += 3
+    pngDecode(b).map { case (w, h, rgb) => rgbLuminanceHistogram(w, h, rgb) }
+
+  // ------------------------------------------------------------------
+  // Baseline JPEG: full pixel decode (ITU T.81 sequential DCT)
+  // ------------------------------------------------------------------
+
+  /** Zigzag scan index → natural (row-major) 8×8 index, T.81 figure A.6. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Separable IDCT basis M(x)(u) = c(u)/2 · cos((2x+1)uπ/16); the 2-D IDCT
+    * is M · F · Mᵀ. 8×8×8×2 multiply-adds per block — plain and exact
+    * (conformance only requires ±1 of the reference IDCT; double-precision
+    * basis is well inside that).
+    */
+  private val IdctM: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) / 2.0 *
+      math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical huffman table decoded per T.81 F.2.2.3 (mincode/maxcode/
+    * valptr per code length).
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) maxcode(l) = -1
+        else { valptr(l) = k; mincode(l) = code; code += bits(l); k += bits(l); maxcode(l) = code - 1 }
+        code <<= 1; l += 1
       }
-      val n = (w * h).toFloat
-      if (n > 0) { var i = 0; while (i < 8) { bins(i) /= n; i += 1 } }
-      bins
     }
+    def value(l: Int, code: Int): Int = vals(valptr(l) + code - mincode(l)) & 0xFF
+  }
+
+  /** Entropy-segment bit reader: un-stuffs 0xFF00, stops (and rewinds to the
+    * 0xFF) at a real marker, pads with zeros past the end — T.81 allows the
+    * final partial byte to be padded, and the MCU loop is bounded so a
+    * truncated stream terminates rather than throws.
+    */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var cnt = 0
+    private var markerHit = false
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (markerHit || pos >= b.length) return 0
+        val v = b(pos) & 0xFF; pos += 1
+        if (v == 0xFF) {
+          val n = if (pos < b.length) b(pos) & 0xFF else -1
+          if (n == 0x00) pos += 1 // stuffed data 0xFF
+          else { pos -= 1; markerHit = true; return 0 } // real marker: stop
+        }
+        cur = v; cnt = 8
+      }
+      cnt -= 1
+      (cur >> cnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker (fill 0xFFs allowed). */
+    def syncRestart(): Boolean = {
+      cnt = 0; markerHit = false
+      while (pos + 1 < b.length &&
+        !((b(pos) & 0xFF) == 0xFF && (b(pos + 1) & 0xFF) >= 0xD0 && (b(pos + 1) & 0xFF) <= 0xD7))
+        pos += 1
+      if (pos + 1 >= b.length) false else { pos += 2; true }
+    }
+  }
+
+  private def decodeHuff(bits: JpegBits, t: HuffTable): Int = {
+    var code = bits.nextBit()
+    var l = 1
+    while (l <= 16) {
+      if (t.maxcode(l) >= 0 && code <= t.maxcode(l)) return t.value(l, code)
+      code = (code << 1) | bits.nextBit()
+      l += 1
+    }
+    -1 // no 16-bit prefix matched: corrupt table/stream
+  }
+
+  /** Sign-extend an s-bit magnitude per T.81 F.2.2.1 (EXTEND). */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline (SOF0/SOF1, huffman, single-scan) JPEG to (width,
+    * height, top-down row-major RGB): marker walk collects DQT/DHT/SOF/DRI,
+    * the SOS scan huffman-decodes interleaved MCUs (any sampling factors up
+    * to 4), dequantizes, IDCTs, upsamples chroma nearest-neighbor and
+    * converts YCbCr→RGB (JFIF/BT.601 constants). Progressive (SOF2),
+    * arithmetic, lossless, or 12-bit input → None — dims still come from
+    * `imageDims`, the feature falls back to the stub.
+    */
+  def jpegDecode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!(b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)) return None
+    val quant = Array.ofDim[Int](4, 64)
+    val quantSeen = new Array[Boolean](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var w = 0; var h = 0
+    var comps: Array[(Int, Int, Int, Int)] = null // (id, hSamp, vSamp, quantId) in SOF order
+    var restartInterval = 0
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None
+      val marker = b(i + 1) & 0xFF
+      if (marker == 0xFF) i += 1 // fill byte
+      else if (marker >= 0xD0 && marker <= 0xD7) i += 2
+      else if (marker == 0xD9) return None // EOI before any scan
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val segEnd = i + 2 + len
+        marker match {
+          case 0xDB => // DQT (one segment may carry several tables)
+            var p = i + 4
+            while (p < segEnd) {
+              val pq = (b(p) & 0xF0) >> 4; val tq = b(p) & 0x0F
+              val sz = if (pq == 1) 128 else 64
+              if (tq > 3 || pq > 1 || p + 1 + sz > segEnd) return None
+              var k = 0
+              while (k < 64) {
+                quant(tq)(k) = if (pq == 1) be16(b, p + 1 + k * 2) else b(p + 1 + k) & 0xFF
+                k += 1
+              }
+              quantSeen(tq) = true
+              p += 1 + sz
+            }
+          case 0xC4 => // DHT (one segment may carry several tables)
+            var p = i + 4
+            while (p + 17 <= segEnd) {
+              val tc = (b(p) & 0xF0) >> 4; val th = b(p) & 0x0F
+              if (tc > 1 || th > 3) return None
+              val bits = new Array[Int](17)
+              var total = 0; var l = 1
+              while (l <= 16) { bits(l) = b(p + l) & 0xFF; total += bits(l); l += 1 }
+              if (total > 256 || p + 17 + total > segEnd) return None
+              val t = new HuffTable(bits, java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total))
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              p += 17 + total
+            }
+          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended-sequential huffman
+            val nc = if (len >= 8) b(i + 9) & 0xFF else 0
+            if ((b(i + 4) & 0xFF) != 8 || (nc != 1 && nc != 3) || len < 8 + nc * 3) return None
+            h = be16(b, i + 5); w = be16(b, i + 7)
+            comps = Array.tabulate(nc) { c =>
+              val o = i + 10 + c * 3
+              (b(o) & 0xFF, (b(o + 1) & 0xF0) >> 4, b(o + 1) & 0x0F, b(o + 2) & 0xFF)
+            }
+          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // progressive / arithmetic / lossless / hierarchical
+          case 0xDD => // DRI
+            if (len < 4) return None
+            restartInterval = be16(b, i + 4)
+          case 0xDA => // SOS: decode the (single, baseline) scan and finish
+            if (comps == null) return None
+            val ns = b(i + 4) & 0xFF
+            if (ns != comps.length || len < 6 + ns * 2) return None
+            val scanTabs = (0 until ns).map { c =>
+              val o = i + 5 + c * 2
+              (b(o) & 0xFF) -> (((b(o + 1) & 0xF0) >> 4, b(o + 1) & 0x0F))
+            }.toMap
+            return decodeScan(b, segEnd, w, h, comps, quant, quantSeen,
+              dcTabs, acTabs, scanTabs, restartInterval)
+          case _ => ()
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
+  private def decodeScan(
+      b: Array[Byte], scanStart: Int, w: Int, h: Int,
+      comps: Array[(Int, Int, Int, Int)],
+      quant: Array[Array[Int]], quantSeen: Array[Boolean],
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      scanTabs: Map[Int, (Int, Int)], restartInterval: Int): Option[(Int, Int, Array[Byte])] = {
+    // same dimension-bomb guard as pngDecode: cap before allocating planes
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    if (comps.exists { case (_, hs, vs, tq) =>
+      hs < 1 || hs > 4 || vs < 1 || vs > 4 || tq > 3 || !quantSeen(tq) }) return None
+    val hmax = comps.map(_._2).max
+    val vmax = comps.map(_._3).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = comps.map { case (_, hs, _, _) => mcusX * hs * 8 }
+    val planes = comps.indices.map { c =>
+      new Array[Byte](planeW(c) * mcusY * comps(c)._3 * 8)
+    }.toArray
+    val tabs = comps.map { case (id, _, _, _) =>
+      scanTabs.getOrElse(id, return None)
+    }
+    if (tabs.exists { case (dt, at) =>
+      dt > 3 || at > 3 || dcTabs(dt) == null || acTabs(at) == null }) return None
+    val bits = new JpegBits(b, scanStart)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!bits.syncRestart()) return None
+        java.util.Arrays.fill(pred, 0) // T.81 E.2.4: predictors reset at RST
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var c = 0
+      while (c < comps.length) {
+        val (_, hs, vs, tq) = comps(c)
+        val (dt, at) = tabs(c)
+        val qt = quant(tq)
+        var by = 0
+        while (by < vs) {
+          var bx = 0
+          while (bx < hs) {
+            java.util.Arrays.fill(coef, 0)
+            val s = decodeHuff(bits, dcTabs(dt))
+            if (s < 0 || s > 15) return None
+            pred(c) += (if (s == 0) 0 else extend(bits.receive(s), s))
+            coef(0) = pred(c) * qt(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeHuff(bits, acTabs(at))
+              if (rs < 0) return None
+              val r = rs >> 4; val sz = rs & 0x0F
+              if (sz == 0) { if (r == 15) k += 16 else eob = true } // ZRL / EOB
+              else {
+                k += r
+                if (k > 63) return None
+                coef(Zigzag(k)) = extend(bits.receive(sz), sz) * qt(k)
+                k += 1
+              }
+            }
+            // IDCT: tmp(u)(x) = Σ_v F(u,v)·M(x)(v); pix(y,x) = Σ_u M(y)(u)·tmp(u)(x)
+            var u = 0
+            while (u < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0; var v = 0
+                while (v < 8) { acc += coef(u * 8 + v) * IdctM(x)(v); v += 1 }
+                tmp(u)(x) = acc; x += 1
+              }
+              u += 1
+            }
+            val px0 = (mx * hs + bx) * 8
+            val py0 = (my * vs + by) * 8
+            val pw = planeW(c)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0; var u2 = 0
+                while (u2 < 8) { acc += IdctM(y)(u2) * tmp(u2)(x); u2 += 1 }
+                planes(c)((py0 + y) * pw + (px0 + x)) =
+                  math.max(0, math.min(255, math.round(acc + 128.0).toInt)).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // upsample (nearest) + color-convert to the cropped output size
+    val rgb = new Array[Byte](w * h * 3)
+    def clamp(v: Double): Byte = math.max(0, math.min(255, math.round(v).toInt)).toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        if (comps.length == 1) {
+          val g = planes(0)((y * comps(0)._3 / vmax) * planeW(0) + x * comps(0)._2 / hmax)
+          rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+        } else {
+          def sample(c: Int): Int =
+            planes(c)((y * comps(c)._3 / vmax) * planeW(c) + x * comps(c)._2 / hmax) & 0xFF
+          val yy = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          rgb(d) = clamp(yy + 1.402 * cr)
+          rgb(d + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          rgb(d + 2) = clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Normalized 8-bin luminance histogram from REAL baseline-JPEG pixels —
+    * same feature contract as the BMP/PNG histograms.
+    */
+  def jpegLuminanceHistogram(b: Array[Byte]): Option[Array[Float]] =
+    jpegDecode(b).map { case (w, h, rgb) => rgbLuminanceHistogram(w, h, rgb) }
+
+  // ------------------------------------------------------------------
+  // GIF: full pixel decode of the first frame (LZW per GIF89a appendix F)
+  // ------------------------------------------------------------------
+
+  /** Decode a GIF87a/89a to (screenW, screenH, top-down RGB): the first
+    * image frame is LZW-decompressed (variable-width codes 3..12 bits,
+    * LSB-first, CLEAR/END handling, deferred-clear tolerant), de-interlaced
+    * if flagged, and composited onto a canvas initialized to the background
+    * color. Later animation frames are ignored — frame 1 is the still.
+    */
+  def gifDecode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return None
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > 64L * 1024 * 1024) return None
+    val packed = b(10) & 0xFF
+    val bg = b(11) & 0xFF
+    var i = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 << ((packed & 7) + 1)
+      if (i + n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, i, i + n)
+      i += n
+    }
+    val canvas = new Array[Byte](sw * sh * 3)
+    if (gct != null && bg * 3 + 2 < gct.length) {
+      var p = 0
+      while (p < canvas.length) {
+        canvas(p) = gct(bg * 3); canvas(p + 1) = gct(bg * 3 + 1); canvas(p + 2) = gct(bg * 3 + 2)
+        p += 3
+      }
+    }
+    while (i < b.length) {
+      (b(i) & 0xFF) match {
+        case 0x3B => return None // trailer before any image frame
+        case 0x21 => // extension: label, then sub-blocks until a 0 terminator
+          i += 2
+          while (i < b.length && (b(i) & 0xFF) != 0) i += 1 + (b(i) & 0xFF)
+          i += 1
+        case 0x2C => // image descriptor: decode this frame and return
+          if (i + 10 > b.length) return None
+          val fx = le16(b, i + 1); val fy = le16(b, i + 3)
+          val fw = le16(b, i + 5); val fh = le16(b, i + 7)
+          val fp = b(i + 9) & 0xFF
+          i += 10
+          var ct = gct
+          if ((fp & 0x80) != 0) {
+            val n = 3 << ((fp & 7) + 1)
+            if (i + n > b.length) return None
+            ct = java.util.Arrays.copyOfRange(b, i, i + n)
+            i += n
+          }
+          if (ct == null || fw <= 0 || fh <= 0) return None
+          if (fx + fw > sw || fy + fh > sh) return None
+          val interlaced = (fp & 0x40) != 0
+          if (i >= b.length) return None
+          val minCode = b(i) & 0xFF
+          i += 1
+          if (minCode < 1 || minCode > 11) return None
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && (b(i) & 0xFF) != 0) {
+            val n = b(i) & 0xFF
+            if (i + 1 + n > b.length) return None
+            data.write(b, i + 1, n)
+            i += 1 + n
+          }
+          val indices = gifLzw(data.toByteArray, minCode, fw * fh).getOrElse(return None)
+          // interlace passes: rows 0,8,16… / 4,12… / 2,6… / 1,3,5…
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.range(0, fh)
+            else (Array.range(0, fh, 8) ++ Array.range(4, fh, 8) ++
+              Array.range(2, fh, 4) ++ Array.range(1, fh, 2))
+          var r = 0
+          while (r < fh) {
+            val y = rowOrder(r)
+            var x = 0
+            while (x < fw) {
+              val ci = (indices(r * fw + x) & 0xFF) * 3
+              if (ci + 2 < ct.length) {
+                val d = ((fy + y) * sw + (fx + x)) * 3
+                canvas(d) = ct(ci); canvas(d + 1) = ct(ci + 1); canvas(d + 2) = ct(ci + 2)
+              }
+              x += 1
+            }
+            r += 1
+          }
+          return Some((sw, sh, canvas))
+        case _ => return None // unknown block type: bail rather than misparse
+      }
+    }
+    None
+  }
+
+  /** GIF LZW decompress to exactly `n` pixel indices (GIF89a appendix F):
+    * LSB-first variable-width codes, dictionary rebuilt on CLEAR, width
+    * grows after the dictionary fills 2^width (capped at 12 — "deferred
+    * clear" streams keep emitting 12-bit codes without growing).
+    */
+  private def gifLzw(data: Array[Byte], minCode: Int, n: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](n)
+    var outPos = 0
+    var codeSize = minCode + 1
+    var dictSize = end + 1
+    var prev = -1
+    var acc = 0; var accBits = 0; var pos = 0
+    val stack = new Array[Byte](4096)
+    def emitSeq(code: Int): Boolean = {
+      // walk the prefix chain onto a stack, then emit in order
+      var sp = 0
+      var c = code
+      while (c >= clear) { // chain bottoms out at a literal < clear
+        if (sp >= stack.length || c >= dictSize) return false
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (outPos < n) { out(outPos) = c.toByte; outPos += 1 }
+      while (sp > 0 && outPos < n) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+      true
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (outPos < n) {
+      while (accBits < codeSize) {
+        if (pos >= data.length) return if (outPos == n) Some(out) else None
+        acc |= (data(pos) & 0xFF) << accBits
+        accBits += 8; pos += 1
+      }
+      val code = acc & ((1 << codeSize) - 1)
+      acc >>>= codeSize; accBits -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1; dictSize = end + 1; prev = -1
+      } else if (code == end) {
+        return if (outPos == n) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code after clear must be literal
+        out(outPos) = code.toByte; outPos += 1
+        prev = code
+      } else {
+        if (code < dictSize) {
+          if (!emitSeq(code)) return None
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev; suffix(dictSize) = firstByte(code).toByte
+            dictSize += 1
+          }
+        } else if (code == dictSize && dictSize < 4096) { // KwK: cScSc case
+          prefix(dictSize) = prev; suffix(dictSize) = firstByte(prev).toByte
+          dictSize += 1
+          if (!emitSeq(code)) return None
+        } else return None
+        if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** Normalized 8-bin luminance histogram from REAL GIF pixels — same
+    * feature contract as the BMP/PNG/JPEG histograms.
+    */
+  def gifLuminanceHistogram(b: Array[Byte]): Option[Array[Float]] =
+    gifDecode(b).map { case (w, h, rgb) => rgbLuminanceHistogram(w, h, rgb) }
 
   // ------------------------------------------------------------------
   // PCM WAV
@@ -276,15 +768,94 @@ object MediaCodecs {
   case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
                      durationMs: Long, rmsEnvelope: Array[Float])
 
-  /** Parse a RIFF/WAVE file; for 16-bit PCM also compute an 8-segment RMS
-    * envelope (normalized to [0,1]) — a real audio feature.
+  /** 8-segment RMS envelope (normalized to [0,1]) over `n` samples given by
+    * `sample` (values already in [-1, 1]) — the shared audio feature kernel.
+    */
+  private def rmsEnvelope8(n: Int, sample: Int => Double): Array[Float] = {
+    val env = new Array[Float](8)
+    if (n > 0) {
+      val seg = math.max(n / 8, 1)
+      val sums = new Array[Double](8)
+      val counts = new Array[Int](8)
+      var s = 0
+      while (s < n) {
+        val v = sample(s)
+        val k = math.min(s / seg, 7)
+        sums(k) += v * v; counts(k) += 1
+        s += 1
+      }
+      var k = 0
+      while (k < 8) {
+        env(k) = if (counts(k) > 0) math.sqrt(sums(k) / counts(k)).toFloat else 0f
+        k += 1
+      }
+    }
+    env
+  }
+
+  // IMA/DVI ADPCM quantizer tables (IMA ADPCM reference algorithm, also in
+  // RFC 3551 §4.5.1) — an actual compressed-audio decode, no codec library.
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+    253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+    1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+    32767)
+  private val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode mono IMA ADPCM (WAV format 0x11) to 16-bit PCM: each block
+    * carries a 4-byte state header (initial predictor le16, step index,
+    * reserved), then two 4-bit samples per byte, low nibble first.
+    */
+  private[graft] def imaAdpcmDecode(b: Array[Byte], off: Int, len: Int,
+                                    blockAlign: Int, samplesPerBlock: Int): Array[Short] = {
+    val nBlocks = len / blockAlign
+    val out = new Array[Short](nBlocks * samplesPerBlock)
+    var outPos = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = off + blk * blockAlign
+      var predictor = le16(b, base).toShort.toInt
+      var index = math.max(0, math.min(88, b(base + 2) & 0xFF))
+      out(outPos) = predictor.toShort; outPos += 1
+      var produced = 1
+      var i = base + 4
+      while (i < base + blockAlign && produced < samplesPerBlock) {
+        var half = 0
+        while (half < 2 && produced < samplesPerBlock) {
+          val n = if (half == 0) b(i) & 0x0F else (b(i) >> 4) & 0x0F
+          val step = ImaStepTable(index)
+          var diff = step >> 3
+          if ((n & 1) != 0) diff += step >> 2
+          if ((n & 2) != 0) diff += step >> 1
+          if ((n & 4) != 0) diff += step
+          predictor = if ((n & 8) != 0) predictor - diff else predictor + diff
+          predictor = math.max(-32768, math.min(32767, predictor))
+          index = math.max(0, math.min(88, index + ImaIndexTable(n & 7)))
+          out(outPos) = predictor.toShort; outPos += 1
+          produced += 1
+          half += 1
+        }
+        i += 1
+      }
+      blk += 1
+    }
+    java.util.Arrays.copyOf(out, outPos)
+  }
+
+  /** Parse a RIFF/WAVE file; for 16-bit PCM and mono IMA ADPCM (format
+    * 0x11, decompressed for real — see `imaAdpcmDecode`) also compute an
+    * 8-segment RMS envelope (normalized to [0,1]) — a real audio feature.
     */
   def wavInfo(b: Array[Byte]): Option[WavInfo] = {
     def tag(i: Int, t: String): Boolean =
       i + 4 <= b.length && b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var i = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None            // audioFormat, ch, rate, bits
+    // audioFormat, ch, rate, blockAlign, bits, samplesPerBlock
+    var fmt: Option[(Int, Int, Int, Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None                     // offset, length
     var corrupt = false
     while (!corrupt && i + 8 <= b.length) {
@@ -292,38 +863,29 @@ object MediaCodecs {
       if (size < 0) corrupt = true // malformed chunk size: stop, don't loop
       else {
         if (tag(i, "fmt ") && i + 24 <= b.length)
-          fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+          fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12),
+            le16(b, i + 20), le16(b, i + 22),
+            if (size >= 20 && i + 28 <= b.length) le16(b, i + 26) else 0))
         else if (tag(i, "data"))
           data = Some((i + 8, math.min(size, b.length - i - 8)))
         i += 8 + size + (size & 1)                          // chunks pad to even
       }
     }
-    for ((af, ch, rate, bits) <- fmt; (off, len) <- data
-         if af == 1 && ch > 0 && rate > 0 && bits > 0) yield {
-      val bytesPerSec = rate.toLong * ch * bits / 8
-      val durationMs = if (bytesPerSec > 0) len * 1000L / bytesPerSec else 0L
-      val env = new Array[Float](8)
-      if (bits == 16) {
-        val nSamples = len / 2
-        if (nSamples > 0) {
-          val seg = math.max(nSamples / 8, 1)
-          val sums = new Array[Double](8)
-          val counts = new Array[Int](8)
-          var s = 0
-          while (s < nSamples) {
-            val v = (le16(b, off + s * 2).toShort).toDouble / 32768.0
-            val k = math.min(s / seg, 7)
-            sums(k) += v * v; counts(k) += 1
-            s += 1
-          }
-          var k = 0
-          while (k < 8) {
-            env(k) = if (counts(k) > 0) math.sqrt(sums(k) / counts(k)).toFloat else 0f
-            k += 1
-          }
-        }
-      }
-      WavInfo(rate, ch, bits, durationMs, env)
+    fmt.zip(data).flatMap { case ((af, ch, rate, blockAlign, bits, spb), (off, len)) =>
+      if (af == 1 && ch > 0 && rate > 0 && bits > 0) {
+        val bytesPerSec = rate.toLong * ch * bits / 8
+        val durationMs = if (bytesPerSec > 0) len * 1000L / bytesPerSec else 0L
+        val env =
+          if (bits == 16) rmsEnvelope8(len / 2, s => le16(b, off + s * 2).toShort.toDouble / 32768.0)
+          else new Array[Float](8)
+        Some(WavInfo(rate, ch, bits, durationMs, env))
+      } else if (af == 0x11 && ch == 1 && rate > 0 && bits == 4 &&
+        blockAlign >= 8 && spb > 0 && spb <= (blockAlign - 4) * 2 + 1 && len >= blockAlign) {
+        val pcm = imaAdpcmDecode(b, off, len, blockAlign, spb)
+        val durationMs = pcm.length * 1000L / rate
+        Some(WavInfo(rate, ch, bits, durationMs,
+          rmsEnvelope8(pcm.length, s => pcm(s).toDouble / 32768.0)))
+      } else None
     }
   }
 

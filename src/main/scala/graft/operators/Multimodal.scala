@@ -57,7 +57,7 @@ object Multimodal {
 
   /** Deterministic fake decode: "dimensions" and an 8-float "feature" derived
     * from the content hash — the fallback for formats whose payload needs a
-    * codec library (JPEG entropy data, MP3, H.264). Replace with a real codec
+    * codec library (MP3, H.264, progressive JPEG). Replace with a real codec
     * by swapping this function only — the batch plumbing stays.
     */
   def decodeStub(path: String, mediaType: String, content: Array[Byte]): Row = {
@@ -70,10 +70,10 @@ object Multimodal {
   }
 
   /** Decode one blob: REAL parsing where no codec library is needed
-    * (PNG/GIF/BMP/JPEG header dims, full BMP and PNG pixel histograms,
-    * PCM WAV info + RMS envelope, MP4 stts frame count — see MediaCodecs),
-    * deterministic stub otherwise (the remaining stub surface is
-    * entropy-coded media: JPEG pixel data, MP3, H.264).
+    * (PNG/GIF/BMP/JPEG header dims, full BMP / PNG / baseline-JPEG / GIF
+    * pixel histograms, PCM WAV info + RMS envelope, MP4 stts frame count —
+    * see MediaCodecs), deterministic stub otherwise (the remaining stub
+    * surface is compressed audio/video and progressive JPEG: MP3, H.264).
     */
   def decodeOne(path: String, mediaType: String, content: Array[Byte]): Row = mediaType match {
     case "image" =>
@@ -81,6 +81,8 @@ object Multimodal {
         case Some((w, h)) =>
           val feat = MediaCodecs.bmpLuminanceHistogram(content)
             .orElse(MediaCodecs.pngLuminanceHistogram(content))
+            .orElse(MediaCodecs.jpegLuminanceHistogram(content))
+            .orElse(MediaCodecs.gifLuminanceHistogram(content))
             .map(_.toSeq)
             .getOrElse(decodeStub(path, mediaType, content).getAs[Seq[Float]](7))
           Row(path, mediaType, w, h, 1, 0, 0L, feat)

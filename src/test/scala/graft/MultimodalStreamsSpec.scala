@@ -225,6 +225,368 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(MediaCodecs.pngDecode(inter).isEmpty)
   }
 
+  /** Bit-writer for JPEG entropy segments: MSB-first, 0xFF byte-stuffing,
+    * 1-padding to byte alignment (T.81 F.1.2.3).
+    */
+  private final class JBits {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var cnt = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1); cnt += 1
+        if (cnt == 8) { out.write(cur); if (cur == 0xFF) out.write(0x00); cur = 0; cnt = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = while (cnt != 0) put(1, 1)
+    def raw(bytes: Int*): Unit = { align(); bytes.foreach(out.write) }
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** Encode one DC-only block: category in the trivial DC table (cat k ↔
+    * 4-bit code k), magnitude bits, then the 1-bit EOB of the trivial AC
+    * table.
+    */
+  private def putDcBlock(bw: JBits, diff: Int): Unit = {
+    val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    bw.put(s, 4)
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    bw.put(0, 1)
+  }
+
+  /** Baseline JPEG encoder for DC-only fixtures: flat all-ones quant (so a
+    * DC coefficient of (v-128)*8 decodes to the uniform sample v), trivial
+    * huffman tables, any sampling factors, optional restart markers.
+    * `value(mcu, comp, by, bx)` gives each block's uniform sample 0..255.
+    */
+  private def makeJpeg(w: Int, h: Int, comps: Seq[(Int, Int, Int)],
+                       restartInterval: Int = 0)
+                      (value: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    val hmax = comps.map(_._2).max
+    val vmax = comps.map(_._3).max
+    val mcus = ((w + 8 * hmax - 1) / (8 * hmax)) * ((h + 8 * vmax - 1) / (8 * vmax))
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xFF))
+    wr(0xFF, 0xD8)
+    wr(0xFF, 0xDB, 0x00, 0x43, 0x00); (0 until 64).foreach(_ => wr(1))
+    wr(0xFF, 0xC0, 0x00, 8 + comps.length * 3, 8,
+      h >> 8, h & 0xFF, w >> 8, w & 0xFF, comps.length)
+    comps.foreach { case (id, hs, vs) => wr(id, (hs << 4) | vs, 0) }
+    wr(0xFF, 0xC4, 0x00, 0x1F, 0x00)
+    wr(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    (0 to 11).foreach(v => wr(v))
+    wr(0xFF, 0xC4, 0x00, 0x14, 0x10)
+    wr(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    wr(0x00)
+    if (restartInterval > 0)
+      wr(0xFF, 0xDD, 0x00, 0x04, restartInterval >> 8, restartInterval & 0xFF)
+    wr(0xFF, 0xDA, 0x00, 6 + comps.length * 2, comps.length)
+    comps.foreach { case (id, _, _) => wr(id, 0x00) }
+    wr(0, 63, 0)
+    val bw = new JBits
+    val pred = new Array[Int](comps.length)
+    var rst = 0
+    for (mcu <- 0 until mcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.raw(0xFF, 0xD0 + (rst % 8)); rst += 1
+        java.util.Arrays.fill(pred, 0)
+      }
+      for (c <- comps.indices) {
+        val (_, hs, vs) = comps(c)
+        for (by <- 0 until vs; bx <- 0 until hs) {
+          val dc = (value(mcu, c, by, bx) - 128) * 8
+          putDcBlock(bw, dc - pred(c))
+          pred(c) = dc
+        }
+      }
+    }
+    out.write(bw.bytes)
+    wr(0xFF, 0xD9)
+    out.toByteArray
+  }
+
+  test("baseline JPEG pixel decode is real: huffman + EXTEND + IDCT, exact grays") {
+    import graft.operators.MediaCodecs
+    // two 8×8 MCUs: left pixels 0, right pixels 128 — DC-only, predictor-chained
+    val jpg = makeJpeg(16, 8, Seq((1, 1, 1)))((mcu, _, _, _) => if (mcu == 0) 0 else 128)
+    val (w, h, rgb) = MediaCodecs.jpegDecode(jpg).get
+    assert(w == 16 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val expect = if (x < 8) 0 else 128
+      val o = (y * 16 + x) * 3
+      assert((rgb(o) & 0xFF) == expect && (rgb(o + 1) & 0xFF) == expect &&
+        (rgb(o + 2) & 0xFF) == expect, s"pixel ($x,$y)")
+    }
+    val hist = MediaCodecs.jpegLuminanceHistogram(jpg).get
+    assert(math.abs(hist(0) - 0.5f) < 1e-6 && math.abs(hist(4) - 0.5f) < 1e-6)
+  }
+
+  test("JPEG 4:2:0 color: MCU interleave, chroma upsampling, YCbCr→RGB") {
+    import graft.operators.MediaCodecs
+    // 16×16, Y sampled 2×2 (quadrant values 0/64/128/192), Cb=192, Cr=64
+    val jpg = makeJpeg(16, 16, Seq((1, 2, 2), (2, 1, 1), (3, 1, 1))) {
+      (_, c, by, bx) =>
+        if (c == 0) Seq(0, 64, 128, 192)(by * 2 + bx)
+        else if (c == 1) 192
+        else 64
+    }
+    val (w, h, rgb) = MediaCodecs.jpegDecode(jpg).get
+    assert(w == 16 && h == 16)
+    // expected per quadrant from the BT.601 formulas (cb=+64, cr=-64):
+    // R = Y - 89.728 | G = Y + 23.68 | B = Y + 113.408, clamped and rounded
+    val expect = Map(
+      (0, 0) -> (0, 24, 113), (1, 0) -> (0, 88, 177),
+      (0, 1) -> (38, 152, 241), (1, 1) -> (102, 216, 255))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (er, eg, eb) = expect((x / 8, y / 8))
+      val o = (y * 16 + x) * 3
+      assert((rgb(o) & 0xFF) == er && (rgb(o + 1) & 0xFF) == eg &&
+        (rgb(o + 2) & 0xFF) == eb, s"pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG restart markers: byte-align, consume RSTn, reset DC predictors") {
+    import graft.operators.MediaCodecs
+    val plain = makeJpeg(16, 8, Seq((1, 1, 1)))((mcu, _, _, _) => if (mcu == 0) 0 else 128)
+    val rst = makeJpeg(16, 8, Seq((1, 1, 1)), restartInterval = 1)(
+      (mcu, _, _, _) => if (mcu == 0) 0 else 128)
+    assert(rst.length > plain.length) // the RST marker is actually in there
+    assert(MediaCodecs.jpegDecode(rst).get._3.toSeq == MediaCodecs.jpegDecode(plain).get._3.toSeq)
+  }
+
+  test("JPEG odd dims crop the MCU grid; progressive/truncated rejected cleanly") {
+    import graft.operators.MediaCodecs
+    // 12×6 still needs two MCUs horizontally; output must crop to 12×6
+    val odd = makeJpeg(12, 6, Seq((1, 1, 1)))((mcu, _, _, _) => if (mcu == 0) 0 else 128)
+    val (w, h, rgb) = MediaCodecs.jpegDecode(odd).get
+    assert(w == 12 && h == 6 && rgb.length == 12 * 6 * 3)
+    assert((rgb(0) & 0xFF) == 0 && (rgb(11 * 3) & 0xFF) == 128)
+    // flip SOF0 (0xC0) to progressive SOF2 (0xC2): must reject, dims still parse
+    val prog = odd.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    assert(MediaCodecs.jpegDecode(prog).isEmpty)
+    assert(MediaCodecs.imageDims(prog).contains((12, 6)))
+    // truncated entropy data must terminate without throwing
+    MediaCodecs.jpegDecode(odd.dropRight(6))
+  }
+
+  /** Proper GIF LZW encoder (variable-width LSB-first codes, dictionary
+    * growth in decoder lockstep) — an independent implementation the
+    * decoder must round-trip exactly.
+    */
+  private def gifLzwEncode(indices: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += codeSize
+      while (accBits >= 8) { out.write((acc & 0xFF).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap[List[Int], Int]()
+    var nextCode = end + 1
+    put(clear)
+    var cur: List[Int] = Nil // reversed current sequence
+    for (px <- indices) {
+      val cand = px :: cur
+      if (cand.lengthCompare(1) == 0 || dict.contains(cand)) cur = cand
+      else {
+        put(if (cur.lengthCompare(1) == 0) cur.head else dict(cur))
+        if (nextCode < 4096) {
+          dict(cand) = nextCode; nextCode += 1
+          // the decoder's dictionary adds LAG the encoder's by one emitted
+          // code (it defines nothing on the first code), so the encoder
+          // bumps width one code later than its own dict size suggests
+          if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        }
+        cur = List(px)
+      }
+    }
+    if (cur.nonEmpty) put(if (cur.lengthCompare(1) == 0) cur.head else dict(cur))
+    put(end)
+    if (accBits > 0) out.write((acc & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** GIF89a with one image frame at (fx, fy); `px(x, y)` gives the palette
+    * index per frame pixel.
+    */
+  private def makeGif(sw: Int, sh: Int, palette: Array[Byte], minCode: Int,
+                      fx: Int = 0, fy: Int = 0, fw: Int = -1, fh: Int = -1,
+                      interlaced: Boolean = false, bg: Int = 0)
+                     (px: (Int, Int) => Int): Array[Byte] = {
+    val w = if (fw < 0) sw else fw
+    val h = if (fh < 0) sh else fh
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ISO-8859-1"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(sw); le16(sh)
+    val sizeBits = (math.log(palette.length / 3) / math.log(2)).round.toInt - 1
+    out.write(0x80 | 0x70 | sizeBits); out.write(bg); out.write(0)
+    out.write(palette)
+    out.write(0x21); out.write(0xFE) // a comment extension in the way
+    out.write(3); out.write("hi!".getBytes("ISO-8859-1")); out.write(0)
+    out.write(0x2C); le16(fx); le16(fy); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0)
+    out.write(minCode)
+    // file stores rows in pass order when interlaced
+    val rowOrder =
+      if (!interlaced) Array.range(0, h)
+      else Array.range(0, h, 8) ++ Array.range(4, h, 8) ++
+        Array.range(2, h, 4) ++ Array.range(1, h, 2)
+    val indices = rowOrder.flatMap(y => (0 until w).map(x => px(x, y)))
+    val lzw = gifLzwEncode(indices, minCode)
+    lzw.grouped(255).foreach { blk => out.write(blk.length); out.write(blk, 0, blk.length) }
+    out.write(0); out.write(0x3B)
+    out.toByteArray
+  }
+
+  test("GIF pixel decode is real: LZW dictionary growth, KwK case, exact round-trip") {
+    import graft.operators.MediaCodecs
+    val pal = Array[Byte](0, 0, 0, -1, -1, -1, -1, 0, 0, 0, 0, -1) // black white red blue
+    // alternating 0101… pattern forces the KwK (cScSc) code path
+    val gif = makeGif(8, 8, pal, minCode = 2)((x, y) => (x + y) % 2)
+    val (w, h, rgb) = MediaCodecs.gifDecode(gif).get
+    assert(w == 8 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val expect = if ((x + y) % 2 == 0) 0 else 255
+      val o = (y * 8 + x) * 3
+      assert((rgb(o) & 0xFF) == expect && (rgb(o + 1) & 0xFF) == expect, s"pixel ($x,$y)")
+    }
+    // long repeated runs exercise multi-byte dictionary chains + width growth
+    val runs = makeGif(64, 32, pal, minCode = 2)((x, y) => (y / 4) % 4)
+    val (_, _, rpix) = MediaCodecs.gifDecode(runs).get
+    for (y <- 0 until 32 by 4) {
+      val o = (y * 64 + 17) * 3 // spot-check a mid-row pixel per stripe
+      val expect = Seq((0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255))((y / 4) % 4)
+      assert(((rpix(o) & 0xFF, rpix(o + 1) & 0xFF, rpix(o + 2) & 0xFF)) == expect, s"row $y")
+    }
+    val hist = MediaCodecs.gifLuminanceHistogram(gif).get
+    assert(math.abs(hist(0) - 0.5f) < 1e-6 && math.abs(hist(7) - 0.5f) < 1e-6)
+  }
+
+  test("GIF interlace, frame offset composite onto background, truncation") {
+    import graft.operators.MediaCodecs
+    val pal = Array[Byte](0, 0, 0, -1, -1, -1, -1, 0, 0, 0, 0, -1)
+    // interlaced: row color cycles by palette index; decode must restore order
+    val inter = makeGif(8, 8, pal, minCode = 2, interlaced = true)((_, y) => y % 4)
+    val (_, _, ipix) = MediaCodecs.gifDecode(inter).get
+    for (y <- 0 until 8) {
+      val expect = Seq((0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255))(y % 4)
+      val o = (y * 8 + 3) * 3
+      assert(((ipix(o) & 0xFF, ipix(o + 1) & 0xFF, ipix(o + 2) & 0xFF)) == expect, s"row $y")
+    }
+    // 4×4 white frame at (2,2) on an 8×8 screen with red background
+    val framed = makeGif(8, 8, pal, minCode = 2, fx = 2, fy = 2, fw = 4, fh = 4, bg = 2)(
+      (_, _) => 1)
+    val (_, _, fpix) = MediaCodecs.gifDecode(framed).get
+    assert((fpix(0) & 0xFF) == 255 && (fpix(1) & 0xFF) == 0)   // outside: red bg
+    val inside = ((3 * 8) + 3) * 3
+    assert((fpix(inside) & 0xFF) == 255 && (fpix(inside + 1) & 0xFF) == 255)
+    // truncated LZW data → None, no throw
+    val gif = makeGif(8, 8, pal, minCode = 2)((x, _) => x % 2)
+    assert(MediaCodecs.gifDecode(gif.dropRight(8)).isEmpty)
+  }
+
+  // IMA ADPCM tables, duplicated here so the test encoder is independent
+  private val imaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230,
+    253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+    1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794,
+    32767)
+  private val imaIdx: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Reference IMA ADPCM encoder (quantize against the step table, track
+    * the decoder's reconstruction) — the decoder must track it to RMS
+    * fidelity on a real signal.
+    */
+  private def imaEncode(samples: Array[Short], blockAlign: Int): Array[Byte] = {
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + spb - 1) / spb
+    val out = new Array[Byte](nBlocks * blockAlign)
+    var index = 0
+    var s = 0
+    for (blk <- 0 until nBlocks) {
+      val base = blk * blockAlign
+      var predictor: Int = if (s < samples.length) samples(s) else 0
+      out(base) = predictor.toByte; out(base + 1) = (predictor >> 8).toByte
+      out(base + 2) = index.toByte
+      s += 1 // the header carries the block's first sample verbatim
+      var i = base + 4
+      var half = 0
+      var cur = 0
+      while (i < base + blockAlign) {
+        val target: Int = if (s < samples.length) samples(s) else 0
+        s += 1
+        val step = imaStep(index)
+        var diff = target - predictor
+        var nib = 0
+        if (diff < 0) { nib = 8; diff = -diff }
+        var st = step
+        if (diff >= st) { nib |= 4; diff -= st }
+        st >>= 1
+        if (diff >= st) { nib |= 2; diff -= st }
+        st >>= 1
+        if (diff >= st) nib |= 1
+        var d2 = step >> 3
+        if ((nib & 1) != 0) d2 += step >> 2
+        if ((nib & 2) != 0) d2 += step >> 1
+        if ((nib & 4) != 0) d2 += step
+        predictor = if ((nib & 8) != 0) predictor - d2 else predictor + d2
+        predictor = math.max(-32768, math.min(32767, predictor))
+        index = math.max(0, math.min(88, index + imaIdx(nib & 7)))
+        if (half == 0) { cur = nib; half = 1 }
+        else { out(i) = (cur | (nib << 4)).toByte; half = 0; i += 1 }
+      }
+    }
+    out
+  }
+
+  /** Mono IMA ADPCM WAV container (format 0x11, fmt cbSize 2 + samplesPerBlock). */
+  private def makeAdpcmWav(rate: Int, samples: Array[Short], blockAlign: Int): Array[Byte] = {
+    val spb = (blockAlign - 4) * 2 + 1
+    val data = imaEncode(samples, blockAlign)
+    val out = new Array[Byte](12 + 28 + 8 + data.length)
+    def tag(i: Int, s: String): Unit = (0 until 4).foreach(k => out(i + k) = s(k).toByte)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    tag(0, "RIFF"); le32(4, out.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 20); le16(20, 0x11); le16(22, 1); le32(24, rate)
+    le32(28, rate * blockAlign / spb); le16(32, blockAlign); le16(34, 4)
+    le16(36, 2); le16(38, spb)
+    tag(40, "data"); le32(44, data.length)
+    System.arraycopy(data, 0, out, 48, data.length)
+    out
+  }
+
+  test("IMA ADPCM decode: hand-checked step math and encoder round-trip RMS") {
+    import graft.operators.MediaCodecs
+    // hand vector: predictor 0, index 0 (step 7); nibble 4 → +7 (index→2,
+    // step 9), nibble 0 → +1 — decoded must start 0, 7, 8
+    val block = Array[Byte](0, 0, 0, 0, 0x04, 0, 0, 0, 0, 0, 0, 0)
+    val pcm = MediaCodecs.imaAdpcmDecode(block, 0, 12, 12, 17)
+    assert(pcm.take(3).toSeq == Seq[Short](0, 7, 8))
+    // full-file round-trip: constant half-scale signal, 16 blocks
+    val spb = (256 - 4) * 2 + 1
+    val samples = Array.fill[Short](16 * spb)(16384)
+    val wav = makeAdpcmWav(8000, samples, 256)
+    val info = MediaCodecs.wavInfo(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 4)
+    assert(info.durationMs == samples.length * 1000L / 8000)
+    // ADPCM is lossy but adapts within a few samples; every RMS segment of
+    // a constant signal must sit tight on 0.5
+    assert(info.rmsEnvelope.forall(v => math.abs(v - 0.5f) < 0.02f), info.rmsEnvelope.toSeq)
+  }
+
   test("decode stage uses real parsers per media type; resizeImages end-to-end") {
     val dir = tmp("media_real")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bmp"),
