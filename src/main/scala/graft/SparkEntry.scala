@@ -125,6 +125,38 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** The same 16×8 two-block gray image as [[fixtureJpeg]], but PROGRESSIVE
+    * (SOF2) across three scans — DC first at successive-approximation level
+    * 1, a DC refinement scan, then an AC band scan of pure EOBs — so the
+    * multi-scan coefficient accumulation path is on the oracle gate.
+    */
+  private def fixtureJpegProgressive(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xFF))
+    wr(0xFF, 0xD8)
+    wr(0xFF, 0xDB, 0x00, 0x43, 0x00)
+    (0 until 64).foreach(_ => wr(1))
+    wr(0xFF, 0xC2, 0x00, 0x0B, 8, 0x00, 0x08, 0x00, 0x10, 1, 1, 0x11, 0) // SOF2 h=8 w=16
+    wr(0xFF, 0xC4, 0x00, 0x1F, 0x00)
+    wr(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    (0 to 11).foreach(v => wr(v))
+    wr(0xFF, 0xC4, 0x00, 0x14, 0x10)
+    wr(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    wr(0x00)
+    // scan 1 — DC first, Al=1: -512 (cat 10 '1010' + '0111111111'), then
+    // diff +512 ('1010' + '1000000000'); 28 bits, 1-padded
+    wr(0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 0, 0x01)
+    wr(0xA7, 0xFE, 0xA0, 0x0F)
+    // scan 2 — DC refinement, Al=0: one zero bit per block
+    wr(0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 0, 0, 0x10)
+    wr(0x3F)
+    // scan 3 — AC band 1..63: EOB ('0') per block
+    wr(0xFF, 0xDA, 0x00, 0x08, 1, 1, 0x00, 1, 63, 0x00)
+    wr(0x3F)
+    wr(0xFF, 0xD9)
+    out.toByteArray
+  }
+
   /** 8×8 GIF89a, left half black / right half white (luminance bin 0
     * exactly 0.5, like the other image fixtures), 4-entry palette, LZW
     * stream written clear-per-pixel (a valid stream per GIF89a appendix F)
@@ -685,6 +717,7 @@ object SparkEntry {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.png"), fixturePng())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.jpg"), fixtureJpeg())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.gif"), fixtureGif())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img2.jpg"), fixtureJpegProgressive())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.wav"), fixtureWav())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.mp4"), fixtureMp4())
       val media = graft.operators.Multimodal.readMedia(s, s"$dir/*")
@@ -1543,6 +1576,7 @@ object SparkEntry {
         "('img.bmp', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('img.gif', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('img.jpg', 'image', 16, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
+        "('img2.jpg', 'image', 16, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('img.png', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('sound.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('clip.mp4', 'video', 0, 0, 30, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) " +

@@ -8,15 +8,17 @@ package graft.operators
   *  - full pixel decode + nearest-neighbor RESIZE for uncompressed 24-bit BMP;
   *  - full PNG pixel decode (zlib IDAT inflate via java.util.zip + all five
   *    scanline filters, gray/RGB/palette/alpha at bit depth 8);
-  *  - full BASELINE JPEG pixel decode (canonical huffman entropy decode,
-  *    dequantization, 8×8 IDCT, chroma upsampling, YCbCr→RGB, restart
-  *    markers — ITU T.81 sequential DCT, written from the spec);
-  *  - PCM WAV: sample rate / channels / duration + an 8-segment RMS envelope
-  *    (a real audio feature, not a hash);
+  *  - full JPEG pixel decode, BASELINE and PROGRESSIVE (canonical huffman
+  *    entropy decode, spectral-selection / successive-approximation scans
+  *    with EOB runs, dequantization, 8×8 IDCT, chroma upsampling,
+  *    YCbCr→RGB, restart markers — ITU T.81, written from the spec);
+  *  - full GIF pixel decode (GIF89a LZW, interlace, frame composite);
+  *  - WAV: PCM and mono IMA-ADPCM (a real compressed-audio decompressor),
+  *    with an 8-segment RMS envelope (a real audio feature, not a hash);
   *  - MP4: frame count of the video track from the `stts` box sums.
   *
-  * Compressed audio/video sample data (MP3 frames, H.264) still falls back
-  * to `Multimodal.decodeStub` — that boundary is the honest stub; everything
+  * Perceptual-codec audio/video (MP3 frames, H.264) still falls back to
+  * `Multimodal.decodeStub` — that boundary is the honest stub; everything
   * here is exercised against hand-built fixtures.
   */
 object MediaCodecs {
@@ -373,13 +375,16 @@ object MediaCodecs {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline (SOF0/SOF1, huffman, single-scan) JPEG to (width,
-    * height, top-down row-major RGB): marker walk collects DQT/DHT/SOF/DRI,
-    * the SOS scan huffman-decodes interleaved MCUs (any sampling factors up
-    * to 4), dequantizes, IDCTs, upsamples chroma nearest-neighbor and
-    * converts YCbCr→RGB (JFIF/BT.601 constants). Progressive (SOF2),
-    * arithmetic, lossless, or 12-bit input → None — dims still come from
-    * `imageDims`, the feature falls back to the stub.
+  /** Decode a huffman-coded JPEG — baseline/extended-sequential (SOF0/1,
+    * single scan) or PROGRESSIVE (SOF2, multi-scan spectral selection +
+    * successive approximation) — to (width, height, top-down row-major
+    * RGB): marker walk collects DQT/DHT/SOF/DRI, scans huffman-decode
+    * interleaved MCUs (any sampling factors up to 4) or per-component
+    * block rasters, coefficients are dequantized and IDCT'd, chroma is
+    * upsampled nearest-neighbor, and YCbCr→RGB uses the JFIF/BT.601
+    * constants. Arithmetic, lossless, hierarchical, or 12-bit input →
+    * None — dims still come from `imageDims`, the feature falls back to
+    * the stub.
     */
   def jpegDecode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (!(b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)) return None
@@ -389,18 +394,23 @@ object MediaCodecs {
     val acTabs = new Array[HuffTable](4)
     var w = 0; var h = 0
     var comps: Array[(Int, Int, Int, Int)] = null // (id, hSamp, vSamp, quantId) in SOF order
+    var progressive = false
+    var prog: ProgState = null
     var restartInterval = 0
     var i = 2
-    while (i + 3 < b.length) {
+    while (i + 1 < b.length) { // EOI is a bare 2-byte marker — must be reachable
       if ((b(i) & 0xFF) != 0xFF) return None
       val marker = b(i + 1) & 0xFF
       if (marker == 0xFF) i += 1 // fill byte
       else if (marker >= 0xD0 && marker <= 0xD7) i += 2
-      else if (marker == 0xD9) return None // EOI before any scan
+      else if (marker == 0xD9) // EOI: progressive images finish here
+        return if (prog != null) finishProgressive(w, h, comps, quant, prog) else None
       else {
+        if (i + 3 >= b.length) return None // length-bearing marker truncated
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return None
         val segEnd = i + 2 + len
+        var next = segEnd
         marker match {
           case 0xDB => // DQT (one segment may carry several tables)
             var p = i + 4
@@ -429,7 +439,7 @@ object MediaCodecs {
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               p += 17 + total
             }
-          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended-sequential huffman
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 sequential, SOF2 progressive
             val nc = if (len >= 8) b(i + 9) & 0xFF else 0
             if ((b(i + 4) & 0xFF) != 8 || (nc != 1 && nc != 3) || len < 8 + nc * 3) return None
             h = be16(b, i + 5); w = be16(b, i + 7)
@@ -437,24 +447,45 @@ object MediaCodecs {
               val o = i + 10 + c * 3
               (b(o) & 0xFF, (b(o + 1) & 0xF0) >> 4, b(o + 1) & 0x0F, b(o + 2) & 0xFF)
             }
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // progressive / arithmetic / lossless / hierarchical
+            progressive = marker == 0xC2
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // arithmetic / lossless / hierarchical
           case 0xDD => // DRI
             if (len < 4) return None
             restartInterval = be16(b, i + 4)
-          case 0xDA => // SOS: decode the (single, baseline) scan and finish
+          case 0xDA => // SOS
             if (comps == null) return None
             val ns = b(i + 4) & 0xFF
-            if (ns != comps.length || len < 6 + ns * 2) return None
+            if (ns < 1 || len < 6 + ns * 2) return None
             val scanTabs = (0 until ns).map { c =>
               val o = i + 5 + c * 2
               (b(o) & 0xFF) -> (((b(o + 1) & 0xF0) >> 4, b(o + 1) & 0x0F))
             }.toMap
-            return decodeScan(b, segEnd, w, h, comps, quant, quantSeen,
-              dcTabs, acTabs, scanTabs, restartInterval)
+            if (!progressive) {
+              if (ns != comps.length) return None
+              return decodeScan(b, segEnd, w, h, comps, quant, quantSeen,
+                dcTabs, acTabs, scanTabs, restartInterval)
+            }
+            // progressive: accumulate this scan into the coefficient planes
+            if (comps.exists { case (_, hs, vs, tq) =>
+              hs < 1 || hs > 4 || vs < 1 || vs > 4 || tq > 3 || !quantSeen(tq) }) return None
+            if (prog == null) {
+              // full-frame coefficient buffers: cap tighter than baseline
+              // (4 B/coefficient × all components held at once)
+              if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
+              prog = new ProgState(w, h, comps)
+            }
+            val ss = b(i + 5 + ns * 2) & 0xFF
+            val se = b(i + 6 + ns * 2) & 0xFF
+            val ah = (b(i + 7 + ns * 2) & 0xF0) >> 4
+            val al = b(i + 7 + ns * 2) & 0x0F
+            val end = decodeProgressiveScan(b, segEnd, comps, prog, scanTabs,
+              dcTabs, acTabs, ss, se, ah, al, restartInterval)
+            if (end < 0) return None
+            next = end
           case _ => ()
         }
-        i = segEnd
+        i = next
       }
     }
     None
@@ -524,32 +555,7 @@ object MediaCodecs {
                 k += 1
               }
             }
-            // IDCT: tmp(u)(x) = Σ_v F(u,v)·M(x)(v); pix(y,x) = Σ_u M(y)(u)·tmp(u)(x)
-            var u = 0
-            while (u < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0; var v = 0
-                while (v < 8) { acc += coef(u * 8 + v) * IdctM(x)(v); v += 1 }
-                tmp(u)(x) = acc; x += 1
-              }
-              u += 1
-            }
-            val px0 = (mx * hs + bx) * 8
-            val py0 = (my * vs + by) * 8
-            val pw = planeW(c)
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0; var u2 = 0
-                while (u2 < 8) { acc += IdctM(y)(u2) * tmp(u2)(x); u2 += 1 }
-                planes(c)((py0 + y) * pw + (px0 + x)) =
-                  math.max(0, math.min(255, math.round(acc + 128.0).toInt)).toByte
-                x += 1
-              }
-              y += 1
-            }
+            idctBlock(coef, tmp, planes(c), planeW(c), (mx * hs + bx) * 8, (my * vs + by) * 8)
             bx += 1
           }
           by += 1
@@ -558,7 +564,45 @@ object MediaCodecs {
       }
       mcu += 1
     }
-    // upsample (nearest) + color-convert to the cropped output size
+    Some((w, h, upsampleColor(w, h, comps, planes, planeW, hmax, vmax)))
+  }
+
+  /** IDCT one 8×8 coefficient block (natural order) into a sample plane at
+    * (px0, py0): tmp(u)(x) = Σ_v F(u,v)·M(x)(v); pix(y,x) = Σ_u M(y)(u)·tmp(u)(x),
+    * then level-shift +128 and clamp.
+    */
+  private def idctBlock(coef: Array[Int], tmp: Array[Array[Double]],
+                        plane: Array[Byte], pw: Int, px0: Int, py0: Int): Unit = {
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var v = 0
+        while (v < 8) { acc += coef(u * 8 + v) * IdctM(x)(v); v += 1 }
+        tmp(u)(x) = acc; x += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0; var u2 = 0
+        while (u2 < 8) { acc += IdctM(y)(u2) * tmp(u2)(x); u2 += 1 }
+        plane((py0 + y) * pw + (px0 + x)) =
+          math.max(0, math.min(255, math.round(acc + 128.0).toInt)).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Upsample component planes (nearest) to the cropped output size and
+    * convert to RGB (gray replicate for 1 component, BT.601 for 3).
+    */
+  private def upsampleColor(w: Int, h: Int, comps: Array[(Int, Int, Int, Int)],
+                            planes: Array[Array[Byte]], planeW: Array[Int],
+                            hmax: Int, vmax: Int): Array[Byte] = {
     val rgb = new Array[Byte](w * h * 3)
     def clamp(v: Double): Byte = math.max(0, math.min(255, math.round(v).toInt)).toByte
     var y = 0
@@ -583,7 +627,243 @@ object MediaCodecs {
       }
       y += 1
     }
-    Some((w, h, rgb))
+    rgb
+  }
+
+  /** Full-frame DCT coefficient buffers for a progressive decode: one int
+    * array per component over the MCU-aligned block grid, accumulated
+    * across scans and dequantized/IDCT'd once at EOI.
+    */
+  private final class ProgState(w: Int, h: Int, comps: Array[(Int, Int, Int, Int)]) {
+    val hmax: Int = comps.map(_._2).max
+    val vmax: Int = comps.map(_._3).max
+    val mcusX: Int = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY: Int = (h + 8 * vmax - 1) / (8 * vmax)
+    val blocksW: Array[Int] = comps.map { case (_, hs, _, _) => mcusX * hs }
+    val blocksH: Array[Int] = comps.map { case (_, _, vs, _) => mcusY * vs }
+    // non-interleaved scans cover only ceil(compSamples/8) blocks per axis
+    val niBlocksW: Array[Int] = comps.map { case (_, hs, _, _) => ((w * hs + hmax - 1) / hmax + 7) / 8 }
+    val niBlocksH: Array[Int] = comps.map { case (_, _, vs, _) => ((h * vs + vmax - 1) / vmax + 7) / 8 }
+    val coefs: Array[Array[Int]] =
+      comps.indices.map(c => new Array[Int](blocksW(c) * blocksH(c) * 64)).toArray
+    var eobrun: Int = 0
+  }
+
+  /** Decode one progressive scan (T.81 G.2): DC scans (Ss=0) are
+    * interleaved over all components or a single one; AC scans are always
+    * single-component over its block raster. Ah=0 scans set coefficients at
+    * successive-approximation level Al; Ah>0 scans refine one bit. Returns
+    * the byte offset of the next marker, or -1 on corrupt input.
+    */
+  private def decodeProgressiveScan(
+      b: Array[Byte], scanStart: Int, comps: Array[(Int, Int, Int, Int)],
+      st: ProgState, scanTabs: Map[Int, (Int, Int)],
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Int = {
+    if (ss > se || se > 63 || al > 13) return -1
+    if (ss == 0 && se != 0) return -1 // T.81: DC scans carry only coefficient 0
+    val scanComps = comps.indices.filter(c => scanTabs.contains(comps(c)._1))
+    if (scanComps.size != scanTabs.size) return -1
+    // interleaved only for full-component DC scans; AC scans single-comp
+    val interleaved = ss == 0 && scanComps.size == comps.length && comps.length > 1
+    if (!interleaved && scanComps.size != 1) return -1
+    if (ss > 0 && scanComps.size != 1) return -1
+    val bits = new JpegBits(b, scanStart)
+    val pred = new Array[Int](comps.length)
+    st.eobrun = 0
+
+    def dcBlock(c: Int, blockOff: Int): Boolean = {
+      val coefs = st.coefs(c)
+      if (ah == 0) {
+        val (dt, _) = scanTabs(comps(c)._1)
+        if (dcTabs(dt) == null) return false
+        val s = decodeHuff(bits, dcTabs(dt))
+        if (s < 0 || s > 15) return false
+        pred(c) += (if (s == 0) 0 else extend(bits.receive(s), s))
+        coefs(blockOff) = pred(c) << al
+      } else {
+        if (bits.nextBit() == 1) coefs(blockOff) |= 1 << al
+      }
+      true
+    }
+
+    def acFirst(c: Int, blockOff: Int): Boolean = {
+      val coefs = st.coefs(c)
+      if (st.eobrun > 0) { st.eobrun -= 1; return true }
+      val (_, at) = scanTabs(comps(c)._1)
+      if (acTabs(at) == null) return false
+      var k = ss
+      while (k <= se) {
+        val rs = decodeHuff(bits, acTabs(at))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0F
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of blocks ending here
+            st.eobrun = (1 << r) - 1
+            if (r > 0) st.eobrun += bits.receive(r)
+            return true
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) return false
+          coefs(blockOff + Zigzag(k)) = extend(bits.receive(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefine(c: Int, blockOff: Int): Boolean = {
+      // T.81 G.1.2.3 AC refinement: correction bits for already-nonzero
+      // coefficients, newly-significant ±1<<al inserted at zero history
+      val coefs = st.coefs(c)
+      val (_, at) = scanTabs(comps(c)._1)
+      if (acTabs(at) == null) return false
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (st.eobrun == 0) {
+        var break = false
+        while (k <= se && !break) {
+          val rs = decodeHuff(bits, acTabs(at))
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 0x0F
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) {
+              // NOTE: 1<<r, not (1<<r)-1 as in the first scan — the current
+              // block still consumes its correction-bit tail below and then
+              // decrements the run
+              st.eobrun = 1 << r
+              if (r > 0) st.eobrun += bits.receive(r)
+              break = true // remaining coefficients handled in the EOB tail
+            }
+            // r == 15: skip over 15 zero-history coefficients
+          } else {
+            if (s != 1) return false
+            newval = if (bits.nextBit() == 1) p1 else m1
+          }
+          if (!break) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = blockOff + Zigzag(k)
+              if (coefs(z) != 0) {
+                if (bits.nextBit() == 1 && (coefs(z) & p1) == 0)
+                  coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+              } else {
+                if (r == 0) {
+                  if (newval != 0) coefs(z) = newval
+                  placed = true
+                } else r -= 1
+              }
+              k += 1
+            }
+            if (!placed && newval != 0) return false // ran off the band
+          }
+        }
+      }
+      if (st.eobrun > 0) {
+        while (k <= se) {
+          val z = blockOff + Zigzag(k)
+          if (coefs(z) != 0 && bits.nextBit() == 1 && (coefs(z) & p1) == 0)
+            coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+          k += 1
+        }
+        st.eobrun -= 1
+      }
+      true
+    }
+
+    def decodeUnit(c: Int, blockOff: Int): Boolean =
+      if (ss == 0) dcBlock(c, blockOff)
+      else if (ah == 0) acFirst(c, blockOff)
+      else acRefine(c, blockOff)
+
+    def restart(count: Int): Boolean =
+      if (restartInterval > 0 && count > 0 && count % restartInterval == 0) {
+        if (!bits.syncRestart()) false
+        else { java.util.Arrays.fill(pred, 0); st.eobrun = 0; true }
+      } else true
+
+    if (interleaved) {
+      var mcu = 0
+      val nMcus = st.mcusX * st.mcusY
+      while (mcu < nMcus) {
+        if (!restart(mcu)) return -1
+        val mx = mcu % st.mcusX
+        val my = mcu / st.mcusX
+        var c = 0
+        while (c < comps.length) {
+          val (_, hs, vs, _) = comps(c)
+          var by = 0
+          while (by < vs) {
+            var bx = 0
+            while (bx < hs) {
+              val off = ((my * vs + by) * st.blocksW(c) + mx * hs + bx) * 64
+              if (!decodeUnit(c, off)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    } else {
+      val c = scanComps.head
+      val bw = st.niBlocksW(c)
+      val bh = st.niBlocksH(c)
+      var blk = 0
+      val nBlocks = bw * bh
+      while (blk < nBlocks) {
+        if (!restart(blk)) return -1
+        val off = ((blk / bw) * st.blocksW(c) + blk % bw) * 64
+        if (!decodeUnit(c, off)) return -1
+        blk += 1
+      }
+    }
+    // skip to the next real marker (trailing fill bytes / RSTs are padding)
+    var p = bits.pos
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) != 0x00) {
+        val m = b(p + 1) & 0xFF
+        if (m >= 0xD0 && m <= 0xD7) p += 2 else return p
+      } else p += 1
+    }
+    b.length // no further marker: the outer walk terminates and returns None
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and emit
+    * RGB — runs once, at EOI.
+    */
+  private def finishProgressive(w: Int, h: Int, comps: Array[(Int, Int, Int, Int)],
+                                quant: Array[Array[Int]], st: ProgState)
+      : Option[(Int, Int, Array[Byte])] = {
+    if (comps == null) return None
+    val planeW = st.blocksW.map(_ * 8)
+    val planes = comps.indices.map(c => new Array[Byte](planeW(c) * st.blocksH(c) * 8)).toArray
+    // quant tables are stored in zigzag scan order; coefficients in natural
+    val qtNat = Array.ofDim[Int](comps.length, 64)
+    for (c <- comps.indices; k <- 0 until 64) qtNat(c)(Zigzag(k)) = quant(comps(c)._4)(k)
+    val block = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    var c = 0
+    while (c < comps.length) {
+      val coefs = st.coefs(c)
+      val bw = st.blocksW(c)
+      var blk = 0
+      val nBlocks = bw * st.blocksH(c)
+      while (blk < nBlocks) {
+        val off = blk * 64
+        var k = 0
+        while (k < 64) { block(k) = coefs(off + k) * qtNat(c)(k); k += 1 }
+        idctBlock(block, tmp, planes(c), planeW(c), (blk % bw) * 8, (blk / bw) * 8)
+        blk += 1
+      }
+      c += 1
+    }
+    Some((w, h, upsampleColor(w, h, comps, planes, planeW, st.hmax, st.vmax)))
   }
 
   /** Normalized 8-bin luminance histogram from REAL baseline-JPEG pixels —

@@ -57,8 +57,8 @@ object Multimodal {
 
   /** Deterministic fake decode: "dimensions" and an 8-float "feature" derived
     * from the content hash — the fallback for formats whose payload needs a
-    * codec library (MP3, H.264, progressive JPEG). Replace with a real codec
-    * by swapping this function only — the batch plumbing stays.
+    * codec library (MP3, H.264). Replace with a real codec by swapping this
+    * function only — the batch plumbing stays.
     */
   def decodeStub(path: String, mediaType: String, content: Array[Byte]): Row = {
     val h = java.util.Arrays.hashCode(content)
@@ -70,10 +70,11 @@ object Multimodal {
   }
 
   /** Decode one blob: REAL parsing where no codec library is needed
-    * (PNG/GIF/BMP/JPEG header dims, full BMP / PNG / baseline-JPEG / GIF
-    * pixel histograms, PCM WAV info + RMS envelope, MP4 stts frame count —
-    * see MediaCodecs), deterministic stub otherwise (the remaining stub
-    * surface is compressed audio/video and progressive JPEG: MP3, H.264).
+    * (PNG/GIF/BMP/JPEG header dims; full pixel histograms for BMP, PNG,
+    * baseline AND progressive JPEG, GIF; PCM + IMA-ADPCM WAV info with RMS
+    * envelope; MP4 stts frame count — see MediaCodecs), deterministic stub
+    * otherwise (the remaining stub surface is perceptual-codec audio/video:
+    * MP3, H.264).
     */
   def decodeOne(path: String, mediaType: String, content: Array[Byte]): Row = mediaType match {
     case "image" =>

@@ -347,6 +347,124 @@ class MultimodalStreamsSpec extends SparkSpec {
     }
   }
 
+  /** Independent reference IDCT (direct 4-loop T.81 A.3.3 formula) for
+    * checking decoded pixels without sharing the decoder's basis matrix.
+    */
+  private def refIdct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var acc = 0.0
+      for (u <- 0 until 8; v <- 0 until 8) {
+        val cu = if (u == 0) 1 / math.sqrt(2.0) else 1.0
+        val cv = if (v == 0) 1 / math.sqrt(2.0) else 1.0
+        acc += cu * cv / 4 * coef(u * 8 + v) *
+          math.cos((2 * y + 1) * u * math.Pi / 16) * math.cos((2 * x + 1) * v * math.Pi / 16)
+      }
+      out(y * 8 + x) = math.max(0, math.min(255, math.round(acc + 128).toInt))
+    }
+    out
+  }
+
+  /** Shared progressive-JPEG header: SOF2, flat quant, trivial DC table
+    * (cat k ↔ 4-bit code k) and an all-3-bit AC table covering the symbols
+    * the tests emit (EOB0, (0,1), (0,2), EOB4=0x20, ZRL).
+    */
+  private def progHeader(w: Int, h: Int, comps: Seq[(Int, Int, Int)]): java.io.ByteArrayOutputStream = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xFF))
+    wr(0xFF, 0xD8)
+    wr(0xFF, 0xDB, 0x00, 0x43, 0x00); (0 until 64).foreach(_ => wr(1))
+    wr(0xFF, 0xC2, 0x00, 8 + comps.length * 3, 8,
+      h >> 8, h & 0xFF, w >> 8, w & 0xFF, comps.length)
+    comps.foreach { case (id, hs, vs) => wr(id, (hs << 4) | vs, 0) }
+    wr(0xFF, 0xC4, 0x00, 0x1F, 0x00)
+    wr(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    (0 to 11).foreach(v => wr(v))
+    wr(0xFF, 0xC4, 0x00, 0x1B, 0x10)                          // AC: 8 codes of length 3
+    wr(0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    wr(0x00, 0x01, 0x02, 0x20, 0xF0, 0x31, 0x12, 0x21)       // EOB0,(0,1),(0,2),EOB4,ZRL,…
+    out
+  }
+
+  private def sosHeader(out: java.io.ByteArrayOutputStream, compIds: Seq[Int],
+                        ss: Int, se: Int, ah: Int, al: Int): Unit = {
+    def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xFF))
+    wr(0xFF, 0xDA, 0x00, 6 + compIds.length * 2, compIds.length)
+    compIds.foreach(id => wr(id, 0x00))
+    wr(ss, se, (ah << 4) | al)
+  }
+
+  /** DC category code (trivial table: cat k ↔ 4-bit code k) + magnitude. */
+  private def putDcValue(bw: JBits, diff: Int): Unit = {
+    val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    bw.put(s, 4)
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+  }
+
+  test("progressive JPEG: DC successive approximation + AC band scan, exact pixels") {
+    import graft.operators.MediaCodecs
+    // gray 8×8, one block: DC -1024 coded at Al=1 then refined; AC coef 6
+    // at k=1 coded at Al=1 (value 3, size 2) then refined with a 0 bit
+    val out = progHeader(8, 8, Seq((1, 1, 1)))
+    def scan(ss: Int, se: Int, ah: Int, al: Int)(body: JBits => Unit): Unit = {
+      sosHeader(out, Seq(1), ss, se, ah, al)
+      val bw = new JBits; body(bw); out.write(bw.bytes)
+    }
+    scan(0, 0, 0, 1)(bw => putDcValue(bw, -512))   // DC first: -1024 >> 1
+    scan(0, 0, 1, 0)(bw => bw.put(0, 1))           // DC refine: low bit 0
+    scan(1, 63, 0, 1) { bw =>
+      bw.put(2, 3)                                 // symbol (0,2) → code 010
+      bw.put(3, 2)                                 // value 3 (= 6 >> 1)
+      bw.put(0, 3)                                 // EOB0 → code 000
+    }
+    scan(1, 63, 1, 0) { bw =>
+      bw.put(0, 3)                                 // EOB0: run = 1 (this block)
+      bw.put(0, 1)                                 // correction bit for coef@k=1
+    }
+    out.write(0xFF); out.write(0xD9)
+    val (w, h, rgb) = MediaCodecs.jpegDecode(out.toByteArray).get
+    assert(w == 8 && h == 8)
+    val coefs = new Array[Int](64)
+    coefs(0) = -1024; coefs(1) = 6
+    val expect = refIdct(coefs)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val o = (y * 8 + x) * 3
+      assert((rgb(o) & 0xFF) == expect(y * 8 + x), s"pixel ($x,$y)")
+    }
+  }
+
+  test("progressive JPEG 4:2:0: interleaved DC scan, EOB runs, matches baseline") {
+    import graft.operators.MediaCodecs
+    val out = progHeader(16, 16, Seq((1, 2, 2), (2, 1, 1), (3, 1, 1)))
+    // DC first, interleaved, Al=1: Y quadrants 0/64/128/192 → coef>>1 =
+    // -512/-256/0/256 (diffs -512,+256,+256,+256); Cb 256; Cr -256
+    sosHeader(out, Seq(1, 2, 3), 0, 0, 0, 1)
+    val bw1 = new JBits
+    putDcValue(bw1, -512); putDcValue(bw1, 256); putDcValue(bw1, 256); putDcValue(bw1, 256)
+    putDcValue(bw1, 256); putDcValue(bw1, -256)
+    out.write(bw1.bytes)
+    // DC refine: all DC coefficients even → 6 zero bits
+    sosHeader(out, Seq(1, 2, 3), 0, 0, 1, 0)
+    val bw2 = new JBits; (0 until 6).foreach(_ => bw2.put(0, 1)); out.write(bw2.bytes)
+    // AC first per component at Al=0: Y = EOB4 (code 011 + 2 extra bits 00),
+    // Cb/Cr = EOB0
+    sosHeader(out, Seq(1), 1, 63, 0, 0)
+    val bw3 = new JBits; bw3.put(3, 3); bw3.put(0, 2); out.write(bw3.bytes)
+    sosHeader(out, Seq(2), 1, 63, 0, 0)
+    val bw4 = new JBits; bw4.put(0, 3); out.write(bw4.bytes)
+    sosHeader(out, Seq(3), 1, 63, 0, 0)
+    val bw5 = new JBits; bw5.put(0, 3); out.write(bw5.bytes)
+    out.write(0xFF); out.write(0xD9)
+    val prog = MediaCodecs.jpegDecode(out.toByteArray).get
+    // identical final coefficients as the baseline encoder's version
+    val base = MediaCodecs.jpegDecode(
+      makeJpeg(16, 16, Seq((1, 2, 2), (2, 1, 1), (3, 1, 1))) { (_, c, by, bx) =>
+        if (c == 0) Seq(0, 64, 128, 192)(by * 2 + bx) else if (c == 1) 192 else 64
+      }).get
+    assert(prog._1 == 16 && prog._2 == 16)
+    assert(prog._3.toSeq == base._3.toSeq)
+  }
+
   test("JPEG restart markers: byte-align, consume RSTn, reset DC predictors") {
     import graft.operators.MediaCodecs
     val plain = makeJpeg(16, 8, Seq((1, 1, 1)))((mcu, _, _, _) => if (mcu == 0) 0 else 128)
@@ -356,20 +474,25 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(MediaCodecs.jpegDecode(rst).get._3.toSeq == MediaCodecs.jpegDecode(plain).get._3.toSeq)
   }
 
-  test("JPEG odd dims crop the MCU grid; progressive/truncated rejected cleanly") {
+  test("JPEG odd dims crop the MCU grid; malformed/truncated rejected cleanly") {
     import graft.operators.MediaCodecs
     // 12×6 still needs two MCUs horizontally; output must crop to 12×6
     val odd = makeJpeg(12, 6, Seq((1, 1, 1)))((mcu, _, _, _) => if (mcu == 0) 0 else 128)
     val (w, h, rgb) = MediaCodecs.jpegDecode(odd).get
     assert(w == 12 && h == 6 && rgb.length == 12 * 6 * 3)
     assert((rgb(0) & 0xFF) == 0 && (rgb(11 * 3) & 0xFF) == 128)
-    // flip SOF0 (0xC0) to progressive SOF2 (0xC2): must reject, dims still parse
+    val sof = (0 until odd.length - 1).find(i =>
+      (odd(i) & 0xFF) == 0xFF && (odd(i + 1) & 0xFF) == 0xC0).get
+    // flip SOF0 to SOF2: the baseline Ss=0/Se=63 scan header is invalid in
+    // a progressive frame (DC scans carry only coefficient 0) — reject
     val prog = odd.clone()
-    val sof = (0 until prog.length - 1).find(i =>
-      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
     prog(sof + 1) = 0xC2.toByte
     assert(MediaCodecs.jpegDecode(prog).isEmpty)
     assert(MediaCodecs.imageDims(prog).contains((12, 6)))
+    // arithmetic coding (SOF9) is out of scope — reject
+    val arith = odd.clone()
+    arith(sof + 1) = 0xC9.toByte
+    assert(MediaCodecs.jpegDecode(arith).isEmpty)
     // truncated entropy data must terminate without throwing
     MediaCodecs.jpegDecode(odd.dropRight(6))
   }
