@@ -48,5 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition_stats"),
       (args: Seq[Expression]) => RepetitionStatsExpr(args(0), intArg(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("graft_subword_count"),
+      new ExpressionInfo(classOf[SubwordCountExpr].getName, "graft_subword_count"),
+      (args: Seq[Expression]) => SubwordCountExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_script_counts"),
+      new ExpressionInfo(classOf[ScriptCountsExpr].getName, "graft_script_counts"),
+      (args: Seq[Expression]) => ScriptCountsExpr(args.head)))
   }
 }

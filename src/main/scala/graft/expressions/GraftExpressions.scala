@@ -418,6 +418,68 @@ object Kernels {
     }
     sig
   }
+
+  /** Subword count in ONE byte scan — value parity with
+    * `size(split(trim(text), "\\s+|…lookaround transitions…"))` (the
+    * five-branch regex in TextFunctions), asserted in ExpressionsSpec.
+    * Replicates Spark's split(limit=-1) edge semantics on the space-trimmed
+    * string: a leading regex-whitespace run contributes one empty segment
+    * and so does a trailing one; empty input → 1. All non-ASCII bytes fall
+    * in the "other" class and other→other never splits, so a byte walk and
+    * a codepoint walk agree.
+    */
+  def subwordCount(s: UTF8String): Int = {
+    val t = s.trim() // like Spark's trim(): 0x20 only
+    val n = t.numBytes()
+    if (n == 0) return 1
+    // classes: 0 = regex \s (ASCII), 1 = letter, 2 = digit, 3 = other
+    def cls(b: Byte): Int =
+      if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r') 0
+      else if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) 1
+      else if (b >= '0' && b <= '9') 2
+      else 3
+    var count = 0
+    if (cls(t.getByte(0)) == 0) count += 1     // leading empty segment
+    if (cls(t.getByte(n - 1)) == 0) count += 1 // trailing empty segment
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val c = cls(t.getByte(i))
+      if (c != 0 && (prev == 0 ||
+        (prev == 1 && c == 2) || (prev == 2 && c == 1) ||
+        ((prev == 1 || prev == 2) && c == 3) || (prev == 3 && (c == 1 || c == 2))))
+        count += 1
+      prev = c
+      i += 1
+    }
+    count
+  }
+
+  /** Per-script codepoint counts (TextFunctions.ScriptRanges order: latin,
+    * cyrillic, greek, cjk, arabic, hangul, devanagari) in ONE pass — value
+    * parity with seven `length(regexp_replace(text, "[^range]", ""))`
+    * scans, asserted in ExpressionsSpec. All ranges are BMP, so UTF-16
+    * iteration counts exactly the codepoints the regexes keep (surrogate
+    * halves of astral codepoints match no range on either side).
+    */
+  def scriptCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new Array[Long](7)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= 0x00C0 && c <= 0x024F)) out(0) += 1
+      else if (c >= 0x0400 && c <= 0x04FF) out(1) += 1
+      else if (c >= 0x0370 && c <= 0x03FF) out(2) += 1
+      else if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF)) out(3) += 1
+      else if (c >= 0x0600 && c <= 0x06FF) out(4) += 1
+      else if (c >= 0xAC00 && c <= 0xD7AF) out(5) += 1
+      else if (c >= 0x0900 && c <= 0x097F) out(6) += 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
@@ -590,6 +652,28 @@ case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Double]], 
 }
 
 /** Column-builder surface for the native expressions. */
+case class SubwordCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_subword_count"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.subwordCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.subwordCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): SubwordCountExpr =
+    copy(child = newChild)
+}
+
+case class ScriptCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_script_counts"
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.scriptCounts(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.scriptCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): ScriptCountsExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   def simhash64(c: Column): Column =
     Shim.column(SimHash64Expr(Shim.expression(c)))
@@ -614,4 +698,8 @@ object GraftFunctions {
   def charNgramFreqStats(c: Column, n: Int,
                          table: java.util.HashMap[UTF8String, java.lang.Long]): Column =
     Shim.column(CharNgramFreqStatsExpr(Shim.expression(c), n, table))
+  def subwordCount(c: Column): Column =
+    Shim.column(SubwordCountExpr(Shim.expression(c)))
+  def scriptCounts(c: Column): Column =
+    Shim.column(ScriptCountsExpr(Shim.expression(c)))
 }

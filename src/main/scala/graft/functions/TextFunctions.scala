@@ -20,9 +20,18 @@ object TextFunctions {
 
   /** A BPE-ish subword count: splits on whitespace AND on transitions
     * between letter/digit/other classes, approximating subword segmentation
-    * without a vocab (useful as a cheap token budget estimate).
+    * without a vocab (useful as a cheap token budget estimate). Runs as the
+    * codegen'd one-scan `SubwordCountExpr` — the declarative equivalent
+    * (`subwordCountRegex`, five java.util.regex lookaround branches per
+    * position) is kept as the parity reference and is ~5× slower.
     */
   def subwordCount(text: Column): Column =
+    graft.expressions.GraftFunctions.subwordCount(text)
+
+  /** The original regex formulation of [[subwordCount]] — semantics anchor
+    * for ExpressionsSpec parity; not used on hot paths.
+    */
+  def subwordCountRegex(text: Column): Column =
     size(split(trim(text),
       "\\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])(?=[a-zA-Z0-9])"))
 
@@ -364,11 +373,30 @@ object TextFunctions {
   /** Per-script character counts plus the dominant script — the
     * writing-system profile multilingual pipelines route on (which
     * tokenizer, which language-ID model, which normalization). One narrow
-    * map: each count is a single keep-only regex replace; `dominant` is the
-    * first script (in [[ScriptRanges]] order) reaching the max count,
-    * "none" when no scripted character occurs.
+    * map: ALL seven counts come from a single codegen'd scan
+    * (`ScriptCountsExpr`) instead of seven keep-only regex replaces — the
+    * regex formulation (`scriptProfileRegex`) is kept as the parity
+    * reference; `dominant` is the first script (in [[ScriptRanges]] order)
+    * reaching the max count, "none" when no scripted character occurs.
     */
   def scriptProfile(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val withArr = df.withColumn("__sc", graft.expressions.GraftFunctions.scriptCounts(t))
+    val withCounts = ScriptRanges.zipWithIndex.foldLeft(withArr) {
+      case (acc, ((n, _), i)) => acc.withColumn(n, element_at(col("__sc"), i + 1))
+    }.drop("__sc")
+    val m = greatest(ScriptRanges.map { case (n, _) => col(n) }: _*)
+    val dom = ScriptRanges.foldRight(lit("none"): Column) {
+      case ((n, _), acc) => when(col(n) === m && m > 0, lit(n)).otherwise(acc)
+    }
+    withCounts.withColumn("dominant", dom)
+  }
+
+  /** The original seven-regex formulation of [[scriptProfile]] — semantics
+    * anchor for ExpressionsSpec parity; not used on hot paths.
+    */
+  def scriptProfileRegex(df: org.apache.spark.sql.DataFrame, textCol: String)
       : org.apache.spark.sql.DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val withCounts = ScriptRanges.foldLeft(df) { case (acc, (n, p)) =>

@@ -150,6 +150,41 @@ class ExpressionsSpec extends SparkSpec {
     assert((mask("2012-04-03 10:20:30") & 32) != 0)
   }
 
+  // strings chosen to hit every split/count edge: class transitions, tabs
+  // surviving the space-only trim at both ends (leading/trailing empty
+  // segments), punctuation runs, mixed scripts, astral codepoints (surrogate
+  // pairs), empty and whitespace-only inputs
+  private val trickyTexts = Seq(
+    "abc123 x-y", "hello, world!!", "", " ", "\t", "\ta b\t", "a \t b",
+    "x1y2z3", "...---...", "日本語 text кирилица", "한글과 العربية देवनागरी",
+    "Ωμέγα œuf Ça", "emoji 😀 mix", "a", "1", "-", "  padded  ",
+    "tab\tsep\tvals", "under_score-dash.dot", "\n\n", "M1x3d 4lph4",
+    "ΕΛΛΗΝΙΚΑ ΚΕΦΑΛΑΙΑ", "ひらがな カタカナ 漢字混じり")
+
+  test("subwordCount kernel has exact parity with the lookaround-regex split") {
+    val df = (trickyTexts :+ null).toDF("t")
+    val got = df.select(
+      TextFunctions.subwordCount(col("t")).as("fast"),
+      TextFunctions.subwordCountRegex(col("t")).as("slow"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getInt(0) == r.getInt(1)),
+        s"row $i (${if (i < trickyTexts.length) trickyTexts(i) else "null"}): " +
+          s"fast=${r.get(0)} slow=${r.get(1)}")
+    }
+  }
+
+  test("scriptCounts kernel has exact parity with the seven-regex profile") {
+    val df = trickyTexts.toDF("text")
+    val cols = TextFunctions.ScriptRanges.map(_._1) :+ "dominant"
+    val fast = TextFunctions.scriptProfile(df, "text")
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+    val slow = TextFunctions.scriptProfileRegex(df, "text")
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+    assert(fast.toSeq == slow.toSeq)
+  }
+
   test("SQL surface via SparkSessionExtensions (graft_* functions)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
