@@ -36,7 +36,7 @@ object MediaCodecs {
   // Image dimensions (header-only, all common formats)
   // ------------------------------------------------------------------
 
-  /** (width, height) from PNG / GIF / BMP / JPEG headers. */
+  /** (width, height) from PNG / GIF / BMP / JPEG / WebP headers. */
   def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length >= 24 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
       Some((be32(b, 16), be32(b, 20)))                       // IHDR
@@ -46,7 +46,31 @@ object MediaCodecs {
       Some((le32(b, 18), math.abs(le32(b, 22))))             // BITMAPINFOHEADER
     else if (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
       jpegDims(b)
+    else if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')
+      webpDims(b) // per-variant length guards inside
     else None
+  }
+
+  /** WebP dims from the first chunk: lossy VP8 (frame header after the
+    * 0x9D012A start code), lossless VP8L (14-bit minus-one fields), or
+    * extended VP8X (24-bit minus-one canvas fields).
+    */
+  private def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    val tag = new String(b, 12, 4, "ISO-8859-1")
+    tag match {
+      case "VP8 " if b.length >= 30 &&
+        (b(23) & 0xFF) == 0x9D && (b(24) & 0xFF) == 0x01 && (b(25) & 0xFF) == 0x2A =>
+        Some((le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF))
+      case "VP8L" if b.length >= 25 && (b(20) & 0xFF) == 0x2F =>
+        val v = le32(b, 21)
+        Some(((v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1))
+      case "VP8X" if b.length >= 30 =>
+        val w = (b(24) & 0xFF) | ((b(25) & 0xFF) << 8) | ((b(26) & 0xFF) << 16)
+        val h = (b(27) & 0xFF) | ((b(28) & 0xFF) << 8) | ((b(29) & 0xFF) << 16)
+        Some((w + 1, h + 1))
+      case _ => None
+    }
   }
 
   private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {

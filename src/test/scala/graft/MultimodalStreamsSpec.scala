@@ -110,6 +110,22 @@ class MultimodalStreamsSpec extends SparkSpec {
     val info = MediaCodecs.wavInfo(wav).get
     assert(info.sampleRate == 8000 && info.channels == 1 && info.durationMs == 1000L)
     assert(info.rmsEnvelope.forall(v => math.abs(v - 0.5f) < 0.01f))
+    // WebP: lossy VP8 (start code + 14-bit dims), lossless VP8L (packed
+    // minus-one fields), extended VP8X (24-bit minus-one canvas)
+    def webp(tag: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes ++
+        tag.getBytes ++ Array[Byte](0, 0, 0, 0) ++ payload
+    val vp8 = webp("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      0x40, 0x01, 0xC8.toByte, 0x00)) // 320×200
+    assert(MediaCodecs.imageDims(vp8).contains((320, 200)))
+    val vp8l = webp("VP8L", Array[Byte](0x2F) ++ {
+      val v = (320 - 1) | ((200 - 1) << 14)
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    })
+    assert(MediaCodecs.imageDims(vp8l).contains((320, 200)))
+    val vp8x = webp("VP8X", Array[Byte](0, 0, 0, 0,
+      (640 - 1).toByte, ((640 - 1) >> 8).toByte, 0, (360 - 1).toByte, ((360 - 1) >> 8).toByte, 0))
+    assert(MediaCodecs.imageDims(vp8x).contains((640, 360)))
     // MP4 with 24 + 6 frames in stts
     assert(MediaCodecs.mp4FrameCount(makeMp4(Seq(24, 6))).contains(30))
     // corrupt WAV (negative chunk size) must fail cleanly, not loop
