@@ -68,23 +68,32 @@ object GenScale {
     write(replicate(orders, Map("o_orderkey" -> oS, "o_custkey" -> cS)), "orders")
     write(replicate(lineitem, Map(
       "l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS)), "lineitem")
-    write(replicate(events, Map(
-        "event_id" -> stride(events, "event_id"),
-        "user_id" -> stride(events, "user_id"))), "events")
+    // one agg job per table for the stride maxes (not one per column)
+    val Array(eIdS, eUidS) = {
+      val r = events.agg(max(col("event_id")), max(col("user_id"))).head()
+      Array(r.getLong(0) + 1, r.getLong(1) + 1)
+    }
+    write(replicate(events, Map("event_id" -> eIdS, "user_id" -> eUidS)), "events")
     // per-copy text suffix: copies are NEAR-dups (high jaccard), not exact,
     // so dedup pipelines keep realistic candidate distributions
-    write(replicate(documents, Map("doc_id" -> stride(documents, "doc_id")))
+    val dS = stride(documents, "doc_id")
+    write(replicate(documents, Map("doc_id" -> dS))
       .withColumn("text",
-        when(col("doc_id") >= stride(documents, "doc_id"),
+        when(col("doc_id") >= dS,
           concat(col("text"), lit(" v"), (col("doc_id") % copies).cast("string")))
           .otherwise(col("text"))), "documents")
     // deterministic tiny perturbation keyed on (vec_id, position): copies
-    // are near-neighbors of their originals, not bit-identical
-    write(replicate(embeddings, Map("vec_id" -> stride(embeddings, "vec_id")))
+    // are near-neighbors of their ORIGINALS — copy 0 must stay bit-identical
+    // to the source corpus (like the documents guard above), or upscale-vs-
+    // source ANN comparisons are confounded by the base vectors moving too
+    val vS = stride(embeddings, "vec_id")
+    write(replicate(embeddings, Map("vec_id" -> vS))
       .withColumn("embedding",
-        transform(col("embedding"),
-          (x, i) => (x + (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3))
-            .cast("float") / lit(1000.0f)).cast("float"))), "embeddings")
+        when(col("vec_id") >= vS,
+          transform(col("embedding"),
+            (x, i) => (x + (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3))
+              .cast("float") / lit(1000.0f)).cast("float")))
+          .otherwise(col("embedding"))), "embeddings")
 
     println(s"""{"generated":"$out","copies":$copies,"lineitem_rows":${
       spark.read.parquet(s"$out/lineitem.parquet").count()}}""")

@@ -1348,8 +1348,9 @@ object SparkEntry {
       // memory sink commits a batch atomically, so rows>0 ⇒ complete.
       try {
         val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-        while (s.table(qn).isEmpty && System.nanoTime() < deadline)
+        while (s.table(qn).isEmpty && q.exception.isEmpty && System.nanoTime() < deadline)
           Thread.sleep(100)
+        q.exception.foreach(throw _) // surface the real failure, not a timeout
         require(!s.table(qn).isEmpty, "q133: streaming sessionize produced no output in 120s")
       } finally q.stop()
       s.table(qn)

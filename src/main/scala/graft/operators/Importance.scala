@@ -37,6 +37,12 @@ import graft.functions.TextFunctions.tokens
   */
 object Importance {
 
+  /** Last persist from `resampleTop`'s convenience path — released on the
+    * next call so at most one scored corpus stays cached per session.
+    */
+  private val lastResamplePersist =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** The feature array of one document given its PROJECTED token-array
     * column: unigrams ++ bigrams WITH multiplicity (the paper's count
     * features; single-token docs fall back to the whole text as their
@@ -156,11 +162,19 @@ object Importance {
     // rows — without a persist the whole scoring pipeline (two corpus
     // aggregations + driver collect when fed straight from a scorer) would
     // execute twice. Callers that already know the count pass `totalRows`
-    // and skip both the persist and the counting job; the persist is left in
-    // place deliberately so the top-k job reuses it (unpersist when done).
+    // and skip both the persist and the counting job. The convenience path
+    // has no safe point to unpersist (the returned plan still reads the
+    // cache), so the PREVIOUS call's cache is released here instead —
+    // bounding the session to one resident scored copy rather than leaking
+    // one per call; pass `totalRows` for zero cache residency.
     val src =
       if (totalRows >= 0) scored
-      else scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        val p = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prev = lastResamplePersist.getAndSet(p)
+        if (prev != null && (prev ne p)) prev.unpersist(false)
+        p
+      }
     val n = if (totalRows >= 0) totalRows else src.count()
     val keep = (n * keepPct + 99) / 100
     // limit() is Int-bounded by design (top-k materializes on one node);

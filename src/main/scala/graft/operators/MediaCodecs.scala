@@ -219,20 +219,19 @@ object MediaCodecs {
     // RGB — one task's worth, not a corrupted-header multi-GB allocation)
     if (w.toLong * h > 64L * 1024 * 1024) return None
     val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var off = 0
       while (!inf.finished() && off < raw.length) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
-          inf.end(); return None                             // truncated stream
-        }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None                                        // truncated stream
         off += n
       }
-      inf.end()
       if (off < raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end() // native zlib memory — must release on EVERY path
     // defilter in place into the reconstructed sample plane
     val px = new Array[Byte](stride * h)
     var y = 0
@@ -517,12 +516,20 @@ object MediaCodecs {
 
   private def decodeScan(
       b: Array[Byte], scanStart: Int, w: Int, h: Int,
-      comps: Array[(Int, Int, Int, Int)],
+      sofComps: Array[(Int, Int, Int, Int)],
       quant: Array[Array[Int]], quantSeen: Array[Boolean],
       dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
       scanTabs: Map[Int, (Int, Int)], restartInterval: Int): Option[(Int, Int, Array[Byte])] = {
     // same dimension-bomb guard as pngDecode: cap before allocating planes
     if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    // T.81 A.2: a single-component scan is NON-interleaved — its data unit
+    // raster ignores the declared sampling factors (some encoders emit
+    // 2×2-sampled grayscale; treating that as an MCU grid would expect
+    // phantom padding blocks and desynchronize). Normalizing to 1×1 yields
+    // the identical image for one component.
+    val comps =
+      if (sofComps.length == 1) sofComps.map { case (id, _, _, tq) => (id, 1, 1, tq) }
+      else sofComps
     if (comps.exists { case (_, hs, vs, tq) =>
       hs < 1 || hs > 4 || vs < 1 || vs > 4 || tq > 3 || !quantSeen(tq) }) return None
     val hmax = comps.map(_._2).max
@@ -686,6 +693,11 @@ object MediaCodecs {
       ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Int = {
     if (ss > se || se > 63 || al > 13) return -1
     if (ss == 0 && se != 0) return -1 // T.81: DC scans carry only coefficient 0
+    // table ids are 4-bit nibbles in the stream but the table arrays hold 4
+    // slots — bound-check BEFORE any dcTabs(dt)/acTabs(at) access, or a
+    // corrupt SOS throws instead of returning None (the baseline path has
+    // the same guard)
+    if (scanTabs.valuesIterator.exists { case (dt, at) => dt > 3 || at > 3 }) return -1
     val scanComps = comps.indices.filter(c => scanTabs.contains(comps(c)._1))
     if (scanComps.size != scanTabs.size) return -1
     // interleaved only for full-component DC scans; AC scans single-comp

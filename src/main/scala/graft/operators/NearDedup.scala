@@ -297,14 +297,17 @@ object NearDedup {
     * `maxDf` (boilerplate present in "every" document — the degenerate
     * quadratic key) are pruned BEFORE the self-join by a count-only
     * aggregate + broadcast anti-join, the same guard family as
-    * `bucketedCandidates` and Retrieval's posting cap. A dropped shingle
-    * can only UNDERCOUNT an intersection (|A∪B| still uses the full set
-    * sizes), so the cap never invents a pair — it can only miss pairs whose
-    * entire overlap is corpus-wide boilerplate, which are exactly the pairs
-    * near-dup detection should not fire on. Dropped volume is observable
-    * (`jaccard_dropped_shingles_*`). maxDf <= 0 disables the cap for
-    * exact-audit runs; at 100 TB the LSH paths are the route and this
-    * remains the audit baseline.
+    * `bucketedCandidates` and Retrieval's posting cap. Under the cap, set
+    * sizes are recomputed over the SURVIVING shingles, so the reported
+    * jaccard is EXACT on the boilerplate-free shingle universe — dropped
+    * shingles contribute to neither intersection nor union (an earlier
+    * formulation kept full-universe sizes, which silently deflated the
+    * score of any pair whose overlap was partly boilerplate). The cap
+    * never invents a pair; it misses exactly the pairs whose similarity on
+    * the non-boilerplate universe is below threshold. Dropped volume is
+    * observable (`jaccard_dropped_shingles_*`). maxDf <= 0 disables the
+    * cap for bit-exact classic-jaccard audit runs; at 100 TB the LSH paths
+    * are the route and this remains the audit baseline.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
@@ -324,7 +327,11 @@ object NearDedup {
           sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_shingles"),
           sum(when(col("df") > maxDf, col("df")).otherwise(lit(0L))).as("dropped_occurrences"))
       val hot = dfCounts.filter(col("df") > maxDf).select(col("s"))
-      allTok.join(broadcast(hot), Seq("s"), "left_anti")
+      val kept = allTok.join(broadcast(hot), Seq("s"), "left_anti")
+      // set sizes over the pruned universe (one linear agg + shuffle join),
+      // so i and n count the same shingle population
+      val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("nk"))
+      kept.drop("n").join(sizes, Seq("id")).withColumnRenamed("nk", "n")
     }
     val a = tok.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
     val b = tok.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))

@@ -24,8 +24,15 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       partials: Seq[(String, Column)],
                       merges: Seq[(String, String => Column)]): DataFrame = {
+    // Salt = hash(partition id, all columns): deterministic under task
+    // retry (a retried task re-reads the same partition, so every row gets
+    // the same salt — unlike rand()), yet byte-identical duplicate rows of
+    // a hot key still spread across as many salt buckets as partitions
+    // holding them (hashing the columns alone would give all duplicates ONE
+    // bucket, silently un-salting the degenerate hot key).
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)).cast("int"))
+      pmod(xxhash64(spark_partition_id() +: df.columns.map(col): _*),
+        lit(saltBuckets.toLong)).cast("int"))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._2.as(partials.head._1),
         partials.tail.map { case (n, c) => c.as(n) }: _*)

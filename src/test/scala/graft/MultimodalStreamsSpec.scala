@@ -277,9 +277,13 @@ class MultimodalStreamsSpec extends SparkSpec {
     * huffman tables, any sampling factors, optional restart markers.
     * `value(mcu, comp, by, bx)` gives each block's uniform sample 0..255.
     */
-  private def makeJpeg(w: Int, h: Int, comps: Seq[(Int, Int, Int)],
+  private def makeJpeg(w: Int, h: Int, sofComps: Seq[(Int, Int, Int)],
                        restartInterval: Int = 0)
                       (value: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    // T.81 A.2: a single-component scan is non-interleaved — the data-unit
+    // raster ignores declared sampling (the SOF below still declares it)
+    val comps = if (sofComps.length == 1) sofComps.map { case (id, _, _) => (id, 1, 1) }
+                else sofComps
     val hmax = comps.map(_._2).max
     val vmax = comps.map(_._3).max
     val mcus = ((w + 8 * hmax - 1) / (8 * hmax)) * ((h + 8 * vmax - 1) / (8 * vmax))
@@ -289,7 +293,7 @@ class MultimodalStreamsSpec extends SparkSpec {
     wr(0xFF, 0xDB, 0x00, 0x43, 0x00); (0 until 64).foreach(_ => wr(1))
     wr(0xFF, 0xC0, 0x00, 8 + comps.length * 3, 8,
       h >> 8, h & 0xFF, w >> 8, w & 0xFF, comps.length)
-    comps.foreach { case (id, hs, vs) => wr(id, (hs << 4) | vs, 0) }
+    sofComps.foreach { case (id, hs, vs) => wr(id, (hs << 4) | vs, 0) } // declared sampling
     wr(0xFF, 0xC4, 0x00, 0x1F, 0x00)
     wr(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     (0 to 11).foreach(v => wr(v))
@@ -337,6 +341,17 @@ class MultimodalStreamsSpec extends SparkSpec {
     }
     val hist = MediaCodecs.jpegLuminanceHistogram(jpg).get
     assert(math.abs(hist(0) - 0.5f) < 1e-6 && math.abs(hist(4) - 0.5f) < 1e-6)
+    // grayscale frames DECLARING 2×2 sampling (some encoders do): a
+    // single-component scan is non-interleaved per T.81 A.2 — the block
+    // raster must ignore the sampling factors, not expect phantom padding
+    val sampled = makeJpeg(24, 8, Seq((1, 2, 2)))(
+      (mcu, _, _, _) => Seq(0, 128, 255)(mcu))
+    val (sw2, sh2, spix) = MediaCodecs.jpegDecode(sampled).get
+    assert(sw2 == 24 && sh2 == 8)
+    for (x <- 0 until 24) {
+      val expect = Seq(0, 128, 255)(x / 8)
+      assert((spix(x * 3) & 0xFF) == expect, s"col $x")
+    }
   }
 
   test("JPEG 4:2:0 color: MCU interleave, chroma upsampling, YCbCr→RGB") {
@@ -724,6 +739,58 @@ class MultimodalStreamsSpec extends SparkSpec {
     // ADPCM is lossy but adapts within a few samples; every RMS segment of
     // a constant signal must sit tight on 0.5
     assert(info.rmsEnvelope.forall(v => math.abs(v - 0.5f) < 0.02f), info.rmsEnvelope.toSeq)
+  }
+
+  test("binary parsers never throw on corrupt input (fuzz: random + mutated + truncated)") {
+    import graft.operators.MediaCodecs
+    // at corpus scale the decode stage WILL see garbage; every parser must
+    // return None/empty, never raise
+    val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+      "imageDims" -> (b => MediaCodecs.imageDims(b)),
+      "jpegDecode" -> (b => MediaCodecs.jpegDecode(b)),
+      "pngDecode" -> (b => MediaCodecs.pngDecode(b)),
+      "gifDecode" -> (b => MediaCodecs.gifDecode(b)),
+      "wavInfo" -> (b => MediaCodecs.wavInfo(b)),
+      "mp4FrameCount" -> (b => MediaCodecs.mp4FrameCount(b)),
+      "bmpHist" -> (b => MediaCodecs.bmpLuminanceHistogram(b)))
+    val pal = Array[Byte](0, 0, 0, -1, -1, -1, -1, 0, 0, 0, 0, -1)
+    val seeds: Seq[Array[Byte]] = Seq(
+      makeJpeg(16, 8, Seq((1, 1, 1)))((m, _, _, _) => if (m == 0) 0 else 128),
+      makeJpeg(16, 16, Seq((1, 2, 2), (2, 1, 1), (3, 1, 1)))((_, _, _, _) => 100),
+      { // progressive: mutations hit the multi-scan/table-id/EOB-run guards
+        val out = progHeader(8, 8, Seq((1, 1, 1)))
+        sosHeader(out, Seq(1), 0, 0, 0, 1)
+        val b1 = new JBits; putDcValue(b1, -512); out.write(b1.bytes)
+        sosHeader(out, Seq(1), 1, 63, 0, 0)
+        val b2 = new JBits; b2.put(0, 3); out.write(b2.bytes)
+        out.write(0xFF); out.write(0xD9)
+        out.toByteArray
+      },
+      makeGif(8, 8, pal, minCode = 2)((x, y) => (x + y) % 2),
+      makePng(8, 8, 0, null)((x, _) => Array(if (x < 4) 0 else 255)),
+      makeBmp(8, 8)((_, _) => (10, 20, 30)),
+      makeWav(8000, Array.fill(100)(16384.toShort)),
+      makeAdpcmWav(8000, Array.fill(509)(1000.toShort), 256),
+      makeMp4(Seq(24)))
+    val rnd = new scala.util.Random(20260813L)
+    def check(label: String, bytes: Array[Byte]): Unit =
+      parsers.foreach { case (name, p) =>
+        try p(bytes)
+        catch { case e: Throwable =>
+          fail(s"$name threw ${e.getClass.getSimpleName} on $label: ${e.getMessage}")
+        }
+      }
+    for (i <- 0 until 300) check(s"random#$i",
+      Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+    for ((seed, si) <- seeds.zipWithIndex) {
+      for (m <- 0 until 120) { // single-byte mutations keep headers plausible
+        val mut = seed.clone()
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+        check(s"seed$si/mut#$m", mut)
+      }
+      for (t <- 0 until 20) check(s"seed$si/trunc#$t",
+        seed.take(rnd.nextInt(seed.length)))
+    }
   }
 
   test("decode stage uses real parsers per media type; resizeImages end-to-end") {
