@@ -202,6 +202,79 @@ object SparkEntry {
     (0 until n).foreach { i => out(44 + i * 2) = 0; out(45 + i * 2) = 0x40 } // 16384
     out
   }
+  /** 25 MPEG1 Layer III frames (64 kbps, 32 kHz, mono, 288 bytes each)
+    * behind a 20-byte ID3v2 tag: the frame walk must skip the tag, chain
+    * sync words and sum exact per-frame durations — 25 × 1152/32000 s =
+    * 900 ms exactly.
+    */
+  private def fixtureMp3(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 20))
+    (0 until 20).foreach(_ => out.write(0))
+    for (_ <- 0 until 25) {
+      // FF FB: sync + MPEG1 Layer III; 58: bitrate idx 5 (64k) rate idx 2
+      // (32000) no pad; C0: mono. 144*64000/32000 = 288 bytes.
+      out.write(0xFF); out.write(0xFB); out.write(0x58); out.write(0xC0)
+      (4 until 288).foreach(_ => out.write(0x11))
+    }
+    out.toByteArray
+  }
+  /** FLAC STREAMINFO: 48 kHz stereo, 96000 total samples → 2000 ms. */
+  private def fixtureFlac(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("ISO-8859-1"))
+    out.write(Array[Byte](0x80.toByte, 0, 0, 34))            // last block, type 0, len 34
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(2) = 0x10                               // min/max block 4096
+    si(10) = 0x0B; si(11) = 0xB8.toByte; si(12) = 0x02       // rate 48000, 2 ch
+    si(13) = 0xF0.toByte                                     // 16 bps, total>>32 = 0
+    si(14) = 0x00; si(15) = 0x01; si(16) = 0x77; si(17) = 0x00 // total 96000
+    out.write(si)
+    out.toByteArray
+  }
+  /** Two Ogg pages: Vorbis id header (16 kHz mono) + an EOS page with
+    * granule position 8000 → 500 ms.
+    */
+  private def fixtureOgg(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def page(typ: Int, granule: Long, seq: Int, payload: Array[Byte]): Unit = {
+      out.write("OggS".getBytes("ISO-8859-1")); out.write(0); out.write(typ)
+      (0 until 8).foreach(k => out.write(((granule >> (8 * k)) & 0xFF).toInt))
+      (0 until 4).foreach(_ => out.write(0x42))              // serial
+      (0 until 4).foreach(k => out.write((seq >> (8 * k)) & 0xFF))
+      (0 until 4).foreach(_ => out.write(0))                 // crc (not verified)
+      out.write(1); out.write(payload.length)                // one segment
+      out.write(payload)
+    }
+    val id = new java.io.ByteArrayOutputStream()
+    id.write(1); id.write("vorbis".getBytes("ISO-8859-1"))
+    (0 until 4).foreach(_ => id.write(0))                    // version
+    id.write(1)                                              // channels
+    id.write(Array[Byte](0x80.toByte, 0x3E, 0, 0))           // rate 16000 le32
+    (0 until 12).foreach(_ => id.write(0))                   // bitrates
+    id.write(0x66); id.write(1)                              // blocksizes, framing
+    page(0x02, 0L, 0, id.toByteArray)
+    page(0x04, 8000L, 1, Array[Byte](0))
+    out.toByteArray
+  }
+  /** One second of G.711 at 8 kHz: a constant companded byte whose exact
+    * expansion is known (μ-law 0x80 → +32124, A-law 0xAA → +32256), so the
+    * RMS envelope is the exact binary fraction value/32768.
+    */
+  private def fixtureG711Wav(alaw: Boolean): Array[Byte] = {
+    val rate = 8000; val n = 8000
+    val out = new Array[Byte](44 + n)
+    def tag(i: Int, s: String): Unit = (0 until 4).foreach(k => out(i + k) = s(k).toByte)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    tag(0, "RIFF"); le32(4, 36 + n); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, if (alaw) 6 else 7); le16(22, 1)
+    le32(24, rate); le32(28, rate); le16(32, 1); le16(34, 8)
+    tag(36, "data"); le32(40, n)
+    java.util.Arrays.fill(out, 44, 44 + n, (if (alaw) 0xAA else 0x80).toByte)
+    out
+  }
   private def fixtureMp4(): Array[Byte] = {
     def be32(v: Int): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
@@ -709,8 +782,10 @@ object SparkEntry {
       // exactly 0.5), PNG pixels through inflate + all five scanline
       // filters (hist bin exactly 0.5), baseline-JPEG pixels through the
       // huffman+IDCT path (hist bin exactly 0.5), GIF pixels through the
-      // LZW path (hist bin exactly 0.5), PCM WAV (RMS exactly 0.5), MP4
-      // stts (30 frames)
+      // LZW path (hist bin exactly 0.5), PCM WAV (RMS exactly 0.5), G.711
+      // μ-law/A-law expansion (exact known RMS), MP3 frame walk through an
+      // ID3v2 tag (25 frames, 900 ms), FLAC STREAMINFO (2000 ms), Ogg
+      // granules (500 ms), MP4 stts (30 frames)
       val dir = tmpDir() + "/media_q73"
       new java.io.File(dir).mkdirs()
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bmp"), fixtureBmp())
@@ -719,6 +794,11 @@ object SparkEntry {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.gif"), fixtureGif())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img2.jpg"), fixtureJpegProgressive())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.wav"), fixtureWav())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ulaw.wav"), fixtureG711Wav(alaw = false))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/alaw.wav"), fixtureG711Wav(alaw = true))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.mp3"), fixtureMp3())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.flac"), fixtureFlac())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.ogg"), fixtureOgg())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.mp4"), fixtureMp4())
       val media = graft.operators.Multimodal.readMedia(s, s"$dir/*")
       graft.operators.Multimodal.decode(media).select(
@@ -1580,6 +1660,13 @@ object SparkEntry {
         "('img2.jpg', 'image', 16, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('img.png', 'image', 8, 8, 1, 0, CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('sound.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
+        // G.711 expansions are exact integers over a power-of-two scale:
+        // μ-law 0x80 → 32124/32768, A-law 0xAA → 32256/32768
+        "('ulaw.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.9803466796875 AS DOUBLE)), " +
+        "('alaw.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.984375 AS DOUBLE)), " +
+        "('sound.mp3', 'audio', 0, 0, 25, 32000, CAST(900 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "('sound.flac', 'audio', 0, 0, 1, 48000, CAST(2000 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "('sound.ogg', 'audio', 0, 0, 1, 16000, CAST(500 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
         "('clip.mp4', 'video', 0, 0, 30, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) " +
         "AS t(file, media_type, width, height, n_frames, sample_rate, duration_ms, f0)"),
     "q72_top_terms" ->

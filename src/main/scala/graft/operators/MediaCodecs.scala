@@ -13,13 +13,17 @@ package graft.operators
   *    with EOB runs, dequantization, 8×8 IDCT, chroma upsampling,
   *    YCbCr→RGB, restart markers — ITU T.81, written from the spec);
   *  - full GIF pixel decode (GIF89a LZW, interlace, frame composite);
-  *  - WAV: PCM and mono IMA-ADPCM (a real compressed-audio decompressor),
-  *    with an 8-segment RMS envelope (a real audio feature, not a hash);
+  *  - WAV: PCM, mono IMA-ADPCM and G.711 μ-law/A-law (real compressed-
+  *    audio decompressors), with an 8-segment RMS envelope (a real audio
+  *    feature, not a hash);
+  *  - MP3 / FLAC / Ogg-Vorbis: sample rate, channels, frame count and
+  *    exact duration from the framing layer (MPEG frame walk, STREAMINFO,
+  *    granule positions) — real stream metadata without payload decode;
   *  - MP4: frame count of the video track from the `stts` box sums.
   *
-  * Perceptual-codec audio/video (MP3 frames, H.264) still falls back to
-  * `Multimodal.decodeStub` — that boundary is the honest stub; everything
-  * here is exercised against hand-built fixtures.
+  * Perceptual-codec PAYLOAD decode (MP3 waveforms, H.264 pixels) still
+  * falls back to `Multimodal.decodeStub` — that boundary is the honest
+  * stub; everything here is exercised against hand-built fixtures.
   */
 object MediaCodecs {
 
@@ -1161,8 +1165,26 @@ object MediaCodecs {
     java.util.Arrays.copyOf(out, outPos)
   }
 
-  /** Parse a RIFF/WAVE file; for 16-bit PCM and mono IMA ADPCM (format
-    * 0x11, decompressed for real — see `imaAdpcmDecode`) also compute an
+  // G.711 companded telephony audio (ITU-T G.711, the CCITT reference
+  // expansion formulas): 8-bit log-PCM → 16-bit linear. A real decode —
+  // these two are the only compressed WAV formats besides IMA ADPCM that
+  // need no codec library.
+  private[graft] def ulawToPcm(u8: Int): Int = {
+    val u = ~u8 & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+  private[graft] def alawToPcm(a8: Int): Int = {
+    val a = a8 ^ 0x55
+    val seg = (a >> 4) & 7
+    val t = ((a & 0x0F) << 4) + (if (seg == 0) 8 else 0x108)
+    val v = if (seg <= 1) t else t << (seg - 1)
+    if ((a & 0x80) != 0) v else -v
+  }
+
+  /** Parse a RIFF/WAVE file; for 16-bit PCM, mono IMA ADPCM (format
+    * 0x11, decompressed for real — see `imaAdpcmDecode`) and G.711
+    * μ-law/A-law (formats 7/6, expanded for real) also compute an
     * 8-segment RMS envelope (normalized to [0,1]) — a real audio feature.
     */
   def wavInfo(b: Array[Byte]): Option[WavInfo] = {
@@ -1195,6 +1217,11 @@ object MediaCodecs {
           if (bits == 16) rmsEnvelope8(len / 2, s => le16(b, off + s * 2).toShort.toDouble / 32768.0)
           else new Array[Float](8)
         Some(WavInfo(rate, ch, bits, durationMs, env))
+      } else if ((af == 6 || af == 7) && ch > 0 && rate > 0 && bits == 8) {
+        val dec: Int => Int = if (af == 7) ulawToPcm else alawToPcm
+        val durationMs = len * 1000L / (rate.toLong * ch)
+        Some(WavInfo(rate, ch, bits, durationMs,
+          rmsEnvelope8(len, s => dec(b(off + s) & 0xFF).toDouble / 32768.0)))
       } else if (af == 0x11 && ch == 1 && rate > 0 && bits == 4 &&
         blockAlign >= 8 && spb > 0 && spb <= (blockAlign - 4) * 2 + 1 && len >= blockAlign) {
         val pcm = imaAdpcmDecode(b, off, len, blockAlign, spb)
@@ -1204,6 +1231,153 @@ object MediaCodecs {
       } else None
     }
   }
+
+  // ------------------------------------------------------------------
+  // Compressed-audio STREAM metadata: MP3 frame walk, FLAC STREAMINFO,
+  // Ogg/Vorbis granule positions. No payload decode (the entropy-coded
+  // audio itself needs a codec library), but sample rate / channels /
+  // frame count / duration are all in the framing layer, which is a pure
+  // byte scan — so the metadata is REAL, not stubbed.
+  // ------------------------------------------------------------------
+
+  /** Stream-level audio metadata. `frames` is the MP3 frame count (1 for
+    * FLAC/Ogg, whose framing is not walked).
+    */
+  case class AudioStreamInfo(format: String, sampleRate: Int, channels: Int,
+                             frames: Int, durationMs: Long)
+
+  // MPEG audio frame tables (ISO/IEC 11172-3 §2.4.2.3 / 13818-3).
+  // Rows: [version][layer] with version 0=MPEG1, 1=MPEG2/2.5; layer 0=I,
+  // 1=II, 2=III. Bitrate index 0 = "free format" (rejected: frame length
+  // is then unknowable without walking to the next sync).
+  private val Mp3Bitrates: Array[Array[Array[Int]]] = Array(
+    Array( // MPEG1
+      Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)),
+    Array( // MPEG2 / 2.5
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+  private val Mp3Rates: Array[Array[Int]] = Array(
+    Array(44100, 48000, 32000),   // MPEG1
+    Array(22050, 24000, 16000),   // MPEG2
+    Array(11025, 12000, 8000))    // MPEG2.5
+
+  /** Walk MPEG audio (MP3/MP2/MP1) frames: skip a leading ID3v2 tag, then
+    * require ≥2 back-to-back valid frame headers (a single 11-bit sync in
+    * arbitrary bytes is a ~1-in-2k false positive; two chained frames is
+    * the standard disambiguation), sum exact per-frame durations
+    * (samplesPerFrame / sampleRate — correct for CBR and VBR alike, no
+    * Xing header needed). Stops at the first non-frame byte (tag padding,
+    * truncation), reporting what was walked.
+    */
+  def mp3Info(b: Array[Byte]): Option[AudioStreamInfo] = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2 size is 4 sync-safe (7-bit) bytes; +10 header (+10 footer flag)
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) | ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      i = 10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
+      if (i < 0 || i >= b.length) return None
+    }
+    // (frameLen, samplesPerFrame, sampleRate, channels) of the header at i
+    def frame(i: Int): Option[(Int, Int, Int, Int)] = {
+      if (i + 4 > b.length || (b(i) & 0xFF) != 0xFF || (b(i + 1) & 0xE0) != 0xE0) return None
+      val verBits = (b(i + 1) >> 3) & 3        // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layerBits = (b(i + 1) >> 1) & 3      // 1=III, 2=II, 3=I
+      if (verBits == 1 || layerBits == 0) return None
+      val v = if (verBits == 3) 0 else 1
+      val layer = 3 - layerBits                // 0=I, 1=II, 2=III
+      val bi = (b(i + 2) >> 4) & 0xF
+      val ri = (b(i + 2) >> 2) & 3
+      if (bi == 0 || bi == 15 || ri == 3) return None
+      val kbps = Mp3Bitrates(v)(layer)(bi)
+      val rate = Mp3Rates(if (verBits == 3) 0 else if (verBits == 2) 1 else 2)(ri)
+      val pad = (b(i + 2) >> 1) & 1
+      val ch = if (((b(i + 3) >> 6) & 3) == 3) 1 else 2
+      val len =
+        if (layer == 0) (12 * kbps * 1000 / rate + pad) * 4
+        else {
+          // Layer III in MPEG2/2.5 halves the frame to 576 samples
+          val coef = if (layer == 2 && v == 1) 72 else 144
+          coef * kbps * 1000 / rate + pad
+        }
+      val spf = if (layer == 0) 384 else if (layer == 2 && v == 1) 576 else 1152
+      if (len <= 4) None else Some((len, spf, rate, ch))
+    }
+    val first = frame(i).filter { case (len, _, _, _) => frame(i + len).isDefined }
+    first.map { case (_, _, rate0, ch0) =>
+      var frames = 0
+      var usec = 0L // exact integer microseconds; ms division once at the end
+      var p = i
+      var ok = true
+      while (ok) frame(p) match {
+        case Some((len, spf, rate, _)) if p + len <= b.length =>
+          frames += 1; usec += spf * 1000000L / rate; p += len
+        case _ => ok = false
+      }
+      AudioStreamInfo("mp3", rate0, ch0, frames, usec / 1000)
+    }
+  }
+
+  /** FLAC STREAMINFO (the mandatory first metadata block): sample rate
+    * (20 bits), channels (3), and the 36-bit total-sample count → exact
+    * duration. Per the format spec <https://xiph.org/flac/format.html>.
+    */
+  def flacInfo(b: Array[Byte]): Option[AudioStreamInfo] = {
+    if (b.length < 8 + 34 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    if ((b(4) & 0x7F) != 0) return None                      // first block must be STREAMINFO
+    val len = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+    if (len < 34) return None
+    val o = 8
+    val rate = ((b(o + 10) & 0xFF) << 12) | ((b(o + 11) & 0xFF) << 4) | ((b(o + 12) & 0xFF) >> 4)
+    val ch = ((b(o + 12) >> 1) & 7) + 1
+    val total = ((b(o + 13) & 0x0F).toLong << 32) |
+      ((b(o + 14) & 0xFF).toLong << 24) | ((b(o + 15) & 0xFF).toLong << 16) |
+      ((b(o + 16) & 0xFF).toLong << 8) | (b(o + 17) & 0xFF).toLong
+    if (rate <= 0) None
+    else Some(AudioStreamInfo("flac", rate, ch, 1, total * 1000L / rate))
+  }
+
+  /** Ogg/Vorbis: sample rate + channels from the Vorbis identification
+    * header on the first page (RFC 3533 framing, Vorbis I §4.2.2), total
+    * samples from the LAST page's granule position (which for Vorbis IS
+    * the absolute sample count) → exact duration.
+    */
+  def oggVorbisInfo(b: Array[Byte]): Option[AudioStreamInfo] = {
+    def isPage(i: Int): Boolean =
+      i + 27 <= b.length && b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+        b(i + 3) == 'S' && b(i + 4) == 0
+    if (!isPage(0)) return None
+    val nseg = b(26) & 0xFF
+    val body = 27 + nseg
+    if (body + 30 > b.length) return None
+    // first packet: type 0x01 + "vorbis" + version(4) + ch(1) + rate(4)
+    if (b(body) != 1 || b(body + 1) != 'v' || b(body + 2) != 'o' || b(body + 3) != 'r' ||
+      b(body + 4) != 'b' || b(body + 5) != 'i' || b(body + 6) != 's') return None
+    val ch = b(body + 11) & 0xFF
+    val rate = le32(b, body + 12)
+    if (rate <= 0 || ch <= 0) return None
+    // last page's granule: scan page-by-page (pages self-describe their
+    // length via the segment table, so this is one linear walk, no rescan)
+    var granule = 0L
+    var i = 0
+    while (isPage(i)) {
+      val g = (0 until 8).foldLeft(0L)((acc, k) => acc | ((b(i + 6 + k) & 0xFFL) << (8 * k)))
+      if (g != -1L) granule = g
+      val ns = b(i + 26) & 0xFF
+      if (i + 27 + ns > b.length) return Some(AudioStreamInfo("ogg", rate, ch, 1, granule * 1000L / rate))
+      var sz = 27 + ns
+      var k = 0
+      while (k < ns) { sz += b(i + 27 + k) & 0xFF; k += 1 }
+      i += sz
+    }
+    Some(AudioStreamInfo("ogg", rate, ch, 1, granule * 1000L / rate))
+  }
+
+  /** Dispatch across the compressed-audio metadata parsers. */
+  def audioStreamInfo(b: Array[Byte]): Option[AudioStreamInfo] =
+    flacInfo(b).orElse(oggVorbisInfo(b)).orElse(mp3Info(b))
 
   // ------------------------------------------------------------------
   // MP4: video-track frame count from stts

@@ -71,10 +71,11 @@ object Multimodal {
 
   /** Decode one blob: REAL parsing where no codec library is needed
     * (PNG/GIF/BMP/JPEG header dims; full pixel histograms for BMP, PNG,
-    * baseline AND progressive JPEG, GIF; PCM + IMA-ADPCM WAV info with RMS
-    * envelope; MP4 stts frame count — see MediaCodecs), deterministic stub
-    * otherwise (the remaining stub surface is perceptual-codec audio/video:
-    * MP3, H.264).
+    * baseline AND progressive JPEG, GIF; PCM + IMA-ADPCM + G.711 WAV info
+    * with RMS envelope; MP3/FLAC/Ogg stream metadata — rate, channels,
+    * frames, exact duration; MP4 stts frame count — see MediaCodecs),
+    * deterministic stub otherwise (the remaining stub surface is
+    * perceptual-codec PAYLOAD decode: MP3 waveforms, H.264 pixels).
     */
   def decodeOne(path: String, mediaType: String, content: Array[Byte]): Row = mediaType match {
     case "image" =>
@@ -93,7 +94,15 @@ object Multimodal {
       MediaCodecs.wavInfo(content) match {
         case Some(w) =>
           Row(path, mediaType, 0, 0, 1, w.sampleRate, w.durationMs, w.rmsEnvelope.toSeq)
-        case None => decodeStub(path, mediaType, content)
+        case None => MediaCodecs.audioStreamInfo(content) match {
+          // framing-layer metadata (MP3 frame walk / FLAC STREAMINFO / Ogg
+          // granules) is real; the waveform would need a codec, so the
+          // feature is an explicit zero envelope, not a fake
+          case Some(a) =>
+            Row(path, mediaType, 0, 0, a.frames, a.sampleRate, a.durationMs,
+              Seq.fill(8)(0f))
+          case None => decodeStub(path, mediaType, content)
+        }
       }
     case "video" =>
       MediaCodecs.mp4FrameCount(content) match {

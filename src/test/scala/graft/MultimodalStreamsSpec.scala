@@ -741,6 +741,114 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(info.rmsEnvelope.forall(v => math.abs(v - 0.5f) < 0.02f), info.rmsEnvelope.toSeq)
   }
 
+  /** `frames` MPEG1 Layer III frames (64 kbps / 32 kHz / mono → 288 bytes,
+    * 36 ms each), optionally behind an ID3v2 tag of `id3Pad` content bytes.
+    */
+  private def makeMp3(frames: Int, id3Pad: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Pad > 0) {
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      // sync-safe size
+      out.write((id3Pad >> 21) & 0x7F); out.write((id3Pad >> 14) & 0x7F)
+      out.write((id3Pad >> 7) & 0x7F); out.write(id3Pad & 0x7F)
+      (0 until id3Pad).foreach(_ => out.write(0xFF)) // worst case: tag full of syncs
+    }
+    for (_ <- 0 until frames) {
+      out.write(0xFF); out.write(0xFB); out.write(0x58); out.write(0xC0)
+      (4 until 288).foreach(_ => out.write(0x22))
+    }
+    out.toByteArray
+  }
+
+  private def makeFlac(rate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    val out = new Array[Byte](8 + 34)
+    "fLaC".getBytes("ISO-8859-1").copyToArray(out)
+    out(4) = 0x80.toByte; out(7) = 34
+    out(8 + 10) = (rate >> 12).toByte
+    out(8 + 11) = ((rate >> 4) & 0xFF).toByte
+    out(8 + 12) = (((rate & 0xF) << 4) | ((channels - 1) << 1) | (15 >> 4)).toByte
+    out(8 + 13) = ((15 << 4) | ((totalSamples >> 32) & 0xF)).toInt.toByte
+    (0 until 4).foreach(k => out(8 + 14 + k) = ((totalSamples >> (8 * (3 - k))) & 0xFF).toByte)
+    out
+  }
+
+  private def makeOgg(rate: Int, channels: Int, granule: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def page(typ: Int, g: Long, seq: Int, payload: Array[Byte]): Unit = {
+      out.write("OggS".getBytes("ISO-8859-1")); out.write(0); out.write(typ)
+      (0 until 8).foreach(k => out.write(((g >> (8 * k)) & 0xFF).toInt))
+      (0 until 4).foreach(_ => out.write(7))
+      (0 until 4).foreach(k => out.write((seq >> (8 * k)) & 0xFF))
+      (0 until 4).foreach(_ => out.write(0))
+      out.write(1); out.write(payload.length); out.write(payload)
+    }
+    val id = new java.io.ByteArrayOutputStream()
+    id.write(1); id.write("vorbis".getBytes("ISO-8859-1"))
+    (0 until 4).foreach(_ => id.write(0))
+    id.write(channels)
+    (0 until 4).foreach(k => id.write((rate >> (8 * k)) & 0xFF))
+    (0 until 12).foreach(_ => id.write(0))
+    id.write(0x66); id.write(1)
+    page(0x02, 0L, 0, id.toByteArray)
+    page(0x00, granule / 2, 1, Array[Byte](0)) // mid page: granule must not win
+    page(0x04, granule, 2, Array[Byte](0))
+    out.toByteArray
+  }
+
+  private def makeG711Wav(ulaw: Boolean, rate: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    def tag(i: Int, s: String): Unit = (0 until 4).foreach(k => out(i + k) = s(k).toByte)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    tag(0, "RIFF"); le32(4, 36 + data.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, if (ulaw) 7 else 6); le16(22, 1)
+    le32(24, rate); le32(28, rate); le16(32, 1); le16(34, 8)
+    tag(36, "data"); le32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  test("G.711 μ-law/A-law: spec expansion vectors and WAV envelope") {
+    import graft.operators.MediaCodecs
+    // CCITT G.711 reference vectors: μ-law 0x00 → -32124, 0x80 → +32124,
+    // 0xFF → 0; A-law 0x55 → -8, 0xAA → +32256, 0xD5 → +8
+    assert(MediaCodecs.ulawToPcm(0x00) == -32124)
+    assert(MediaCodecs.ulawToPcm(0x80) == 32124)
+    assert(MediaCodecs.ulawToPcm(0xFF) == 0)
+    assert(MediaCodecs.alawToPcm(0x55) == -8)
+    assert(MediaCodecs.alawToPcm(0xAA) == 32256)
+    assert(MediaCodecs.alawToPcm(0xD5) == 8)
+    val u = MediaCodecs.wavInfo(makeG711Wav(ulaw = true, 8000, Array.fill(4000)(0x80.toByte))).get
+    assert(u.sampleRate == 8000 && u.bitsPerSample == 8 && u.durationMs == 500)
+    assert(u.rmsEnvelope.forall(v => math.abs(v - 32124f / 32768f) < 1e-6))
+    val a = MediaCodecs.wavInfo(makeG711Wav(ulaw = false, 8000, Array.fill(8000)(0xAA.toByte))).get
+    assert(a.durationMs == 1000 && a.rmsEnvelope.forall(v => math.abs(v - 32256f / 32768f) < 1e-6))
+  }
+
+  test("MP3/FLAC/Ogg stream metadata: frame walk, STREAMINFO, granules") {
+    import graft.operators.MediaCodecs
+    // MP3: ID3v2 skipped even when the tag body is full of 0xFF sync bytes;
+    // 25 × 1152/32000 s = 900 ms exactly
+    val mp3 = MediaCodecs.mp3Info(makeMp3(25, id3Pad = 64)).get
+    assert(mp3.format == "mp3" && mp3.sampleRate == 32000 && mp3.channels == 1)
+    assert(mp3.frames == 25 && mp3.durationMs == 900)
+    // truncated final frame: walk reports only the complete frames
+    assert(MediaCodecs.mp3Info(makeMp3(3).dropRight(10)).get.frames == 2)
+    // a lone sync in garbage must NOT parse (two chained frames required)
+    assert(MediaCodecs.mp3Info(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x58, 0xC0.toByte) ++
+      Array.fill(300)(0x00.toByte)).isEmpty)
+    val flac = MediaCodecs.flacInfo(makeFlac(48000, 2, 96000L)).get
+    assert(flac.sampleRate == 48000 && flac.channels == 2 && flac.durationMs == 2000)
+    val ogg = MediaCodecs.oggVorbisInfo(makeOgg(16000, 1, 8000L)).get
+    assert(ogg.sampleRate == 16000 && ogg.channels == 1 && ogg.durationMs == 500)
+    // dispatcher routes each format
+    assert(MediaCodecs.audioStreamInfo(makeMp3(2)).exists(_.format == "mp3"))
+    assert(MediaCodecs.audioStreamInfo(makeFlac(44100, 1, 44100L)).exists(_.format == "flac"))
+    assert(MediaCodecs.audioStreamInfo(makeOgg(8000, 2, 4000L)).exists(_.format == "ogg"))
+    assert(MediaCodecs.audioStreamInfo(Array.fill(64)(0x33.toByte)).isEmpty)
+  }
+
   test("binary parsers never throw on corrupt input (fuzz: random + mutated + truncated)") {
     import graft.operators.MediaCodecs
     // at corpus scale the decode stage WILL see garbage; every parser must
@@ -752,7 +860,8 @@ class MultimodalStreamsSpec extends SparkSpec {
       "gifDecode" -> (b => MediaCodecs.gifDecode(b)),
       "wavInfo" -> (b => MediaCodecs.wavInfo(b)),
       "mp4FrameCount" -> (b => MediaCodecs.mp4FrameCount(b)),
-      "bmpHist" -> (b => MediaCodecs.bmpLuminanceHistogram(b)))
+      "bmpHist" -> (b => MediaCodecs.bmpLuminanceHistogram(b)),
+      "audioStreamInfo" -> (b => MediaCodecs.audioStreamInfo(b)))
     val pal = Array[Byte](0, 0, 0, -1, -1, -1, -1, 0, 0, 0, 0, -1)
     val seeds: Seq[Array[Byte]] = Seq(
       makeJpeg(16, 8, Seq((1, 1, 1)))((m, _, _, _) => if (m == 0) 0 else 128),
@@ -771,6 +880,10 @@ class MultimodalStreamsSpec extends SparkSpec {
       makeBmp(8, 8)((_, _) => (10, 20, 30)),
       makeWav(8000, Array.fill(100)(16384.toShort)),
       makeAdpcmWav(8000, Array.fill(509)(1000.toShort), 256),
+      makeG711Wav(ulaw = true, 8000, Array.fill(100)(0x80.toByte)),
+      makeMp3(2, id3Pad = 16),
+      makeFlac(48000, 2, 96000L),
+      makeOgg(16000, 1, 8000L),
       makeMp4(Seq(24)))
     val rnd = new scala.util.Random(20260813L)
     def check(label: String, bytes: Array[Byte]): Unit =
