@@ -282,8 +282,42 @@ object SparkEntry {
       be32(8 + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
     val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12))
     val stts = box("stts", be32(0) ++ be32(1) ++ be32(30) ++ be32(1000))
+    // mvhd v0: timescale 1000 ticks/s, duration 1234 ticks → 1234 ms
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(1234))
     box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
-      box("moov", box("trak", box("mdia", hdlr) ++ box("minf", box("stbl", stts))))
+      box("moov", mvhd ++ box("trak", box("mdia", hdlr) ++ box("minf", box("stbl", stts))))
+  }
+  /** AVI with 48 frames at 40000 µs/frame → 1920 ms. */
+  private def fixtureAvi(): Array[Byte] = {
+    val avih = new Array[Byte](64)
+    def le32(o: Int, v: Int): Unit = { avih(o) = v.toByte; avih(o + 1) = (v >> 8).toByte
+      avih(o + 2) = (v >> 16).toByte; avih(o + 3) = (v >> 24).toByte }
+    "avih".getBytes("ISO-8859-1").copyToArray(avih)
+    // avih payload layout: dwMicroSecPerFrame@0, dwTotalFrames@16
+    le32(4, 56); le32(8, 40000); le32(24, 48)   // size, µs/frame, dwTotalFrames
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++ avih
+    val list = "LIST".getBytes("ISO-8859-1") ++
+      Array[Byte](hdrl.length.toByte, 0, 0, 0) ++ hdrl
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    val total = 4 + list.length
+    out.write(total & 0xFF); out.write((total >> 8) & 0xFF)
+    out.write((total >> 16) & 0xFF); out.write((total >> 24) & 0xFF)
+    out.write("AVI ".getBytes("ISO-8859-1")); out.write(list)
+    out.toByteArray
+  }
+  /** WebM (Matroska) with Info Duration 1500.0 ticks at the default
+    * 1 ms TimestampScale → 1500 ms.
+    */
+  private def fixtureWebm(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(bytes: Int*): Unit = bytes.foreach(v => out.write(v & 0xFF))
+    wr(0x1A, 0x45, 0xDF, 0xA3, 0x80)                       // EBML header, empty
+    wr(0x18, 0x53, 0x80, 0x67, 0x94)                       // Segment, size 20
+    wr(0x15, 0x49, 0xA9, 0x66, 0x8F)                       // Info, size 15
+    wr(0x2A, 0xD7, 0xB1, 0x84, 0x00, 0x0F, 0x42, 0x40)     // TimestampScale 1e6 ns
+    wr(0x44, 0x89, 0x84, 0x44, 0xBB, 0x80, 0x00)           // Duration f32 1500.0
+    out.toByteArray
   }
 
   /** Flagship query (driver smoke-checks rows>0 at sf0.001): revenue per
@@ -785,7 +819,8 @@ object SparkEntry {
       // LZW path (hist bin exactly 0.5), PCM WAV (RMS exactly 0.5), G.711
       // μ-law/A-law expansion (exact known RMS), MP3 frame walk through an
       // ID3v2 tag (25 frames, 900 ms), FLAC STREAMINFO (2000 ms), Ogg
-      // granules (500 ms), MP4 stts (30 frames)
+      // granules (500 ms), MP4 stts + mvhd (30 frames, 1234 ms), AVI avih
+      // (48 frames, 1920 ms), WebM Info duration (1500 ms)
       val dir = tmpDir() + "/media_q73"
       new java.io.File(dir).mkdirs()
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img.bmp"), fixtureBmp())
@@ -800,6 +835,8 @@ object SparkEntry {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.flac"), fixtureFlac())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sound.ogg"), fixtureOgg())
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.mp4"), fixtureMp4())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.avi"), fixtureAvi())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/clip.webm"), fixtureWebm())
       val media = graft.operators.Multimodal.readMedia(s, s"$dir/*")
       graft.operators.Multimodal.decode(media).select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
@@ -1468,6 +1505,45 @@ object SparkEntry {
         .writeStream.format("memory").queryName(qn).outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select(col("user_id"), col("event_type"))
+    }),
+    "q135_html_extract" -> ((s, d) => {
+      // WARC→WET extraction: wrap each document's text in a realistic HTML
+      // shell (head/title/style/script boilerplate, entity-escaped body,
+      // named + numeric entities, a comment), then extract visible text
+      // with the single-pass codegen'd kernel. Round-trip oracle: the
+      // boilerplate must vanish, the body must come back exactly as the
+      // whitespace-canonicalized original — DuckDB replays the expected
+      // output directly from `text` without an HTML parser.
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p { color: red; }</style>" +
+          "<script>if (1 < 2) { var x = \"</p>\"; }</script></head>" +
+          "<body><h1>Doc "), col("doc_id"),
+        lit("</h1><p id=\"b\" data-x=\"a>b\">"), esc,
+        lit("</p><p>x &amp; y &lt;z&gt; &#65;&#x21;</p>" +
+          "<!-- hidden --></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Html.htmlToText(html).as("text_out"))
+    }),
+    "q136_html_title_links" -> ((s, d) => {
+      // title + href harvesting (the link-graph side of crawl extraction):
+      // titles via the RE2-safe <title> regex, hrefs in document order
+      // with attribute entities decoded. Links joined to one string (array
+      // cells break the driver compare).
+      val html = concat(
+        lit("<html><head><title>  Doc "), col("doc_id"), lit(" of "),
+        col("source"),
+        lit(" </title></head><body><a href=\"https://ex.org/d/"),
+        col("doc_id"),
+        lit("\">first</a><p><A CLASS=\"z\" HREF=\"https://ex.org/s/"),
+        col("source"), lit("?a=1&amp;b=2\">second</A></p>" +
+          "<a href=\"#frag\">third</a></body></html>"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.Html.htmlTitle(html).as("title"),
+        array_join(graft.functions.Html.htmlLinks(html), "|").as("links"))
     }))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
@@ -1667,7 +1743,9 @@ object SparkEntry {
         "('sound.mp3', 'audio', 0, 0, 25, 32000, CAST(900 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
         "('sound.flac', 'audio', 0, 0, 1, 48000, CAST(2000 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
         "('sound.ogg', 'audio', 0, 0, 1, 16000, CAST(500 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
-        "('clip.mp4', 'video', 0, 0, 30, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) " +
+        "('clip.mp4', 'video', 0, 0, 30, 0, CAST(1234 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "('clip.avi', 'video', 0, 0, 48, 0, CAST(1920 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "('clip.webm', 'video', 0, 0, 1, 0, CAST(1500 AS BIGINT), CAST(0.0 AS DOUBLE))) " +
         "AS t(file, media_type, width, height, n_frames, sample_rate, duration_ms, f0)"),
     "q72_top_terms" ->
       ("WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
@@ -1700,6 +1778,23 @@ object SparkEntry {
         "max(t) AS session_end, count(*) AS events FROM s GROUP BY user_id, sid"),
     "q134_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // round-trip ground truth: boilerplate must vanish, body must come back
+    // as the whitespace-canonicalized original (chain mirrors
+    // Kernels.htmlToText's canonicalization exactly)
+    "q135_html_extract" ->
+      ("WITH nrm AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[ \\t\\r]+', ' ', 'g'), " +
+        "' ?\\n ?', chr(10), 'g'), " +
+        "'\\n+', chr(10), 'g'), " +
+        "'^[\\n ]+|[\\n ]+$', '', 'g') AS t FROM documents) " +
+        "SELECT doc_id, 'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
+        "CASE WHEN t = '' THEN '' ELSE t || chr(10) END || " +
+        "'x & y <z> A!' AS text_out FROM nrm"),
+    "q136_html_title_links" ->
+      ("SELECT doc_id, 'Doc ' || doc_id || ' of ' || source AS title, " +
+        "'https://ex.org/d/' || doc_id || '|https://ex.org/s/' || source || " +
+        "'?a=1&b=2|#frag' AS links FROM documents"),
     "q133_sessionize_stream" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

@@ -1427,4 +1427,137 @@ object MediaCodecs {
       }
     }.collectFirst { case Some(n) => n }
   }
+
+  /** Presentation duration from `moov/mvhd` (ISO 14496-12 §8.2.2):
+    * duration-in-timescale-ticks / timescale, exact ms. Handles both
+    * version 0 (32-bit times) and version 1 (64-bit) boxes.
+    */
+  def mp4DurationMs(b: Array[Byte]): Option[Long] = {
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var i = lo
+      def hasNext: Boolean = i + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size = be32(b, i)
+        val typ = new String(b, i + 4, 4, "ISO-8859-1")
+        val end = if (size <= 0) hi else math.min(i + size, hi)
+        val r = (typ, i + 8, end)
+        i = math.max(end, i + 8)
+        r
+      }
+    }
+    if (b.length < 8) return None
+    boxes(0, b.length).collectFirst { case ("moov", s, e) =>
+      boxes(s, e).collectFirst { case ("mvhd", ms, me) if ms + 4 <= me =>
+        val version = b(ms) & 0xFF
+        if (version == 0 && ms + 20 <= me) {
+          val timescale = be32(b, ms + 12)
+          val dur = be32(b, ms + 16).toLong & 0xFFFFFFFFL
+          if (timescale > 0) Some(dur * 1000L / timescale) else None
+        } else if (version == 1 && ms + 32 <= me) {
+          val timescale = be32(b, ms + 20)
+          val dur = ((be32(b, ms + 24).toLong & 0xFFFFFFFFL) << 32) |
+            (be32(b, ms + 28).toLong & 0xFFFFFFFFL)
+          if (timescale > 0) Some(dur * 1000L / timescale) else None
+        } else None
+      }.flatten
+    }.flatten
+  }
+
+  /** AVI main header (`avih` inside `LIST hdrl`): (total frames,
+    * duration ms = frames × µs-per-frame / 1000). A plain RIFF walk —
+    * same chunk grammar as WAV, so same guards.
+    */
+  def aviInfo(b: Array[Byte]): Option[(Int, Long)] = {
+    def tag(i: Int, t: String): Boolean =
+      i + 4 <= b.length && b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+    if (b.length < 24 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    // walk chunks, descending into LISTs (their payload starts after the
+    // 4-byte list type)
+    def walk(lo: Int, hi: Int): Option[(Int, Long)] = {
+      var i = lo
+      while (i + 8 <= hi) {
+        val size = le32(b, i + 4)
+        if (size < 0) return None
+        val end = math.min(hi.toLong, i + 8L + size).toInt
+        if (tag(i, "LIST")) {
+          val r = walk(i + 12, end)
+          if (r.isDefined) return r
+        } else if (tag(i, "avih") && i + 8 + 56 <= end) {
+          val usPerFrame = le32(b, i + 8).toLong & 0xFFFFFFFFL
+          val frames = le32(b, i + 24)
+          if (frames >= 0) return Some((frames, frames * usPerFrame / 1000L))
+        }
+        i = end + (size & 1)
+        if (end <= i - (size & 1) - 1) return None           // no forward progress
+      }
+      None
+    }
+    walk(12, b.length)
+  }
+
+  /** Matroska/WebM duration from `Segment → Info → Duration` (a float in
+    * `TimestampScale` ns ticks, default 1 ms tick). EBML varint parsing
+    * from the public spec (RFC 8794); only the two container elements on
+    * the path are descended into, everything else is skipped by size.
+    */
+  def mkvDurationMs(b: Array[Byte]): Option[Long] = {
+    // (value, width); raw keeps the marker bit (element IDs compare raw)
+    def vint(i: Int, raw: Boolean): Option[(Long, Int)] = {
+      if (i >= b.length) return None
+      val first = b(i) & 0xFF
+      if (first == 0) return None                            // >8-byte varint
+      val len = Integer.numberOfLeadingZeros(first) - 23     // 1..8
+      if (i + len > b.length) return None
+      var v = if (raw) first.toLong else (first & (0xFF >>> len)).toLong
+      var k = 1
+      while (k < len) { v = (v << 8) | (b(i + k) & 0xFF); k += 1 }
+      Some((v, len))
+    }
+    def unknownSize(v: Long, len: Int): Boolean = v == (1L << (7 * len)) - 1
+    // returns (timestampScaleNs, durationTicks) found under [lo, hi)
+    def walk(lo: Int, hi: Int, depth: Int): (Option[Long], Option[Double]) = {
+      var scale: Option[Long] = None
+      var dur: Option[Double] = None
+      var i = lo
+      while (i < hi && (scale.isEmpty || dur.isEmpty)) {
+        val parsed = for {
+          (id, idLen) <- vint(i, raw = true)
+          (sz, szLen) <- vint(i + idLen, raw = false)
+        } yield (id, sz, szLen, idLen + szLen)
+        parsed match {
+          case None => return (scale, dur)
+          case Some((id, sz, szLen, hdr)) =>
+            val start = i + hdr
+            val end =
+              if (unknownSize(sz, szLen)) hi // streamed Segment: to end of buffer
+              else math.min(hi.toLong, start + sz).toInt
+            id match {
+              case 0x18538067L if depth == 0 =>              // Segment
+                val (s2, d2) = walk(start, end, 1)
+                scale = scale.orElse(s2); dur = dur.orElse(d2)
+              case 0x1549A966L if depth == 1 =>              // Info
+                val (s2, d2) = walk(start, end, 2)
+                scale = scale.orElse(s2); dur = dur.orElse(d2)
+              case 0x2AD7B1L if depth == 2 =>                // TimestampScale
+                var v = 0L
+                var k = start
+                while (k < end && k < start + 8) { v = (v << 8) | (b(k) & 0xFF); k += 1 }
+                if (v > 0) scale = Some(v)
+              case 0x4489L if depth == 2 =>                  // Duration (float)
+                if (end - start == 4) dur = Some(java.lang.Float.intBitsToFloat(be32(b, start)).toDouble)
+                else if (end - start == 8) dur = Some(java.lang.Double.longBitsToDouble(
+                  ((be32(b, start).toLong & 0xFFFFFFFFL) << 32) | (be32(b, start + 4).toLong & 0xFFFFFFFFL)))
+              case _ => ()
+            }
+            if (end <= i) return (scale, dur)                // no forward progress
+            i = end
+        }
+      }
+      (scale, dur)
+    }
+    if (b.length < 4) return None
+    val (scale, dur) = walk(0, b.length, 0)
+    dur.filter(d => d >= 0 && !d.isNaN && !d.isInfinite)
+      .map(d => (d * scale.getOrElse(1000000L) / 1e6).toLong)
+  }
 }

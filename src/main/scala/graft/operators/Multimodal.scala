@@ -105,11 +105,16 @@ object Multimodal {
         }
       }
     case "video" =>
-      MediaCodecs.mp4FrameCount(content) match {
-        case Some(n) => Row(path, mediaType, 0, 0, n, 0, 0L,
-          decodeStub(path, mediaType, content).getAs[Seq[Float]](7))
-        case None => decodeStub(path, mediaType, content)
-      }
+      // container-layer truth: MP4 stts frames + mvhd duration, AVI avih
+      // frames × µs-per-frame, MKV/WebM Info duration
+      val avi = MediaCodecs.aviInfo(content)
+      val frames = MediaCodecs.mp4FrameCount(content).orElse(avi.map(_._1))
+      val durMs = MediaCodecs.mp4DurationMs(content)
+        .orElse(avi.map(_._2))
+        .orElse(MediaCodecs.mkvDurationMs(content))
+      if (frames.isEmpty && durMs.isEmpty) decodeStub(path, mediaType, content)
+      else Row(path, mediaType, 0, 0, frames.getOrElse(1), 0, durMs.getOrElse(0L),
+        decodeStub(path, mediaType, content).getAs[Seq[Float]](7))
     case _ => decodeStub(path, mediaType, content)
   }
 

@@ -11,6 +11,44 @@ import graft.functions.{TextFunctions, VectorFunctions}
 class ExpressionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("htmlToText: tags, raw-text elements, entities, whitespace, edge cases") {
+    def x(html: String): String =
+      Seq(html).toDF("h").select(GraftFunctions.htmlToText(col("h"))).as[String].head()
+    // block vs inline tags: block boundaries become line breaks
+    assert(x("<p>a</p><p>b</p>") == "a\nb")
+    assert(x("a<b>bold</b>c") == "a bold c")
+    // script/style bodies vanish even when they contain tag-like strings
+    assert(x("""<script>if (1 < 2) { var x = "</p>"; }</script>after""") == "after")
+    assert(x("<style>p { color: red; }</style>text") == "text")
+    assert(x("<SCRIPT>x</SCRIPT>y") == "y")        // case-insensitive close
+    assert(x("<scripture>verse</scripture>") == "verse") // name-boundary check
+    // quoted '>' inside an attribute does not close the tag
+    assert(x("""<p data-x="a>b">inner</p>""") == "inner")
+    // comments and doctype vanish
+    assert(x("<!DOCTYPE html>a<!-- note -->b") == "a b")
+    // entities: named, decimal, hex, unknown kept literal, amp not rescanned
+    assert(x("x &amp; y &lt;z&gt; &#65;&#x21; &bogus; &amp;lt;") == "x & y <z> A! &bogus; &lt;")
+    // lone '<' is text (HTML5 tokenizer behavior)
+    assert(x("1 < 2 and 3 > 2") == "1 < 2 and 3 > 2")
+    // whitespace canonicalization: runs collapse, edges trim
+    assert(x("<p>  a\t b </p>\n\n<p> c </p>") == "a b\nc")
+    // unterminated structures fail soft, never loop
+    assert(x("<p>a<script>never closed") == "a")
+    assert(x("a<p unclosed") == "a")
+    assert(x("a<!-- unclosed") == "a")
+    // null in, null out
+    val nullOut = Seq(Option.empty[String]).toDF("h")
+      .select(GraftFunctions.htmlToText(col("h"))).collect()(0)
+    assert(nullOut.isNullAt(0))
+    // title + links surface
+    val row = Seq("""<html><head><title> T </title></head><body><a href="u?a=1&amp;b=2">l</a><A HREF="v">m</A></body></html>""")
+      .toDF("h")
+      .select(graft.functions.Html.htmlTitle(col("h")).as("t"),
+        array_join(graft.functions.Html.htmlLinks(col("h")), "|").as("l"))
+      .as[(String, String)].head()
+    assert(row == (("T", "u?a=1&b=2|v")))
+  }
+
   test("cosine expression matches the HOF formulation bit-exactly") {
     val rnd = new scala.util.Random(1)
     val vecs = Seq.fill(50)((Seq.fill(16)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian())))

@@ -134,6 +134,47 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(MediaCodecs.wavInfo(bad).isEmpty)
   }
 
+  test("video container durations: MP4 mvhd v0/v1, AVI avih, Matroska Info") {
+    import graft.operators.MediaCodecs
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    // MP4 mvhd v0: timescale 600, duration 900 ticks -> 1500 ms
+    val mvhd0 = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(900))
+    val mp4v0 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++ box("moov", mvhd0)
+    assert(MediaCodecs.mp4DurationMs(mp4v0).contains(1500L))
+    // mvhd v1: 64-bit creation/modification times, timescale 1000, duration 2500
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      be32(1000) ++ be32(0) ++ be32(2500))
+    val mp4v1 = box("moov", mvhd1)
+    assert(MediaCodecs.mp4DurationMs(mp4v1).contains(2500L))
+    // AVI: avih payload has dwMicroSecPerFrame@0, dwTotalFrames@16
+    val avih = new Array[Byte](64)
+    def le32(o: Int, v: Int): Unit = { avih(o) = v.toByte; avih(o + 1) = (v >> 8).toByte
+      avih(o + 2) = (v >> 16).toByte; avih(o + 3) = (v >> 24).toByte }
+    "avih".getBytes("ISO-8859-1").copyToArray(avih)
+    le32(4, 56); le32(8, 33333); le32(24, 60)
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++ avih
+    val avi = "RIFF".getBytes("ISO-8859-1") ++
+      Array[Byte]((8 + hdrl.length).toByte, 0, 0, 0) ++
+      "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ Array[Byte](hdrl.length.toByte, 0, 0, 0) ++ hdrl
+    assert(MediaCodecs.aviInfo(avi).contains((60, 1999L))) // 60 * 33333 / 1000
+    // Matroska: Segment > Info > TimestampScale(1e6 ns) + Duration f32 750.0
+    def eb(bytes: Int*): Array[Byte] = bytes.map(v => (v & 0xFF).toByte).toArray
+    val mkv = eb(0x1A, 0x45, 0xDF, 0xA3, 0x80) ++
+      eb(0x18, 0x53, 0x80, 0x67, 0x94) ++
+      eb(0x15, 0x49, 0xA9, 0x66, 0x8F) ++
+      eb(0x2A, 0xD7, 0xB1, 0x84, 0x00, 0x0F, 0x42, 0x40) ++
+      eb(0x44, 0x89, 0x84) ++ be32(java.lang.Float.floatToIntBits(750.0f))
+    assert(MediaCodecs.mkvDurationMs(mkv).contains(750L))
+    // truncated inputs fail cleanly
+    assert(MediaCodecs.mp4DurationMs(mp4v0.take(10)).isEmpty)
+    assert(MediaCodecs.aviInfo(avi.take(16)).isEmpty)
+    assert(MediaCodecs.mkvDurationMs(mkv.take(7)).isEmpty)
+  }
+
   test("bmp pixel feature and resize are real") {
     import graft.operators.MediaCodecs
     // left half black, right half white -> histogram mass in bins 0 and 7
