@@ -1544,6 +1544,23 @@ object SparkEntry {
         col("doc_id"),
         graft.functions.Html.htmlTitle(html).as("title"),
         array_join(graft.functions.Html.htmlLinks(html), "|").as("links"))
+    }),
+    "q137_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: sparse (inverted-index tf·1/df, q130's ranker)
+      // and dense (brute-force cosine, q50's ranker) candidate lists for
+      // the same query ids, fused by reciprocal rank — the standard
+      // lexical+embedding combination (RAG / retrieval-curation stage).
+      // Integer ranks → 1/(60+r) arithmetic is bit-replayable by DuckDB.
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val sparse = graft.operators.Retrieval.sparseTfIdfTopK(
+          docs, "doc_id", "text", docs.filter(col("doc_id") < 3), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = VectorFunctions.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(sparse, dense, k = 10)
     }))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
@@ -1795,6 +1812,38 @@ object SparkEntry {
       ("SELECT doc_id, 'Doc ' || doc_id || ' of ' || source AS title, " +
         "'https://ex.org/d/' || doc_id || '|https://ex.org/s/' || source || " +
         "'?a=1&b=2|#frag' AS links FROM documents"),
+    // replays BOTH upstream rankers (q130's sparse CTEs, q50's cosine
+    // CTEs) at k=20, then the fusion arithmetic: CAST(1 AS DOUBLE) guards
+    // against DuckDB's DECIMAL literal parsing
+    "q137_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
+qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE doc_id < 3),
+sc AS (SELECT q.query_id, tf.doc_id, CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score
+  FROM qtf q JOIN dft USING (t) JOIN tf USING (t)
+  WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id),
+sp AS (SELECT query_id, doc_id, rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+  WHERE rank <= 20),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+  CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(v, x -> x * x))) = 0.0 THEN 0.0
+       ELSE list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(v, x -> x * x)))) END AS c
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id),
+de AS (SELECT query_id, neighbor_id AS doc_id, rank FROM
+  (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank FROM scored)
+  WHERE rank <= 20),
+f AS (SELECT coalesce(sp.query_id, de.query_id) AS query_id,
+  coalesce(sp.doc_id, de.doc_id) AS doc_id,
+  coalesce(CAST(1 AS DOUBLE) / (60 + sp.rank), CAST(0 AS DOUBLE)) +
+  coalesce(CAST(1 AS DOUBLE) / (60 + de.rank), CAST(0 AS DOUBLE)) AS rrf_score
+  FROM sp FULL JOIN de ON sp.query_id = de.query_id AND sp.doc_id = de.doc_id)
+SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+WHERE rank <= 10""",
     "q133_sessionize_stream" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

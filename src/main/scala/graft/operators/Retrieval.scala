@@ -124,4 +124,36 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two ranked
+    * candidate lists — the standard way to combine lexical and embedding
+    * retrieval without score calibration: fused = Σ 1/(c + rank), summing
+    * only over the lists where the document appears (a full outer join;
+    * absence contributes 0). Rank is scale-free, so BM25 scores and
+    * cosines need no normalization to be fused.
+    *
+    * Inputs are (query_id, doc_id, rank) — the output shape of
+    * [[keywordTopK]]/[[sparseTfIdfTopK]] and `VectorFunctions.*TopK` —
+    * so any ranker pair composes. Scale shape: inputs are candidate
+    * lists (≤ k·queries rows each, corpus-independent), so the join and
+    * per-query window touch candidates only; the corpus-sized work
+    * happened inside the upstream rankers. Arithmetic is 1/(c+rank) with
+    * integer ranks: correctly-rounded IEEE division and one addition —
+    * bit-replayable by any engine (no ln, no float accumulation).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, "rrfFuse needs k > 0 and c >= 0")
+    val left = a.select(col("query_id"), col("doc_id"), col("rank").as("__ra"))
+    val right = b.select(col("query_id"), col("doc_id"), col("rank").as("__rb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    left.join(right, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0d) / (lit(c) + col("__ra")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(c) + col("__rb")), lit(0.0d)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"), col("rank"))
+  }
 }

@@ -149,4 +149,23 @@ class TokenizerRetrievalSpec extends SparkSpec {
     val merges = Vocab.train(docs, "text", nMerges = 12)
     assert(merges.nonEmpty && merges.size <= 12)
   }
+
+  test("rrfFuse: doc in both lists outranks single-list docs; absence scores 0") {
+    import graft.operators.Retrieval
+    // query 1: doc 10 is rank 2 in both lists; doc 11 rank 1 sparse only,
+    // doc 12 rank 1 dense only. 2/(60+2) > 1/(60+1) so doc 10 must win.
+    val sparse = Seq((1L, 11L, 1), (1L, 10L, 2), (2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 12L, 1), (1L, 10L, 2), (2L, 21L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val q1 = out.filter(_._1 == 1L)
+    assert(q1.map(_._2) == Seq(10L, 11L, 12L)) // both-lists doc first, then doc_id tiebreak
+    assert(q1.head._3 == 2.0 / 62.0)
+    assert(q1(1)._3 == 1.0 / 61.0 && q1(2)._3 == 1.0 / 61.0)
+    // query 2: one doc per list, tie broken by doc_id
+    assert(out.filter(_._1 == 2L).map(_._2) == Seq(20L, 21L))
+    // k truncates
+    assert(Retrieval.rrfFuse(sparse, dense, k = 1).filter(col("query_id") === 1).count() == 1L)
+  }
 }
