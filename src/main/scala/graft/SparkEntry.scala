@@ -1561,6 +1561,45 @@ object SparkEntry {
           emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       graft.operators.Retrieval.rrfFuse(sparse, dense, k = 10)
+    }),
+    "q138_crawl_pipeline" -> ((s, d) => {
+      // the end-to-end crawl-curation composite — every stage is an
+      // operator that is ALSO individually oracle-green: URL → registered
+      // domain (q114's chain), deterministic per-domain quota (q99's
+      // capPerGroup), HTML shell → single-pass extraction (q135's shell),
+      // token/word-length quality floor, exact dedup on the canonical
+      // fingerprint of the EXTRACTED text (q45's md5 twin). One pipeline,
+      // one oracle replaying all five stages.
+      val docs = t(s, d, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://www.")).otherwise(lit("http://sub.")),
+        col("source"),
+        when(col("doc_id") % 2 === 0, lit(".co.uk:443/d/")).otherwise(lit(".org:80/d/")),
+        col("doc_id").cast(StringType))
+      val withDomain = docs.withColumn("domain",
+        graft.functions.UrlFunctions.registeredDomain(graft.functions.UrlFunctions.urlHost(url)))
+      val capped = graft.operators.Sampling.capPerGroup(
+        withDomain, col("domain"), k = 10, tieBreak = col("doc_id")).drop("rk")
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p { color: red; }</style>" +
+          "<script>if (1 < 2) { var x = \"</p>\"; }</script></head>" +
+          "<body><h1>Doc "), col("doc_id"),
+        lit("</h1><p id=\"b\" data-x=\"a>b\">"), esc,
+        lit("</p><p>x &amp; y &lt;z&gt; &#65;&#x21;</p>" +
+          "<!-- hidden --></body></html>"))
+      val gated = capped
+        .withColumn("text_out", graft.functions.Html.htmlToText(html))
+        .withColumn("__toks", split(trim(col("text_out")), "\\s+"))
+        .withColumn("n_words", size(col("__toks")).cast(LongType))
+        .withColumn("mwl",
+          aggregate(col("__toks"), lit(0L), (acc, x) => acc + length(x))
+            .cast(DoubleType) / col("n_words"))
+        .filter(col("n_words") >= 10 && col("mwl").between(2.0, 12.0))
+      graft.operators.NearDedup.exactDedupMd5(gated, "doc_id", "text_out")
+        .select(col("doc_id"), col("domain"), col("n_words"))
     }))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
@@ -1844,6 +1883,44 @@ f AS (SELECT coalesce(sp.query_id, de.query_id) AS query_id,
 SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
 WHERE rank <= 10""",
+    // five-stage replay: domain (q114's chain), quota (q99's), extraction
+    // round-trip (q135's), word-count/mean-word-length floor, md5 dedup
+    "q138_crawl_pipeline" ->
+      s"""WITH u AS (SELECT doc_id, text,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://sub.' END) || source ||
+  (CASE WHEN doc_id % 2 = 0 THEN '.co.uk:443/d/' ELSE '.org:80/d/' END) ||
+  CAST(doc_id AS VARCHAR) AS url FROM documents),
+hp AS (SELECT doc_id, text,
+  lower(regexp_replace(regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2), '^[^@]*@', ''), ':[0-9]*$$', '')) AS host FROM u),
+dm AS (SELECT doc_id, text,
+  CASE WHEN len(str_split(host, '.')) >= 3
+        AND (str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]) IN
+          ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'co.jp', 'ne.jp', 'or.jp',
+           'com.au', 'net.au', 'org.au', 'co.nz', 'com.br', 'com.cn', 'com.mx',
+           'co.in', 'co.kr', 'com.sg', 'com.tr', 'com.ar')
+    THEN str_split(host, '.')[-3] || '.' || str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]
+    WHEN len(str_split(host, '.')) >= 2
+    THEN str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]
+    ELSE host END AS domain FROM hp),
+cap AS (SELECT doc_id, text, domain FROM
+  (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY ${portableHash60Sql("doc_id")}, doc_id) AS rk FROM dm)
+  WHERE rk <= 10),
+eo AS (SELECT doc_id, domain,
+  'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
+  CASE WHEN t = '' THEN '' ELSE t || chr(10) END || 'x & y <z> A!' AS text_out FROM
+  (SELECT doc_id, domain,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      '[ \\t\\r]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'), '\\n+', chr(10), 'g'),
+      '^[\\n ]+|[\\n ]+$$', '', 'g') AS t FROM cap) x),
+g AS (SELECT doc_id, domain, text_out,
+  CAST(len(regexp_split_to_array(trim(text_out), '\\s+')) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(regexp_split_to_array(trim(text_out), '\\s+'), w -> length(w))) AS DOUBLE)
+    / len(regexp_split_to_array(trim(text_out), '\\s+')) AS mwl FROM eo),
+gt AS (SELECT * FROM g WHERE n_words >= 10 AND mwl BETWEEN 2.0 AND 12.0),
+fp AS (SELECT *, md5(lower(trim(regexp_replace(text_out, '\\s+', ' ', 'g')))) AS f FROM gt)
+SELECT doc_id, domain, n_words FROM
+  (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+WHERE rn = 1""",
     "q133_sessionize_stream" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

@@ -417,4 +417,16 @@ object TextFunctions {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** zlib compression ratio of the text (compressed/raw bytes) — the
+    * redundancy quality signal from the Gopher/RedPajama filter families:
+    * degenerate repetition and templated boilerplate compress far below
+    * natural prose, so a low ratio flags low-information documents that
+    * token-level repetition stats can miss (long-range repeats). Codegen'd
+    * single pass (`DeflateRatioExpr`); deterministic within a JVM but not
+    * SQL-replayable, so its verification is spec-level like [[Retrieval
+    * .bm25TopK]]'s float path.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.expressions.GraftFunctions.deflateRatio(text)
 }

@@ -277,4 +277,28 @@ class LlmOpsSpec extends SparkSpec {
       .as[String].head()
     assert(out == "Good long sentence here.\nAnother fine sentence!")
   }
+
+  test("compressionRatio: repetition compresses below prose, bounded, deterministic") {
+    val rnd = new scala.util.Random(7)
+    val prose = Seq.fill(200)(rnd.nextPrintableChar()).mkString // high-entropy
+    val df = Seq(
+      ("rep", "spam " * 400),
+      ("prose", prose),
+      ("empty", "")).toDF("k", "text")
+    val m = df.select(col("k"), TextFunctions.compressionRatio(col("text")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(m("rep") < 0.05, s"repetition ratio ${m("rep")} not tiny")
+    assert(m("prose") > 0.5, s"high-entropy ratio ${m("prose")} unexpectedly low")
+    assert(m("rep") < m("prose"))
+    assert(m("empty") == 1.0)
+    assert(m.values.forall(r => r > 0.0 && r <= 1.5)) // deflate overhead bound
+    // deterministic across evaluations
+    val again = df.select(TextFunctions.compressionRatio(col("text")).as("r"))
+      .as[Double].collect().sorted
+    assert(again.toSeq == m.values.toSeq.sorted)
+    // null in, null out
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.compressionRatio(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }

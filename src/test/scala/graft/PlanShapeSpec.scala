@@ -134,4 +134,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"unexpected heavy join in:\n$p")
   }
+
+  test("q135 HTML extraction is a pure narrow map — zero exchanges, codegen'd") {
+    val p = planOf("q135_html_extract")
+    assert(!p.contains("Exchange"), s"shuffle in a narrow extraction:\n$p")
+    // the '*(n)' prefix is executedPlan.toString's whole-stage-codegen marker
+    assert(p.contains("*(1) Project"), s"extraction fell out of codegen:\n$p")
+  }
+
+  test("q137 RRF fusion: no partition-pair cartesian; query side meets corpus broadcast-only") {
+    val p = planOf("q137_hybrid_rrf")
+    // a CartesianProduct would mean two big sides met pairwise; the
+    // BroadcastNestedLoopJoins that DO appear are bruteForceTopK's
+    // deliberate corpus × broadcast(tiny query set) scan — the correct
+    // brute-force ANN shape. Fusion's own full-outer join is
+    // candidate-sized by construction (≤ k·queries rows per side).
+    assert(!p.contains("CartesianProduct"), s"partition-pair cartesian in:\n$p")
+    assert(p.contains("BroadcastExchange"), s"query side not broadcast in:\n$p")
+  }
 }
