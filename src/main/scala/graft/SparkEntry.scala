@@ -1600,6 +1600,32 @@ object SparkEntry {
         .filter(col("n_words") >= 10 && col("mwl").between(2.0, 12.0))
       graft.operators.NearDedup.exactDedupMd5(gated, "doc_id", "text_out")
         .select(col("doc_id"), col("domain"), col("n_words"))
+    }),
+    "q139_warc_to_wet" -> ((s, d) => {
+      // the authentic raw-crawl chain: write WARC RESPONSE records (full
+      // HTTP envelopes around the q135 HTML shell), shard-parallel
+      // re-ingest, split the HTTP envelope, extract visible text — i.e.
+      // the actual WARC→WET conversion CommonCrawl publishes, end to end.
+      // Oracle: q135's expected-extraction formula keyed by URI doc id.
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p { color: red; }</style>" +
+          "<script>if (1 < 2) { var x = \"</p>\"; }</script></head>" +
+          "<body><h1>Doc "), col("doc_id"),
+        lit("</h1><p id=\"b\" data-x=\"a>b\">"), esc,
+        lit("</p><p>x &amp; y &lt;z&gt; &#65;&#x21;</p>" +
+          "<!-- hidden --></body></html>"))
+      val out = tmpDir() + "/warc_raw"
+      graft.sources.Warc.writeWarcResponses(
+        t(s, d, "documents").select(
+          concat(lit("https://corpus.local/doc/"), col("doc_id").cast(StringType)).as("uri"),
+          html.as("html")),
+        "uri", "html", out)
+      graft.sources.Warc.warcToWet(s, out)
+        .select(regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("text").as("text_out"))
     }))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
@@ -1921,6 +1947,18 @@ fp AS (SELECT *, md5(lower(trim(regexp_replace(text_out, '\\s+', ' ', 'g')))) AS
 SELECT doc_id, domain, n_words FROM
   (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
 WHERE rn = 1""",
+    // same expected-extraction ground truth as q135 — the WARC envelope and
+    // HTTP split must be lossless around it
+    "q139_warc_to_wet" ->
+      ("WITH nrm AS (SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[ \\t\\r]+', ' ', 'g'), " +
+        "' ?\\n ?', chr(10), 'g'), " +
+        "'\\n+', chr(10), 'g'), " +
+        "'^[\\n ]+|[\\n ]+$', '', 'g') AS t FROM documents) " +
+        "SELECT doc_id, 'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
+        "CASE WHEN t = '' THEN '' ELSE t || chr(10) END || " +
+        "'x & y <z> A!' AS text_out FROM nrm"),
     "q133_sessionize_stream" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

@@ -110,6 +110,61 @@ object Warc {
     * sink's record terminator is legal inter-record padding, which
     * `parseRecords` skips.
     */
+  /** Read WARC **response** records (the raw-crawl format: each payload is
+    * a full HTTP response) and split the HTTP envelope declaratively:
+    * status code, media type from the Content-Type header, and the body
+    * after the first blank line. Same file-at-a-time scale shape as
+    * [[readWet]]; the envelope split is a narrow map over the payload.
+    */
+  def readWarcResponses(spark: SparkSession, path: String): DataFrame = {
+    val sep = instr(col("payload"), "\r\n\r\n")
+    val headers = substring_index(col("payload"), "\r\n\r\n", 1)
+    readWet(spark, path)
+      .filter(col("warc_type") === "response")
+      .withColumn("http_status",
+        regexp_extract(col("payload"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))
+      .withColumn("content_type",
+        lower(trim(regexp_extract(headers, "(?i)(?:^|\\r\\n)Content-Type:\\s*([^;\\r\\n]+)", 1))))
+      .withColumn("body",
+        when(sep > 0, col("payload").substr(sep + lit(4),
+          length(col("payload")))).otherwise(lit(null)))
+      .select(col("file"), col("target_uri"), col("http_status"),
+        col("content_type"), col("body"))
+  }
+
+  /** Write (uri, html) rows as WARC response records wrapping a minimal
+    * 200 HTTP envelope — the raw-crawl sibling of [[writeWet]] (fixture
+    * and export shape; Content-Length covers the whole HTTP payload).
+    */
+  def writeWarcResponses(df: DataFrame, uriCol: String, htmlCol: String,
+                         path: String): Unit = {
+    val html = coalesce(col(htmlCol), lit(""))
+    val uri = regexp_replace(coalesce(col(uriCol), lit("")), "[\\r\\n]", "")
+    val payload = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+      html)
+    df.select(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        octet_length(payload).cast("string"),
+        lit("\r\n\r\n"),
+        payload,
+        lit("\r\n")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** The full WARC→WET conversion: successful `text/html` responses →
+    * visible text (single-pass codegen'd extraction) in [[writeWet]]'s
+    * (uri, text) shape — compose with it to produce WET shards. Narrow
+    * maps end to end after the shard-parallel read.
+    */
+  def warcToWet(spark: SparkSession, path: String): DataFrame =
+    readWarcResponses(spark, path)
+      .filter(col("http_status") === 200 && col("content_type") === "text/html")
+      .select(col("target_uri").as("uri"),
+        graft.functions.Html.htmlToText(col("body")).as("text"))
+
   def writeWet(df: DataFrame, uriCol: String, textCol: String,
                path: String): Unit = {
     // NULLs would propagate through concat into a NULL record and abort

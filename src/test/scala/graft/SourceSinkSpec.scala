@@ -232,4 +232,34 @@ class SourceSinkSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic") ||
       spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static")
   }
+
+  test("warcToWet keeps only 200 text/html responses and splits the HTTP envelope") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warcresp").toString
+    def record(uri: String, status: String, ctype: String, body: String): String = {
+      val payload = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\nX-Other: y\r\n\r\n$body"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n"
+    }
+    val member = record("https://a/1", "200 OK", "text/html; charset=utf-8",
+        "<p>kept &amp; extracted</p>") ++
+      record("https://a/2", "404 Not Found", "text/html", "<p>gone</p>") ++
+      record("https://a/3", "200 OK", "image/png", "PNG") ++
+      record("https://a/4", "200 OK", "TEXT/HTML", "<p>case kept</p>")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.warc"),
+      member.getBytes("UTF-8"))
+    val got = Warc.warcToWet(spark, dir)
+      .orderBy("uri").as[(String, String)].collect().toSeq
+    assert(got == Seq("https://a/1" -> "kept & extracted",
+      "https://a/4" -> "case kept"))
+    // the envelope split itself: status and media type come back typed
+    val resp = Warc.readWarcResponses(spark, dir)
+      .select("target_uri", "http_status", "content_type")
+      .orderBy("target_uri").as[(String, Int, String)].collect().toSeq
+    assert(resp == Seq(("https://a/1", 200, "text/html"),
+      ("https://a/2", 404, "text/html"),
+      ("https://a/3", 200, "image/png"),
+      ("https://a/4", 200, "text/html")))
+  }
 }
