@@ -1626,7 +1626,14 @@ object SparkEntry {
       graft.sources.Warc.warcToWet(s, out)
         .select(regexp_extract(col("uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
           col("text").as("text_out"))
-    }))
+    }),
+    "q140_ngram_containment" -> ((s, d) =>
+      // asymmetric near-dup: shingle-set containment |A∩B|/|A| — catches
+      // quotes/excerpts that Jaccard's symmetric denominator dilutes.
+      // Bounded slice because the oracle replays it all-pairs (q46's deal).
+      NearDedup.ngramContainmentPairs(
+        t(s, d, "documents").filter(col("doc_id") < 600), "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
     * each query several times in one session).
@@ -1754,6 +1761,18 @@ object SparkEntry {
         "SELECT doc_id, lang, source, n_chars FROM all_docs WHERE doc_id IN " +
         "(SELECT min(doc_id) FROM all_docs GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"),
     "q46_ngram_jaccard" -> ngramJaccardOracleSql,
+    "q140_ngram_containment" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(
+  CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
+       THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
+       ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+         i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i:i+2], ' ')) END) AS s
+  FROM documents WHERE doc_id < 600),
+pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+  len(list_intersect(a.s, b.s)) AS i, len(a.s) AS n_a
+  FROM sh a, sh b WHERE a.doc_id <> b.doc_id)
+SELECT contained_id, container_id, round(CAST(i AS DOUBLE) / n_a, 4) AS containment
+FROM pairs WHERE CAST(i AS DOUBLE) / n_a >= 0.6""",
     "q50_cosine_topk" -> cosineTopkOracleSql,
     "q54_flatten_json" ->
       ("SELECT * FROM (VALUES (48.8, 'flo', CAST(1 AS BIGINT)), (51.5, 'dou', CAST(2 AS BIGINT))) " +

@@ -309,30 +309,38 @@ object NearDedup {
     * cap for bit-exact classic-jaccard audit runs; at 100 TB the LSH paths
     * are the route and this remains the audit baseline.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5,
-                        maxDf: Int = 1000): DataFrame = {
-    require(threshold > 0.0,
-      "ngramJaccardPairs requires threshold > 0 (zero-overlap pairs are never produced)")
+  /** (id, shingle, per-doc set size) postings with the hot-shingle df cap
+    * applied — the shared front end of the exact pairwise ops. Shingle
+    * sets are distinct per doc (ShinglesExpr emits a set), so a plain
+    * count per shingle IS its document frequency — no count_distinct
+    * shuffle needed. Set sizes are recomputed over the pruned universe so
+    * intersections and sizes count the same shingle population; dropped
+    * volume is surfaced via `observe`.
+    */
+  private def shingleTokens(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int, maxDf: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     val allTok = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val tok = if (maxDf <= 0) allTok else {
-      // Shingle sets are distinct per doc (ShinglesExpr emits a set), so a
-      // plain count per shingle IS its document frequency — no
-      // count_distinct shuffle needed.
+    if (maxDf <= 0) allTok else {
       val dfCounts = allTok.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .observe(s"jaccard_dropped_shingles_${dropSeq.incrementAndGet()}",
           sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_shingles"),
           sum(when(col("df") > maxDf, col("df")).otherwise(lit(0L))).as("dropped_occurrences"))
       val hot = dfCounts.filter(col("df") > maxDf).select(col("s"))
       val kept = allTok.join(broadcast(hot), Seq("s"), "left_anti")
-      // set sizes over the pruned universe (one linear agg + shuffle join),
-      // so i and n count the same shingle population
       val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("nk"))
       kept.drop("n").join(sizes, Seq("id")).withColumnRenamed("nk", "n")
     }
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        maxDf: Int = 1000): DataFrame = {
+    require(threshold > 0.0,
+      "ngramJaccardPairs requires threshold > 0 (zero-overlap pairs are never produced)")
+    val tok = shingleTokens(df, idCol, textCol, shingleSize, maxDf)
     val a = tok.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
     val b = tok.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
@@ -343,6 +351,36 @@ object NearDedup {
         col("i").cast(DoubleType) / (col("n_a") + col("n_b") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Directional n-gram CONTAINMENT pairs: |A∩B| / |A| ≥ threshold means
+    * document A's shingle set is (nearly) a subset of B's — the asymmetric
+    * near-dup signal Jaccard misses (a quote, a mirrored excerpt, or a
+    * page embedded in a larger one scores high containment but low
+    * Jaccard when sizes differ). Output rows are (contained_id,
+    * container_id, containment), both directions considered.
+    *
+    * Same scale shape as [[ngramJaccardPairs]] (shared inverted-shingle
+    * front end, hot-shingle df cap, no cartesian); the size prefilter is
+    * the containment bound i ≤ n_b: a pair can only pass when
+    * n_b ≥ threshold · n_a, pruning big-into-small candidates before the
+    * aggregation.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, threshold: Double = 0.8,
+                            maxDf: Int = 1000): DataFrame = {
+    require(threshold > 0.0,
+      "ngramContainmentPairs requires threshold > 0 (zero-overlap pairs are never produced)")
+    val tok = shingleTokens(df, idCol, textCol, shingleSize, maxDf)
+    val a = tok.select(col("s"), col("id").as("contained_id"), col("n").as("n_a"))
+    val b = tok.select(col("s"), col("id").as("container_id"), col("n").as("n_b"))
+    a.join(b, Seq("s")).filter(col("contained_id") =!= col("container_id"))
+      .filter(col("n_b").cast(DoubleType) >= lit(threshold) * col("n_a"))
+      .groupBy("contained_id", "container_id", "n_a").agg(count(lit(1)).as("i"))
+      .withColumn("containment", col("i").cast(DoubleType) / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        round(col("containment"), 4).as("containment"))
   }
 
   /** Exact dedup by canonical fingerprint: one representative (min id) per

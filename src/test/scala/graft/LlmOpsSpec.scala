@@ -119,6 +119,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
   }
 
+  test("ngram containment: excerpt scores 1.0 into its container, jaccard misses it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),                                // the excerpt
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "totally different words here entirely")).toDF("id", "text")
+    val cont = NearDedup.ngramContainmentPairs(docs, "id", "text",
+        shingleSize = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 1's shingles are all inside doc 2 → containment 1.0, one direction
+    assert(cont == Seq((1L, 2L, 1.0)))
+    // the symmetric jaccard at the same bar sees nothing (3/11 overlap)
+    assert(NearDedup.ngramJaccardPairs(docs, "id", "text",
+      shingleSize = 2, threshold = 0.9).count() == 0L)
+  }
+
   test("jaccard hot-shingle df cap kills the boilerplate quadratic key") {
     // 60 docs share ONLY a boilerplate bigram (each otherwise unique):
     // uncapped, every pair qualifies at threshold 0.3 (jaccard 1/3) —
