@@ -54,5 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_script_counts"),
       new ExpressionInfo(classOf[ScriptCountsExpr].getName, "graft_script_counts"),
       (args: Seq[Expression]) => ScriptCountsExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_html_to_text"),
+      new ExpressionInfo(classOf[HtmlToTextExpr].getName, "graft_html_to_text"),
+      (args: Seq[Expression]) => HtmlToTextExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),
+      (args: Seq[Expression]) => DeflateRatioExpr(args.head)))
   }
 }

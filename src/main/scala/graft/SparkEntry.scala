@@ -1633,7 +1633,31 @@ object SparkEntry {
       // Bounded slice because the oracle replays it all-pairs (q46's deal).
       NearDedup.ngramContainmentPairs(
         t(s, d, "documents").filter(col("doc_id") < 600), "doc_id", "text",
-        shingleSize = 3, threshold = 0.6)))
+        shingleSize = 3, threshold = 0.6)),
+    "q141_boilerplate_sentences" -> ((s, d) => {
+      // sentence-level boilerplate mining: segment (lookaround-free, RE2-
+      // replayable), explode, count cross-document repetition — the
+      // sentence-granularity sibling of C4 line dedup; top repeated
+      // sentences are removal candidates. The synthetic corpus has no
+      // naturally repeated sentences, so footer boilerplate is injected
+      // deterministically (q45's injection pattern) for the miner to find.
+      // leading '.' terminates any unterminated trailing fragment of the
+      // original text, so the injected sentences segment identically in
+      // every document
+      val boiler = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(". Subscribe to our newsletter! All rights reserved.")))
+        .when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(". All rights reserved.")))
+        .otherwise(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.sentences(boiler)).as("sentence"))
+        .groupBy(col("sentence"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("sentence").asc)
+        .limit(20)
+    }))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
     * each query several times in one session).
@@ -1773,6 +1797,18 @@ pairs AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
   FROM sh a, sh b WHERE a.doc_id <> b.doc_id)
 SELECT contained_id, container_id, round(CAST(i AS DOUBLE) / n_a, 4) AS containment
 FROM pairs WHERE CAST(i AS DOUBLE) / n_a >= 0.6""",
+    "q141_boilerplate_sentences" ->
+      """WITH b AS (SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN text || '. Subscribe to our newsletter! All rights reserved.'
+       WHEN doc_id % 5 = 0 THEN text || '. All rights reserved.'
+       ELSE text END AS text FROM documents),
+sen AS (SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS sentence
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$')) AS x FROM b) t
+  WHERE trim(regexp_replace(x, '\s+', ' ', 'g')) <> ''),
+agg AS (SELECT sentence, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+  FROM sen GROUP BY sentence HAVING count(DISTINCT doc_id) >= 2)
+SELECT sentence, n_docs, n_total FROM agg
+ORDER BY n_docs DESC, n_total DESC, sentence ASC LIMIT 20""",
     "q50_cosine_topk" -> cosineTopkOracleSql,
     "q54_flatten_json" ->
       ("SELECT * FROM (VALUES (48.8, 'flo', CAST(1 AS BIGINT)), (51.5, 'dou', CAST(2 AS BIGINT))) " +

@@ -418,6 +418,20 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     xxhash64(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Sentence segmentation as an array column: maximal runs up to a
+    * terminator cluster ([.!?]+), plus an unterminated tail. The pattern is
+    * deliberately lookaround-free so any RE2 engine replays it (the
+    * classic `(?<=[.!?])\s+` split is Java-only). Each sentence is
+    * whitespace-trimmed; whitespace-only fragments are dropped. The unit
+    * for sentence-level dedup and boilerplate mining.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
+        s => trim(regexp_replace(s, "\\s+", " "))),
+      s => length(s) > 0)
+
   /** zlib compression ratio of the text (compressed/raw bytes) — the
     * redundancy quality signal from the Gopher/RedPajama filter families:
     * degenerate repetition and templated boilerplate compress far below

@@ -235,13 +235,17 @@ class ExpressionsSpec extends SparkSpec {
         "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
         "graft_hyperplane_sig(array(1.0d, 2.0d), 2, 4) AS h, " +
         "size(graft_minhash_sig(array('x'), 8)) AS m, " +
-        "graft_repetition_stats('a\\na\\nb', 2)[0] AS r").collect()(0)
+        "graft_repetition_stats('a\\na\\nb', 2)[0] AS r, " +
+        "graft_html_to_text('<p>a</p><p>b</p>') AS ht, " +
+        "graft_deflate_ratio('') AS dr").collect()(0)
       val viaCol = Seq("a b c").toDF("t")
         .select(GraftFunctions.simhash64(col("t"))).as[Long].head()
       assert(viaSql.getLong(0) == viaCol)
       assert(viaSql.getDouble(1) == 1.0)
       assert(viaSql.getInt(3) == 8)
       assert(math.abs(viaSql.getDouble(4) - (1.0 - 2.0 / 3.0)) < 1e-12)
+      assert(viaSql.getString(5) == "a\nb")
+      assert(viaSql.getDouble(6) == 1.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -293,6 +293,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == "Good long sentence here.\nAnother fine sentence!")
   }
 
+  test("sentences: terminator clusters, unterminated tail, whitespace, empties") {
+    def seg(t: String): Seq[String] =
+      Seq(t).toDF("text").select(TextFunctions.sentences(col("text")).as("s"))
+        .as[Seq[String]].head()
+    assert(seg("One. Two! Three?") == Seq("One.", "Two!", "Three?"))
+    assert(seg("Wait... what?! done") == Seq("Wait...", "what?!", "done"))
+    assert(seg("No terminator at all") == Seq("No terminator at all"))
+    assert(seg("  Spaced\n\nout.   Next  one. ") == Seq("Spaced out.", "Next one."))
+    assert(seg("") == Seq())
+    assert(seg("...") == Seq()) // a bare terminator cluster has no sentence content
+  }
+
   test("compressionRatio: repetition compresses below prose, bounded, deterministic") {
     val rnd = new scala.util.Random(7)
     val prose = Seq.fill(200)(rnd.nextPrintableChar()).mkString // high-entropy
