@@ -161,9 +161,12 @@ object VectorFunctions {
   }
 
   /** L2 over two integer arrays (exact — long accumulation). */
+  // Compiled kernel (LongL2Expr): the HOF formulation
+  // aggregate(zip_with(...)) is interpreted per row, which dominated the
+  // PQ corpus×centroid encode join at sf1 (exact value parity asserted in
+  // ExpressionsSpec).
   private def intL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.expressions.GraftFunctions.longL2(a, b)
 
   /** (idAs, sub, sv): integer-quantized subvectors of (idCol, vecCol). */
   private def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
@@ -209,13 +212,19 @@ object VectorFunctions {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
     def assign(book: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("id"), col("sub"))
-        .orderBy(col("__d2").asc, col("cid").asc)
+      // argmin via min_by, not a window: the (corpus×centroids) join is the
+      // unavoidable distance computation, but min_by collapses it with
+      // map-side partial aggregation — no full-width sort shuffle of the
+      // candidate rows. The ordering struct (__d2, cid) is unique per
+      // (id, sub) group, so the result is deterministic and identical to
+      // the former row_number formulation (d2 asc, cid asc).
       joinBookGuarded(csub, book, "pqTrain")
         .withColumn("__d2", intL2(col("sv"), col("cv")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("sub"), col("cid"), col("sv"))
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(struct(col("cid"), col("sv")),
+          struct(col("__d2"), col("cid"))).as("__b"))
+        .select(col("id"), col("sub"),
+          col("__b.cid").as("cid"), col("__b.sv").as("sv"))
     }
     var book = csub.filter(col("id") % centroidEvery === 0)
       .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
@@ -248,14 +257,14 @@ object VectorFunctions {
       pqSubvectors(df, idCol, vecCol, idAs, dim, m, quantScale)
     val csub = subs(corpus, "id")
     val book = codebooks
-    // encode: nearest centroid per (corpus row, subspace)
-    val wEnc = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("__d2").asc, col("cid").asc)
+    // encode: nearest centroid per (corpus row, subspace) — min_by argmin
+    // (unique ordering struct ⇒ deterministic, same (d2 asc, cid asc)
+    // semantics as a window) so the encode join collapses map-side instead
+    // of sort-shuffling corpus×centroid candidate rows
     val codes = joinBookGuarded(csub, book, "pqTopKWith")
       .withColumn("__d2", l2(col("sv"), col("cv")))
-      .withColumn("__rn", row_number().over(wEnc))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("sub"), col("cid"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
     val table = subs(queries, "query_id")
       .join(broadcast(book), Seq("sub"))
       .withColumn("__d2", l2(col("sv"), col("cv")))

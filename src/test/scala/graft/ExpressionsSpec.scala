@@ -49,6 +49,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(row == (("T", "u?a=1&b=2|v")))
   }
 
+  test("longL2 expression matches the HOF formulation exactly") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(100)((Seq.fill(8)(rnd.nextInt(1 << 17).toLong),
+      Seq.fill(8)(rnd.nextInt(1 << 17).toLong)))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val diffs = df.select((GraftFunctions.longL2(col("a"), col("b")) - hof).as("d"))
+      .agg(max(abs(col("d")))).as[Long].head()
+    assert(diffs == 0L)
+    // null propagates
+    val n = Seq((Option.empty[Seq[Long]], Option(Seq(1L)))).toDF("a", "b")
+      .select(GraftFunctions.longL2(col("a"), col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("cosine expression matches the HOF formulation bit-exactly") {
     val rnd = new scala.util.Random(1)
     val vecs = Seq.fill(50)((Seq.fill(16)(rnd.nextGaussian()), Seq.fill(16)(rnd.nextGaussian())))
