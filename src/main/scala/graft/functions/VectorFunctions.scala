@@ -566,14 +566,18 @@ object VectorFunctions {
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * quantScale + 0.5).cast("double")).as("__v"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("id")).orderBy(col("__cs").desc, col("cid").asc)
+    def assign(cents: DataFrame): DataFrame =
+      // argmax via max_by instead of a window: ordering (cs, -cid) is
+      // unique per id (cid unique within a group), reproducing the
+      // (cs desc, cid asc) tie-break exactly while the corpus×centroid
+      // rows collapse in map-side partial aggregation rather than being
+      // sort-shuffled at full width
       v.crossJoin(broadcast(cents))
         .withColumn("__cs", cosine(col("__v"), col("__cv")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("cid"), col("__v"))
-    }
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("__v")),
+          struct(col("__cs"), -col("cid"))).as("__b"))
+        .select(col("id"), col("__b.cid").as("cid"), col("__b.__v").as("__v"))
     var cents = v.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("__v").as("__cv"))
     var assigned = assign(cents)
