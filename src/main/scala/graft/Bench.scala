@@ -82,9 +82,11 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json = s"""{"queries":$qs,"sf":"$sfDir","errors":$errs,"metric":"total","unit":"sec","value":${fmt(total, 3)}}"""
-    // Whole-file copy for consumers that can't rely on a stdout tail.
+    // Whole-file copy for consumers that can't rely on a stdout tail —
+    // full runs only: a SPARK_GRAFT_BENCH_ONLY-filtered iteration run must
+    // not clobber the committed full-suite snapshot.
     val sfName = new java.io.File(sfDir).getName
-    try {
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter(s"BENCH_local_$sfName.json", "UTF-8")
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () } // read-only cwd must not kill the run

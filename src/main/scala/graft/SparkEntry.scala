@@ -28,6 +28,40 @@ object SparkEntry {
     new java.io.File(d).mkdirs(); d
   }
 
+  /** The shared HTML fixture shell for the extraction queries (q135, q138,
+    * q139): entity-escapes `text`, wraps it in head/title/style/script
+    * boilerplate, a quoted-`>` attribute, named + numeric entities, and a
+    * comment. The expected extraction is `htmlExpectedOracleSql`'s formula
+    * — change BOTH together or the three oracles diverge.
+    */
+  private def fixtureHtmlShell(docId: Column, text: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), docId,
+      lit("</title><style>p { color: red; }</style>" +
+        "<script>if (1 < 2) { var x = \"</p>\"; }</script></head>" +
+        "<body><h1>Doc "), docId,
+      lit("</h1><p id=\"b\" data-x=\"a>b\">"), esc,
+      lit("</p><p>x &amp; y &lt;z&gt; &#65;&#x21;</p>" +
+        "<!-- hidden --></body></html>"))
+  }
+
+  /** Expected extraction of [[fixtureHtmlShell]] computed straight from
+    * `documents.text` (whitespace-canonicalization chain mirrors
+    * Kernels.htmlToText exactly) — the shared q135/q139 oracle.
+    */
+  private val htmlExpectedOracleSql: String =
+    "WITH nrm AS (SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'[ \\t\\r]+', ' ', 'g'), " +
+      "' ?\\n ?', chr(10), 'g'), " +
+      "'\\n+', chr(10), 'g'), " +
+      "'^[\\n ]+|[\\n ]+$', '', 'g') AS t FROM documents) " +
+      "SELECT doc_id, 'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
+      "CASE WHEN t = '' THEN '' ELSE t || chr(10) END || " +
+      "'x & y <z> A!' AS text_out FROM nrm"
+
   // -- deterministic media fixtures for q73 (values chosen so the real
   //    parsers produce exact binary fractions: hist bin 0.5, RMS 0.5) --
   private def fixtureBmp(): Array[Byte] = {
@@ -1514,16 +1548,7 @@ object SparkEntry {
       // boilerplate must vanish, the body must come back exactly as the
       // whitespace-canonicalized original — DuckDB replays the expected
       // output directly from `text` without an HTML parser.
-      val esc = regexp_replace(regexp_replace(regexp_replace(
-        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-      val html = concat(
-        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
-        lit("</title><style>p { color: red; }</style>" +
-          "<script>if (1 < 2) { var x = \"</p>\"; }</script></head>" +
-          "<body><h1>Doc "), col("doc_id"),
-        lit("</h1><p id=\"b\" data-x=\"a>b\">"), esc,
-        lit("</p><p>x &amp; y &lt;z&gt; &#65;&#x21;</p>" +
-          "<!-- hidden --></body></html>"))
+      val html = fixtureHtmlShell(col("doc_id"), col("text"))
       t(s, d, "documents")
         .select(col("doc_id"), graft.functions.Html.htmlToText(html).as("text_out"))
     }),
@@ -1580,16 +1605,7 @@ object SparkEntry {
         graft.functions.UrlFunctions.registeredDomain(graft.functions.UrlFunctions.urlHost(url)))
       val capped = graft.operators.Sampling.capPerGroup(
         withDomain, col("domain"), k = 10, tieBreak = col("doc_id")).drop("rk")
-      val esc = regexp_replace(regexp_replace(regexp_replace(
-        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-      val html = concat(
-        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
-        lit("</title><style>p { color: red; }</style>" +
-          "<script>if (1 < 2) { var x = \"</p>\"; }</script></head>" +
-          "<body><h1>Doc "), col("doc_id"),
-        lit("</h1><p id=\"b\" data-x=\"a>b\">"), esc,
-        lit("</p><p>x &amp; y &lt;z&gt; &#65;&#x21;</p>" +
-          "<!-- hidden --></body></html>"))
+      val html = fixtureHtmlShell(col("doc_id"), col("text"))
       val gated = capped
         .withColumn("text_out", graft.functions.Html.htmlToText(html))
         .withColumn("__toks", split(trim(col("text_out")), "\\s+"))
@@ -1607,16 +1623,7 @@ object SparkEntry {
       // re-ingest, split the HTTP envelope, extract visible text — i.e.
       // the actual WARC→WET conversion CommonCrawl publishes, end to end.
       // Oracle: q135's expected-extraction formula keyed by URI doc id.
-      val esc = regexp_replace(regexp_replace(regexp_replace(
-        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-      val html = concat(
-        lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
-        lit("</title><style>p { color: red; }</style>" +
-          "<script>if (1 < 2) { var x = \"</p>\"; }</script></head>" +
-          "<body><h1>Doc "), col("doc_id"),
-        lit("</h1><p id=\"b\" data-x=\"a>b\">"), esc,
-        lit("</p><p>x &amp; y &lt;z&gt; &#65;&#x21;</p>" +
-          "<!-- hidden --></body></html>"))
+      val html = fixtureHtmlShell(col("doc_id"), col("text"))
       val out = tmpDir() + "/warc_raw"
       graft.sources.Warc.writeWarcResponses(
         t(s, d, "documents").select(
@@ -1916,18 +1923,8 @@ ORDER BY n_docs DESC, n_total DESC, sentence ASC LIMIT 20""",
     "q134_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // round-trip ground truth: boilerplate must vanish, body must come back
-    // as the whitespace-canonicalized original (chain mirrors
-    // Kernels.htmlToText's canonicalization exactly)
-    "q135_html_extract" ->
-      ("WITH nrm AS (SELECT doc_id, " +
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[ \\t\\r]+', ' ', 'g'), " +
-        "' ?\\n ?', chr(10), 'g'), " +
-        "'\\n+', chr(10), 'g'), " +
-        "'^[\\n ]+|[\\n ]+$', '', 'g') AS t FROM documents) " +
-        "SELECT doc_id, 'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
-        "CASE WHEN t = '' THEN '' ELSE t || chr(10) END || " +
-        "'x & y <z> A!' AS text_out FROM nrm"),
+    // as the whitespace-canonicalized original (shared with q139)
+    "q135_html_extract" -> htmlExpectedOracleSql,
     "q136_html_title_links" ->
       ("SELECT doc_id, 'Doc ' || doc_id || ' of ' || source AS title, " +
         "'https://ex.org/d/' || doc_id || '|https://ex.org/s/' || source || " +
@@ -1965,7 +1962,8 @@ SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
 WHERE rank <= 10""",
     // five-stage replay: domain (q114's chain), quota (q99's), extraction
-    // round-trip (q135's), word-count/mean-word-length floor, md5 dedup
+    // round-trip (the eo CTE mirrors htmlExpectedOracleSql's formula —
+    // change them together), word-count/mean-word-length floor, md5 dedup
     "q138_crawl_pipeline" ->
       s"""WITH u AS (SELECT doc_id, text,
   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://sub.' END) || source ||
@@ -2004,16 +2002,7 @@ SELECT doc_id, domain, n_words FROM
 WHERE rn = 1""",
     // same expected-extraction ground truth as q135 — the WARC envelope and
     // HTTP split must be lossless around it
-    "q139_warc_to_wet" ->
-      ("WITH nrm AS (SELECT doc_id, " +
-        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
-        "'[ \\t\\r]+', ' ', 'g'), " +
-        "' ?\\n ?', chr(10), 'g'), " +
-        "'\\n+', chr(10), 'g'), " +
-        "'^[\\n ]+|[\\n ]+$', '', 'g') AS t FROM documents) " +
-        "SELECT doc_id, 'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
-        "CASE WHEN t = '' THEN '' ELSE t || chr(10) END || " +
-        "'x & y <z> A!' AS text_out FROM nrm"),
+    "q139_warc_to_wet" -> htmlExpectedOracleSql,
     "q133_sessionize_stream" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

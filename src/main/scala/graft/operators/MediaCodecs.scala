@@ -197,7 +197,10 @@ object MediaCodecs {
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 8 <= b.length) {
       val len = be32(b, i)
-      if (len < 0 || i + 12 + len > b.length) { i = b.length } // truncated: stop
+      // long arithmetic: a near-Int.MaxValue length would wrap `i+12+len`
+      // negative and bypass the guard, crashing the task instead of
+      // falling back to None
+      if (len < 0 || i.toLong + 12L + len > b.length) { i = b.length } // truncated: stop
       else {
         val typ = new String(b, i + 4, 4, "ISO-8859-1")
         typ match {
@@ -1206,7 +1209,10 @@ object MediaCodecs {
             if (size >= 20 && i + 28 <= b.length) le16(b, i + 26) else 0))
         else if (tag(i, "data"))
           data = Some((i + 8, math.min(size, b.length - i - 8)))
-        i += 8 + size + (size & 1)                          // chunks pad to even
+        // advance in long arithmetic: a huge positive chunk size would wrap
+        // the int offset negative and re-enter the loop at a bogus index
+        val next = i.toLong + 8L + size + (size & 1)        // chunks pad to even
+        if (next > b.length) corrupt = true else i = next.toInt
       }
     }
     fmt.zip(data).flatMap { case ((af, ch, rate, blockAlign, bits, spb), (off, len)) =>
@@ -1386,19 +1392,35 @@ object MediaCodecs {
   /** Sum of `stts` sample counts of the first track whose handler is 'vide'
     * — the real frame count of a (non-fragmented) MP4.
     */
-  def mp4FrameCount(b: Array[Byte]): Option[Int] = {
-    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+  /** ISO BMFF box walk over [lo, hi): yields (type, payloadStart, end).
+    * Handles size==0 (to end of enclosing box), size==1 (64-bit largesize
+    * — the layout every >4 GB file uses for `mdat`; payload then starts at
+    * +16), and does all offset arithmetic in longs so a near-Int.MaxValue
+    * size can't wrap the cursor. Malformed sizes still advance.
+    */
+  private def mp4Boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
       private var i = lo
       def hasNext: Boolean = i + 8 <= hi
       def next(): (String, Int, Int) = {
         val size = be32(b, i)
         val typ = new String(b, i + 4, 4, "ISO-8859-1")
-        val end = if (size <= 0) hi else math.min(i + size, hi)
-        val r = (typ, i + 8, end)
-        i = math.max(end, i + 8)                            // malformed sizes still advance
+        val (payload, endL) =
+          if (size == 1 && i + 16 <= hi) {
+            val large = ((be32(b, i + 8).toLong & 0xFFFFFFFFL) << 32) |
+              (be32(b, i + 12).toLong & 0xFFFFFFFFL)
+            (i + 16, if (large < 16) hi.toLong else math.min(i.toLong + large, hi.toLong))
+          } else if (size <= 0) (i + 8, hi.toLong)
+          else (i + 8, math.min(i.toLong + size, hi.toLong))
+        val end = endL.toInt
+        val r = (typ, payload, end)
+        i = math.max(end, payload)
         r
       }
     }
+
+  def mp4FrameCount(b: Array[Byte]): Option[Int] = {
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] = mp4Boxes(b, lo, hi)
     val containers = Set("moov", "trak", "mdia", "minf", "stbl")
     def find(lo: Int, hi: Int, path: List[String]): Iterator[(List[String], Int, Int)] =
       boxes(lo, hi).flatMap { case (t, s, e) =>
@@ -1433,21 +1455,9 @@ object MediaCodecs {
     * version 0 (32-bit times) and version 1 (64-bit) boxes.
     */
   def mp4DurationMs(b: Array[Byte]): Option[Long] = {
-    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
-      private var i = lo
-      def hasNext: Boolean = i + 8 <= hi
-      def next(): (String, Int, Int) = {
-        val size = be32(b, i)
-        val typ = new String(b, i + 4, 4, "ISO-8859-1")
-        val end = if (size <= 0) hi else math.min(i + size, hi)
-        val r = (typ, i + 8, end)
-        i = math.max(end, i + 8)
-        r
-      }
-    }
     if (b.length < 8) return None
-    boxes(0, b.length).collectFirst { case ("moov", s, e) =>
-      boxes(s, e).collectFirst { case ("mvhd", ms, me) if ms + 4 <= me =>
+    mp4Boxes(b, 0, b.length).collectFirst { case ("moov", s, e) =>
+      mp4Boxes(b, s, e).collectFirst { case ("mvhd", ms, me) if ms + 4 <= me =>
         val version = b(ms) & 0xFF
         if (version == 0 && ms + 20 <= me) {
           val timescale = be32(b, ms + 12)
@@ -1487,8 +1497,9 @@ object MediaCodecs {
           val frames = le32(b, i + 24)
           if (frames >= 0) return Some((frames, frames * usPerFrame / 1000L))
         }
-        i = end + (size & 1)
-        if (end <= i - (size & 1) - 1) return None           // no forward progress
+        val next = end.toLong + (size & 1)
+        if (next <= i || next > Int.MaxValue) return None    // no forward progress
+        i = next.toInt
       }
       None
     }

@@ -24,14 +24,19 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
                       partials: Seq[(String, Column)],
                       merges: Seq[(String, String => Column)]): DataFrame = {
-    // Salt = hash(partition id, all columns): deterministic under task
-    // retry (a retried task re-reads the same partition, so every row gets
-    // the same salt — unlike rand()), yet byte-identical duplicate rows of
-    // a hot key still spread across as many salt buckets as partitions
-    // holding them (hashing the columns alone would give all duplicates ONE
-    // bucket, silently un-salting the degenerate hot key).
+    // Salt = hash(partition id, all hashable columns): deterministic under
+    // task retry (a retried task re-reads the same partition, so every row
+    // gets the same salt — unlike rand()), yet byte-identical duplicate
+    // rows of a hot key still spread across as many salt buckets as
+    // partitions holding them (hashing the columns alone would give all
+    // duplicates ONE bucket, silently un-salting the degenerate hot key).
+    // MapType columns are excluded: xxhash64 rejects maps (order-undefined)
+    // and would fail analysis for any schema carrying a properties map.
+    val hashable = df.schema.fields.collect {
+      case f if !hasMapType(f.dataType) => col(f.name)
+    }.toSeq
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(spark_partition_id() +: df.columns.map(col): _*),
+      pmod(xxhash64(spark_partition_id() +: hashable: _*),
         lit(saltBuckets.toLong)).cast("int"))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._2.as(partials.head._1),
@@ -68,4 +73,14 @@ object Skew {
     saltedAggregate(df, keys, saltBuckets,
       partials = Seq(sumName -> sum(valueCol), countName -> count(lit(1))),
       merges = Seq(sumName -> (n => sum(col(n))), countName -> (n => sum(col(n)))))
+
+  /** True when the type contains a MapType anywhere (xxhash64 rejects
+    * maps — element order is undefined).
+    */
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case _ => false
+  }
 }

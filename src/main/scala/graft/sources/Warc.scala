@@ -104,12 +104,6 @@ object Warc {
       spark.readStream.format("binaryFile").schema(binarySchema).load(path))
   }
 
-  /** Write (uri, text) rows as WET conversion records, one valid member per
-    * partition. Record framing is built declaratively (octet_length gives
-    * the exact payload byte count) and written through the text sink; the
-    * sink's record terminator is legal inter-record padding, which
-    * `parseRecords` skips.
-    */
   /** Read WARC **response** records (the raw-crawl format: each payload is
     * a full HTTP response) and split the HTTP envelope declaratively:
     * status code, media type from the Content-Type header, and the body
@@ -165,6 +159,12 @@ object Warc {
       .select(col("target_uri").as("uri"),
         graft.functions.Html.htmlToText(col("body")).as("text"))
 
+  /** Write (uri, text) rows as WET conversion records, one valid member per
+    * partition. Record framing is built declaratively (octet_length gives
+    * the exact payload byte count) and written through the text sink; the
+    * sink's record terminator is legal inter-record padding, which
+    * `parseRecords` skips.
+    */
   def writeWet(df: DataFrame, uriCol: String, textCol: String,
                path: String): Unit = {
     // NULLs would propagate through concat into a NULL record and abort

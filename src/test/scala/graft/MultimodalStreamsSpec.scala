@@ -173,6 +173,34 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(MediaCodecs.mp4DurationMs(mp4v0.take(10)).isEmpty)
     assert(MediaCodecs.aviInfo(avi.take(16)).isEmpty)
     assert(MediaCodecs.mkvDurationMs(mkv.take(7)).isEmpty)
+    // 64-bit largesize (size==1) boxes skip correctly: a big-file-layout
+    // mdat with largesize must not swallow the following moov
+    val largeMdat = be32(1) ++ "mdat".getBytes("ISO-8859-1") ++
+      be32(0) ++ be32(24) ++ new Array[Byte](8) // largesize 24 = header+8 payload
+    assert(MediaCodecs.mp4DurationMs(largeMdat ++ mp4v0.drop(box("ftyp",
+      "isom0000".getBytes("ISO-8859-1")).length)).contains(1500L))
+  }
+
+  test("malformed media inputs fail soft, never crash (int-overflow guards)") {
+    import graft.operators.MediaCodecs
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // PNG whose chunk length is near Int.MaxValue: i+12+len wraps negative
+    // in int arithmetic — must return None, not throw
+    val evilPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(0x7FFFFFF0) ++ "IDAT".getBytes("ISO-8859-1") ++ new Array[Byte](16)
+    assert(MediaCodecs.pngDecode(evilPng).isEmpty)
+    MediaCodecs.imageDims(evilPng) // lenient fixed-offset read; must not throw
+    // WAV whose chunk size is 0x7FFFFFFF: the offset advance wraps negative
+    val evilWav = "RIFF".getBytes("ISO-8859-1") ++ be32(100).reverse ++
+      "WAVE".getBytes("ISO-8859-1") ++
+      "junk".getBytes("ISO-8859-1") ++ Array[Byte](-1, -1, -1, 0x7F) ++
+      new Array[Byte](32)
+    assert(MediaCodecs.wavInfo(evilWav).isEmpty)
+    // MP4 box with size near Int.MaxValue: end offset must clamp, not wrap
+    val evilMp4 = be32(0x7FFFFFF0) ++ "moov".getBytes("ISO-8859-1") ++ new Array[Byte](64)
+    assert(MediaCodecs.mp4DurationMs(evilMp4).isEmpty)
+    assert(MediaCodecs.mp4FrameCount(evilMp4).isEmpty)
   }
 
   test("bmp pixel feature and resize are real") {
