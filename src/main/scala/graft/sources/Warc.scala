@@ -110,10 +110,25 @@ object Warc {
     * after the first blank line. Same file-at-a-time scale shape as
     * [[readWet]]; the envelope split is a narrow map over the payload.
     */
-  def readWarcResponses(spark: SparkSession, path: String): DataFrame = {
+  def readWarcResponses(spark: SparkSession, path: String): DataFrame =
+    splitHttpEnvelope(readWet(spark, path))
+
+  /** Streaming twin of [[readWarcResponses]]: newly-landed raw WARC shards
+    * become micro-batches (readWetStream's exactly-once file tracking),
+    * same envelope split, same schema — the continuous-ingestion version
+    * of the crawl front door.
+    */
+  def readWarcResponsesStream(spark: SparkSession, path: String): DataFrame =
+    splitHttpEnvelope(readWetStream(spark, path))
+
+  /** Declarative HTTP-envelope split over parsed WARC records: keeps
+    * `response` records, extracts status code and media type, and cuts the
+    * body after the first blank line — a pure narrow map, batch or stream.
+    */
+  private def splitHttpEnvelope(records: DataFrame): DataFrame = {
     val sep = instr(col("payload"), "\r\n\r\n")
     val headers = substring_index(col("payload"), "\r\n\r\n", 1)
-    readWet(spark, path)
+    records
       .filter(col("warc_type") === "response")
       .withColumn("http_status",
         regexp_extract(col("payload"), "^HTTP/[0-9.]+ ([0-9]{3})", 1).cast("int"))

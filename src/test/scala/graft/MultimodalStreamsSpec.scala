@@ -1194,6 +1194,37 @@ class MultimodalStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming raw-WARC ingestion: shards land, envelopes split, HTML extracts") {
+    import graft.sources.Warc
+    val dir = tmp("warc_stream")
+    new java.io.File(dir).mkdirs()
+    def member(uri: String, html: String): Array[Byte] = {
+      val payload = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n")
+        .getBytes("UTF-8")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/shard1.warc"),
+      member("https://s/1", "<p>first shard</p>"))
+    val extracted = Warc.readWarcResponsesStream(spark, s"$dir/*")
+      .filter(col("http_status") === 200 && col("content_type") === "text/html")
+      .select(col("target_uri"),
+        graft.functions.Html.htmlToText(col("body")).as("text"))
+    assert(extracted.isStreaming)
+    val q = extracted.writeStream.format("memory").queryName("warcstream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT text FROM warcstream ORDER BY target_uri")
+        .as[String].collect().toSeq == Seq("first shard"))
+      // a second shard lands -> exactly one new micro-batch row
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/shard2.warc"),
+        member("https://s/2", "<p>second shard</p>"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT text FROM warcstream ORDER BY target_uri")
+        .as[String].collect().toSeq == Seq("first shard", "second shard"))
+    } finally q.stop()
+  }
+
   test("incremental loop E2E: file stream -> windowed agg -> partitioned parquet sink") {
     // the reference's kontagent pattern end-to-end: hour files appear ->
     // watermarked rollup -> hive-partitioned parquet, re-readable in batch
