@@ -45,7 +45,10 @@ object Bench {
     // one-time per-query cold paths. Override with SPARK_GRAFT_BENCH_RUNS.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // Optional comma-separated substring filter for iterating on one query.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // blank/empty-token values count as unset (an empty env var would
+    // otherwise run the full suite yet skip the snapshot write below)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains))
     }

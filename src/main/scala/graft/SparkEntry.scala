@@ -47,20 +47,30 @@ object SparkEntry {
         "<!-- hidden --></body></html>"))
   }
 
-  /** Expected extraction of [[fixtureHtmlShell]] computed straight from
-    * `documents.text` (whitespace-canonicalization chain mirrors
-    * Kernels.htmlToText exactly) — the shared q135/q139 oracle.
+  /** DuckDB rendering of Kernels.htmlToText's whitespace-canonicalization
+    * chain applied to column/expression `c` — shared by every oracle that
+    * replays the extraction (q135, q138, q139).
     */
-  private val htmlExpectedOracleSql: String =
-    "WITH nrm AS (SELECT doc_id, " +
-      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+  private def nrmChainSql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($c, " +
       "'[ \\t\\r]+', ' ', 'g'), " +
       "' ?\\n ?', chr(10), 'g'), " +
       "'\\n+', chr(10), 'g'), " +
-      "'^[\\n ]+|[\\n ]+$', '', 'g') AS t FROM documents) " +
-      "SELECT doc_id, 'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
-      "CASE WHEN t = '' THEN '' ELSE t || chr(10) END || " +
-      "'x & y <z> A!' AS text_out FROM nrm"
+      "'^[\\n ]+|[\\n ]+$$', '', 'g')"
+
+  /** Expected visible text of [[fixtureHtmlShell]] given the canonicalized
+    * body in column `t` — the other half of the shared extraction formula.
+    */
+  private val htmlExpectedTextSql: String =
+    "'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) || " +
+      "CASE WHEN t = '' THEN '' ELSE t || chr(10) END || 'x & y <z> A!'"
+
+  /** Expected extraction of [[fixtureHtmlShell]] computed straight from
+    * `documents.text` — the shared q135/q139 oracle.
+    */
+  private lazy val htmlExpectedOracleSql: String =
+    s"WITH nrm AS (SELECT doc_id, ${nrmChainSql("text")} AS t FROM documents) " +
+      s"SELECT doc_id, $htmlExpectedTextSql AS text_out FROM nrm"
 
   // -- deterministic media fixtures for q73 (values chosen so the real
   //    parsers produce exact binary fractions: hist bin 0.5, RMS 0.5) --
@@ -1962,8 +1972,8 @@ SELECT query_id, doc_id, rrf_score, CAST(rank AS INTEGER) AS rank FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
 WHERE rank <= 10""",
     // five-stage replay: domain (q114's chain), quota (q99's), extraction
-    // round-trip (the eo CTE mirrors htmlExpectedOracleSql's formula —
-    // change them together), word-count/mean-word-length floor, md5 dedup
+    // round-trip (shared nrmChainSql/htmlExpectedTextSql fragments),
+    // word-count/mean-word-length floor, md5 dedup
     "q138_crawl_pipeline" ->
       s"""WITH u AS (SELECT doc_id, text,
   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://sub.' END) || source ||
@@ -1984,13 +1994,8 @@ dm AS (SELECT doc_id, text,
 cap AS (SELECT doc_id, text, domain FROM
   (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY ${portableHash60Sql("doc_id")}, doc_id) AS rk FROM dm)
   WHERE rk <= 10),
-eo AS (SELECT doc_id, domain,
-  'Doc ' || doc_id || chr(10) || 'Doc ' || doc_id || chr(10) ||
-  CASE WHEN t = '' THEN '' ELSE t || chr(10) END || 'x & y <z> A!' AS text_out FROM
-  (SELECT doc_id, domain,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-      '[ \\t\\r]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'), '\\n+', chr(10), 'g'),
-      '^[\\n ]+|[\\n ]+$$', '', 'g') AS t FROM cap) x),
+eo AS (SELECT doc_id, domain, $htmlExpectedTextSql AS text_out FROM
+  (SELECT doc_id, domain, ${nrmChainSql("text")} AS t FROM cap) x),
 g AS (SELECT doc_id, domain, text_out,
   CAST(len(regexp_split_to_array(trim(text_out), '\\s+')) AS BIGINT) AS n_words,
   CAST(list_sum(list_transform(regexp_split_to_array(trim(text_out), '\\s+'), w -> length(w))) AS DOUBLE)

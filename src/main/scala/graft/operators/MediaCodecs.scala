@@ -1389,9 +1389,6 @@ object MediaCodecs {
   // MP4: video-track frame count from stts
   // ------------------------------------------------------------------
 
-  /** Sum of `stts` sample counts of the first track whose handler is 'vide'
-    * — the real frame count of a (non-fragmented) MP4.
-    */
   /** ISO BMFF box walk over [lo, hi): yields (type, payloadStart, end).
     * Handles size==0 (to end of enclosing box), size==1 (64-bit largesize
     * — the layout every >4 GB file uses for `mdat`; payload then starts at
@@ -1409,7 +1406,10 @@ object MediaCodecs {
           if (size == 1 && i + 16 <= hi) {
             val large = ((be32(b, i + 8).toLong & 0xFFFFFFFFL) << 32) |
               (be32(b, i + 12).toLong & 0xFFFFFFFFL)
-            (i + 16, if (large < 16) hi.toLong else math.min(i.toLong + large, hi.toLong))
+            // malformed largesize (<16): skip just this header and keep
+            // walking — swallowing to `hi` would hide intact siblings
+            (i + 16, if (large < 16) (i + 16).toLong
+              else math.min(i.toLong + large, hi.toLong))
           } else if (size <= 0) (i + 8, hi.toLong)
           else (i + 8, math.min(i.toLong + size, hi.toLong))
         val end = endL.toInt
@@ -1419,6 +1419,9 @@ object MediaCodecs {
       }
     }
 
+  /** Sum of `stts` sample counts of the first track whose handler is 'vide'
+    * — the real frame count of a (non-fragmented) MP4.
+    */
   def mp4FrameCount(b: Array[Byte]): Option[Int] = {
     def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] = mp4Boxes(b, lo, hi)
     val containers = Set("moov", "trak", "mdia", "minf", "stbl")
