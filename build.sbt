@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must bypass sbt's logger: under `sbt -error` (the
+// canonical tools/bench.sh invocation) logger-routed output is suppressed,
+// which would eat the one JSON line Bench prints. StdoutOutput inherits the
+// parent's stdout fd directly, so the JSON survives any sbt log level.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
