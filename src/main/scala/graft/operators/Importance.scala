@@ -37,12 +37,6 @@ import graft.functions.TextFunctions.tokens
   */
 object Importance {
 
-  /** Last persist from `resampleTop`'s convenience path — released on the
-    * next call so at most one scored corpus stays cached per session.
-    */
-  private val lastResamplePersist =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   /** The feature array of one document given its PROJECTED token-array
     * column: unigrams ++ bigrams WITH multiplicity (the paper's count
     * features; single-token docs fall back to the whole text as their
@@ -159,22 +153,18 @@ object Importance {
                   keepPct: Int, totalRows: Long = -1L): DataFrame = {
     require(keepPct > 0 && keepPct <= 100, s"keepPct in (0,100], got $keepPct")
     // Sizing the keep slice needs the row count, and the top-k pass needs the
-    // rows — without a persist the whole scoring pipeline (two corpus
+    // rows — without materialization the whole scoring pipeline (two corpus
     // aggregations + driver collect when fed straight from a scorer) would
     // execute twice. Callers that already know the count pass `totalRows`
-    // and skip both the persist and the counting job. The convenience path
-    // has no safe point to unpersist (the returned plan still reads the
-    // cache), so the PREVIOUS call's cache is released here instead —
-    // bounding the session to one resident scored copy rather than leaking
-    // one per call; pass `totalRows` for zero cache residency.
-    val src =
-      if (totalRows >= 0) scored
-      else {
-        val p = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val prev = lastResamplePersist.getAndSet(p)
-        if (prev != null && (prev ne p)) prev.unpersist(false)
-        p
-      }
+    // and skip materialization entirely. The convenience path uses an EAGER
+    // localCheckpoint, which is scoped to this call: the checkpointed
+    // blocks live exactly as long as the returned plan is referenced and
+    // are reclaimed by the ContextCleaner afterwards — unlike the previous
+    // session-global persist slot, whose getAndSet/unpersist could yank the
+    // cache out from under a concurrent caller (round-6 advice). Lineage
+    // truncation also means the count and the top-k both read the
+    // materialized blocks, never the scoring pipeline.
+    val src = if (totalRows >= 0) scored else scored.localCheckpoint()
     val n = if (totalRows >= 0) totalRows else src.count()
     val keep = (n * keepPct + 99) / 100
     // limit() is Int-bounded by design (top-k materializes on one node);
