@@ -266,4 +266,34 @@ class PropertySpec extends SparkSpec {
       assert(salted == plain, s"salted $salted != plain $plain")
     }
   }
+
+  test("parse_time kernel dispatch equals the formatter cascade on fuzzed strings") {
+    import graft.operators.TimeParse
+    // assemble date-ish strings from hostile fragments: the generator's job
+    // is to hit the certified / fallback / no-parse boundary from both
+    // sides, not to produce valid dates
+    val frag = Gen.oneOf(
+      Gen.choose(0, 99999).map(_.toString),
+      Gen.choose(1, 12).map(_.toString),
+      Gen.choose(1, 31).map(_.toString),
+      Gen.choose(1000, 9999).map(_.toString),
+      Gen.oneOf("0", "00", "000", "0001", "  ", " ", "", "T", "+", "-", ".",
+        "x", "99", "60", "24", "023"))
+    val sep = Gen.oneOf("-", "/", ",", " ", ":", ".", "T", "")
+    val gen = for {
+      n <- Gen.choose(3, 8)
+      parts <- Gen.listOfN(n, Gen.zip(frag, sep))
+    } yield parts.map { case (f, s) => f + s }.mkString
+    val all = scala.collection.mutable.ArrayBuffer[String]()
+    forAll(gen, n = 300) { s => all += s }
+    // seed with near-boundary canonical forms the fuzzer rarely assembles
+    all ++= Seq("2020-2-29 23:59:59", "2100-2-29", "2400-2-29",
+      "9999-12-31 23:59:59.999999", "1-1-2020 0:00:00.000000")
+    val both = all.toSeq.toDF("s").select(col("s"),
+      TimeParse.parseExpr(col("s")).cast("long").as("fast"),
+      TimeParse.formatterExpr(col("s")).cast("long").as("ref"))
+    val diff = both.filter(!(col("fast") <=> col("ref"))).collect()
+    assert(diff.isEmpty,
+      s"kernel/formatter divergence on fuzzed input: ${diff.take(10).mkString("; ")}")
+  }
 }
