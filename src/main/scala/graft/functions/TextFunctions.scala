@@ -248,16 +248,27 @@ object TextFunctions {
     * tens-of-thousands small, but a pathological charset/n combination
     * fails fast instead of OOMing the driver.
     */
-  def corpusFrequencyScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                           textCol: String, n: Int = 3,
-                           maxVocab: Int = 1 << 22): org.apache.spark.sql.DataFrame = {
-    // The normalization (regexp_replace+lower) is materialized as a COLUMN
-    // before the kernel call so it runs once per row whatever the optimizer
-    // does with the surrounding plan.
-    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+  // The normalization (regexp_replace+lower) is materialized as a COLUMN
+  // before the kernel calls so it runs once per row whatever the optimizer
+  // does with the surrounding plan. Shared by both LM-score passes so the
+  // train and serve sides see byte-identical gram streams.
+  private def lmNorm(textCol: String) =
+    lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+
+  /** Pass 1 (the "train" side): the corpus-global gram frequency table.
+    * Bounded by |charset|^n regardless of corpus size; collected behind a
+    * fail-fast guard. In a production release pipeline this runs ONCE per
+    * corpus snapshot and serves every scoring pass — callers that score
+    * repeatedly (or score shards of the same corpus) should build it once
+    * and reuse it via [[corpusFrequencyScoreWith]], the same
+    * train-once/serve-many split as PQ's pqTrain/pqTopKWith.
+    */
+  def buildGramTable(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     n: Int = 3, maxVocab: Int = 1 << 22)
+      : java.util.HashMap[UTF8String, java.lang.Long] = {
     val global = docs
       .select(explode(
-        graft.expressions.GraftFunctions.charNgramCounts(norm.as("__tx"), n)).as("__e"))
+        graft.expressions.GraftFunctions.charNgramCounts(lmNorm(textCol).as("__tx"), n)).as("__e"))
       .groupBy(col("__e.g").as("__g")).agg(sum("__e.c").as("__c"))
       .limit(maxVocab + 1)
       .collect()
@@ -267,14 +278,31 @@ object TextFunctions {
     val table = new java.util.HashMap[UTF8String, java.lang.Long](global.length * 2)
     global.foreach(r => table.put(UTF8String.fromString(r.getString(0)),
       java.lang.Long.valueOf(r.getLong(1))))
+    table
+  }
+
+  /** Pass 2 (the "serve" side): one compiled projection probing a
+    * previously built gram table — a single narrow corpus scan, zero
+    * shuffle.
+    */
+  def corpusFrequencyScoreWith(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                               textCol: String,
+                               table: java.util.HashMap[UTF8String, java.lang.Long],
+                               n: Int = 3): org.apache.spark.sql.DataFrame =
     docs
       .select(col(idCol),
-        graft.expressions.GraftFunctions.charNgramFreqStats(norm, n, table).as("__s"))
+        graft.expressions.GraftFunctions.charNgramFreqStats(lmNorm(textCol), n, table).as("__s"))
       .select(col(idCol),
         col("__s").getItem(0).as("n_grams"),
         col("__s").getItem(1).as("freq_sum"))
       .withColumn("mean_freq", col("freq_sum").cast(DoubleType) / col("n_grams"))
-  }
+
+  /** Convenience composition: train + serve in one call (two corpus scans). */
+  def corpusFrequencyScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, n: Int = 3,
+                           maxVocab: Int = 1 << 22): org.apache.spark.sql.DataFrame =
+    corpusFrequencyScoreWith(docs, idCol, textCol,
+      buildGramTable(docs, textCol, n, maxVocab), n)
 
   /** Per-document top-k terms by term frequency, with corpus document
     * frequency attached — the integer core of TF-IDF (idf weighting is a
