@@ -1689,6 +1689,48 @@ object SparkEntry {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("n_total").desc, col("sentence").asc)
         .limit(20)
+    }),
+    "q142_pq_serve" -> ((s, d) => {
+      // the FULL production ANN serve shape: codebooks trained once
+      // (pqBooks, shared with q132), corpus codes ENCODED ONCE and
+      // persisted as a parquet index (Memoize keys on plan+input files, so
+      // each sf dir gets its own index), then a single query ranked
+      // against the stored index — quantize the query, broadcast its ADC
+      // table over the codes, aggregate, exact-refine the candidate slice.
+      // This is the latency a user pays per query against a built index;
+      // q128 (in-query training) and q132 (serve incl. encode) bound the
+      // other two cost tiers. Same seeds/rounds/k as q128 ⇒ the oracle is
+      // q128's replay restricted to query 0.
+      val emb = t(s, d, "embeddings")
+      val (schema, rows) = pqBooks.getOrElseUpdate(d, {
+        val b = VectorFunctions.pqTrain(emb, "vec_id", "embedding", dim = 64)
+        (b.schema, b.collect())
+      })
+      val book = s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      // the memoize fingerprint itself costs an analysis + file listing per
+      // call; the resolved index reader is cached per sf dir so repeated
+      // queries pay pure serve cost (the TrieMap mirrors pqBooks)
+      val codes = servedIndexes.getOrElseUpdate("pq:" + d,
+        graft.operators.Memoize.memoize(
+          VectorFunctions.pqEncode(emb, book, "vec_id", "embedding", dim = 64),
+          tmpDir() + "/pq_index"))
+      VectorFunctions.pqTopKWithCodes(codes, emb,
+        emb.filter(col("vec_id") === 0), book,
+        "vec_id", "embedding", k = 5, dim = 64)
+    }),
+    "q143_tfidf_serve" -> ((s, d) => {
+      // the sparse-retrieval serve shape: the weighted postings index is
+      // built once and persisted (what an IR system stores), then a single
+      // query document is tokenized and ranked through one term-keyed join
+      // against the stored index. q130 bounds the build+serve cost; this
+      // is the per-query latency against the prebuilt index.
+      val docs = t(s, d, "documents")
+      val index = servedIndexes.getOrElseUpdate("tfidf:" + d,
+        graft.operators.Memoize.memoize(
+          graft.operators.Retrieval.sparseTfIdfIndex(docs, "doc_id", "text"),
+          tmpDir() + "/tfidf_index"))
+      graft.operators.Retrieval.sparseTfIdfTopKWith(
+        index, docs.filter(col("doc_id") === 0), "doc_id", "text", k = 5)
     }))
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
@@ -1707,6 +1749,14 @@ object SparkEntry {
     */
   private val gramTables = scala.collection.concurrent.TrieMap
     .empty[String, java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]]
+
+  /** Per-(kind, sf-dir) parquet-backed index readers for the serve-latency
+    * queries (q142 PQ codes, q143 postings) — the DataFrame wraps a plain
+    * parquet read of the memoized index, cached so repeated queries skip
+    * the memoize fingerprint (an analysis + file listing per call).
+    */
+  private val servedIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -2480,10 +2530,12 @@ SELECT event_id, user_id, t_us,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY t_us
   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
-    "q128_pq_topk" -> pqTopkOracleSql,
+    "q128_pq_topk" -> pqTopkOracleSql("s.id < 5"),
     // q132 trains the same codebooks (same seeds/rounds) offline and serves
     // through pqTopKWith — bit-identical result, same replay.
-    "q132_pq_reuse" -> pqTopkOracleSql,
+    "q132_pq_reuse" -> pqTopkOracleSql("s.id < 5"),
+    // stored-index serve: q128's replay restricted to query 0
+    "q142_pq_serve" -> pqTopkOracleSql("s.id = 0"),
     "q129_zorder_key" -> {
       val zterms = (0 until 16).flatMap(i => Seq(
         s"(((l_partkey >> $i) & 1) << ${2 * i})",
@@ -2491,28 +2543,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
   CAST($zterms AS BIGINT) AS zkey FROM lineitem"""
     },
-    "q130_sparse_tfidf" ->
-      """WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
-tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
-dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
-qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE doc_id < 3),
-sc AS (SELECT q.query_id, tf.doc_id,
-  CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms
-  FROM qtf q JOIN dft USING (t) JOIN tf USING (t)
-  WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id)
-SELECT query_id, doc_id, score, shared_terms, CAST(rank AS INTEGER) AS rank FROM
-  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
-WHERE rank <= 5""",
+    "q130_sparse_tfidf" -> sparseTfIdfOracleSql("doc_id < 3"),
+    // stored-index serve: q130's replay restricted to query 0
+    "q143_tfidf_serve" -> sparseTfIdfOracleSql("doc_id = 0"),
     "q131_cube" ->
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
 FROM documents GROUP BY CUBE (source, lang)""")
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
-    * refine) — shared by q128 (in-query training) and q132 (offline-trained
-    * reuse), which produce identical results by construction.
+    * refine) — shared by q128 (in-query training), q132 (offline-trained
+    * reuse) and q142 (stored-index serve), which produce identical results
+    * by construction; `queryPred` selects the query id set (__QPRED__ in
+    * the template).
     */
-  private val pqTopkOracleSql: String =
+  private def pqTopkOracleSql(queryPred: String): String =
+    pqTopkOracleTemplate.replace("__QPRED__", queryPred)
+
+  /** DuckDB replay of the sparse tf·idf ranker — shared by q130
+    * (build+serve) and q143 (stored-index serve), identical results by
+    * construction; `queryPred` selects the query doc set.
+    */
+  private def sparseTfIdfOracleSql(queryPred: String): String =
+    ("""WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
+qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE __QPRED__),
+sc AS (SELECT q.query_id, tf.doc_id,
+  CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms
+  FROM qtf q JOIN dft USING (t) JOIN tf USING (t)
+  WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, doc_id, score, shared_terms, CAST(rank AS INTEGER) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+WHERE rank <= 5""").replace("__QPRED__", queryPred)
+
+  private val pqTopkOracleTemplate: String =
       """WITH iv AS (SELECT vec_id AS id,
   list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256 + 0.5) AS BIGINT)) AS v FROM embeddings),
 sub AS (SELECT id, CAST(s AS BIGINT) AS sub,
@@ -2537,7 +2602,7 @@ codes AS (SELECT id, sub, cid FROM
   (SELECT *, row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
 tab AS (SELECT s.id AS query_id, s.sub, c.cid,
   CAST(list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
-  FROM sub s JOIN book c USING (sub) WHERE s.id < 5),
+  FROM sub s JOIN book c USING (sub) WHERE __QPRED__),
 adc AS (SELECT t.query_id, c.id AS neighbor_id, CAST(sum(t.d2) AS BIGINT) AS adc_d2
   FROM codes c JOIN tab t ON c.sub = t.sub AND c.cid = t.cid
   WHERE c.id <> t.query_id GROUP BY t.query_id, c.id),

@@ -243,28 +243,61 @@ object VectorFunctions {
     book
   }
 
+  /** Encode a corpus against pre-trained codebooks: (id, sub, cid) — the
+    * PQ INDEX itself. nearest centroid per (corpus row, subspace) via
+    * min_by argmin (unique ordering struct ⇒ deterministic, same (d2 asc,
+    * cid asc) semantics as a window) so the encode join collapses map-side
+    * instead of sort-shuffling corpus×centroid candidate rows. At
+    * production scale this runs once per corpus release and is PERSISTED
+    * (m·|corpus| tiny rows — the classic "PQ codes are 8 bytes per
+    * vector" artifact); every query then serves through
+    * [[pqTopKWithCodes]] without touching full corpus vectors except to
+    * refine its own candidate slice.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+               vecCol: String, dim: Int, m: Int = 8,
+               quantScale: Double = 256.0): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
+    joinBookGuarded(csub, codebooks, "pqEncode")
+      .withColumn("__d2", intL2(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
+  }
+
   /** Serve PQ top-k with PRE-TRAINED codebooks (the production entry point;
     * `pqTopK` = pqTrain + this). Encodes the corpus against `codebooks`
     * ((sub, cid, cv) from `pqTrain` — pass it persisted), builds the
     * per-query ADC distance table, aggregates, and optionally refines.
+    * Callers serving MANY query batches should encode once with
+    * [[pqEncode]], persist the codes, and call [[pqTopKWithCodes]].
     */
   def pqTopKWith(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
                  idCol: String, vecCol: String, k: Int, dim: Int, m: Int = 8,
-                 quantScale: Double = 256.0, rescoreFactor: Int = 4): DataFrame = {
+                 quantScale: Double = 256.0, rescoreFactor: Int = 4): DataFrame =
+    pqTopKWithCodes(
+      pqEncode(corpus, codebooks, idCol, vecCol, dim, m, quantScale),
+      corpus, queries, codebooks, idCol, vecCol, k, dim, m, quantScale,
+      rescoreFactor)
+
+  /** The pure SERVE side: rank against a pre-encoded `codes` index
+    * ((id, sub, cid) from [[pqEncode]], persisted). Per query: quantize,
+    * broadcast the m×|centroids| ADC table against the codes, aggregate,
+    * and exact-refine the k·rescoreFactor candidate slice — the only stage
+    * that reads full corpus vectors, and only for candidate ids. This is
+    * the single-query latency shape users actually run against a built
+    * index.
+    */
+  def pqTopKWithCodes(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      codebooks: DataFrame, idCol: String, vecCol: String,
+                      k: Int, dim: Int, m: Int = 8,
+                      quantScale: Double = 256.0,
+                      rescoreFactor: Int = 4): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     def l2(a: Column, b: Column): Column = intL2(a, b)
     def subs(df: DataFrame, idAs: String): DataFrame =
       pqSubvectors(df, idCol, vecCol, idAs, dim, m, quantScale)
-    val csub = subs(corpus, "id")
     val book = codebooks
-    // encode: nearest centroid per (corpus row, subspace) — min_by argmin
-    // (unique ordering struct ⇒ deterministic, same (d2 asc, cid asc)
-    // semantics as a window) so the encode join collapses map-side instead
-    // of sort-shuffling corpus×centroid candidate rows
-    val codes = joinBookGuarded(csub, book, "pqTopKWith")
-      .withColumn("__d2", l2(col("sv"), col("cv")))
-      .groupBy(col("id"), col("sub"))
-      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
     val table = subs(queries, "query_id")
       .join(broadcast(book), Seq("sub"))
       .withColumn("__d2", l2(col("sv"), col("cv")))

@@ -98,8 +98,22 @@ object Retrieval {
   def sparseTfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                       queries: DataFrame, k: Int,
                       scale: Long = 1000000L,
-                      maxDf: Long = Long.MaxValue): DataFrame = {
-    require(k > 0, "sparseTfIdfTopK needs k > 0")
+                      maxDf: Long = Long.MaxValue): DataFrame =
+    sparseTfIdfTopKWith(
+      sparseTfIdfIndex(docs, idCol, textCol, scale, maxDf),
+      queries, idCol, textCol, k)
+
+  /** The inverted INDEX of a corpus: weighted postings
+    * (t, doc_id, tf, df, w) — term-keyed, one row per (term, doc)
+    * occurrence pair, df/weight already attached so the serve side is
+    * join+aggregate only. At production scale this is built once per
+    * corpus release and persisted (it is the index an IR system stores);
+    * query batches then serve through [[sparseTfIdfTopKWith]] without
+    * re-tokenizing the corpus.
+    */
+  def sparseTfIdfIndex(docs: DataFrame, idCol: String, textCol: String,
+                       scale: Long = 1000000L,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
     val tf = toks(docs, idCol, textCol).filter(length(col("t")) > 0)
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("t"))
@@ -109,14 +123,25 @@ object Retrieval {
       // its full posting-list join cost while contributing nothing and
       // breaking monotonicity; at 1 it still ranks below every rarer term
       .withColumn("w", greatest(expr(s"$scale div df"), lit(1L)))
+    tf.join(dfT, Seq("t"))
+  }
+
+  /** The pure SERVE side: rank `queries` against a pre-built postings
+    * index ((t, doc_id, tf, df, w) from [[sparseTfIdfIndex]], persisted).
+    * Tokenizes only the query batch; the corpus-sized work is one
+    * term-keyed join against the index and a (query, doc) aggregation —
+    * the single-query latency shape of a stored inverted index.
+    */
+  def sparseTfIdfTopKWith(index: DataFrame, queries: DataFrame,
+                          idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "sparseTfIdfTopKWith needs k > 0")
     val qtf = toks(queries, idCol, textCol).filter(length(col("t")) > 0)
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
       .withColumnRenamed("doc_id", "query_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    qtf.join(dfT, Seq("t"))
-      .join(tf, Seq("t"))
+    qtf.join(index, Seq("t"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("qtf") * col("tf") * col("w")).as("score"),
