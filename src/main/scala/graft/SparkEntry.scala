@@ -263,8 +263,15 @@ object SparkEntry {
     }
     out.toByteArray
   }
-  /** FLAC STREAMINFO: 48 kHz stereo, 96000 total samples → 2000 ms. */
-  private def fixtureFlac(): Array[Byte] = {
+  /** Bit-built FLAC: 48 kHz stereo 16-bit, 96000 total samples → 2000 ms,
+    * with REAL frames (not just STREAMINFO): 21 constant frames, one LPC
+    * frame, one FIXED+Rice2 frame, and a short mid/side tail frame — every
+    * subframe family the decoder implements, all samples ±16384 so the
+    * full-stream RMS is exactly 0.5 (the oracle-checked PCM feature).
+    * Header CRC-8 (poly 0x07) and frame CRC-16 (poly 0x8005) are computed
+    * for real, so any spec-conforming decoder accepts the file.
+    */
+  private[graft] def fixtureFlac(): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("ISO-8859-1"))
     out.write(Array[Byte](0x80.toByte, 0, 0, 34))            // last block, type 0, len 34
@@ -274,6 +281,102 @@ object SparkEntry {
     si(13) = 0xF0.toByte                                     // 16 bps, total>>32 = 0
     si(14) = 0x00; si(15) = 0x01; si(16) = 0x77; si(17) = 0x00 // total 96000
     out.write(si)
+    // MSB-first bit writer for one frame
+    final class W {
+      val bb = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var cnt = 0
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >> i) & 1L).toInt; cnt += 1
+          if (cnt == 8) { bb.write(cur); cur = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      def align(): Unit = if (cnt > 0) put(0, 8 - cnt)
+      def bytes: Array[Byte] = { align(); bb.toByteArray }
+    }
+    def crc8(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach { x =>
+        c ^= x & 0xFF
+        (0 until 8).foreach(_ => c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF)
+      }
+      c
+    }
+    def crc16(bs: Array[Byte]): Int = {
+      var c = 0
+      bs.foreach { x =>
+        c ^= (x & 0xFF) << 8
+        (0 until 8).foreach(_ => c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF else (c << 1) & 0xFFFF)
+      }
+      c
+    }
+    val A = 16384
+    def sq(i: Int): Int = if (i % 2 == 0) A else -A
+    // square-wave order-1 residual stream under Rice2 (param 16): warmup
+    // s0, then deltas ±32768 — zigzag 65536/65535, quotient 1/0
+    def rice2Order1(w: W, n: Int, bps: Int): Unit = {
+      w.put(0, 1); w.put(9, 6); w.put(0, 1)                  // pad, FIXED order 1, no wasted
+      w.put(sq(0).toLong & ((1L << bps) - 1), bps)           // warmup s0
+      w.put(1, 2); w.put(0, 4); w.put(16, 5)                 // method 01, po 0, param 16
+      (1 until n).foreach { i =>
+        val u = { val v = sq(i) - sq(i - 1); if (v >= 0) 2L * v else -2L * v - 1 }
+        val q = (u >> 16).toInt
+        w.put(0, q); w.put(1, 1)                             // unary quotient
+        w.put(u & 0xFFFF, 16)
+      }
+    }
+    def constant(w: W, v: Int, bps: Int): Unit = {
+      w.put(0, 8)                                            // pad, CONSTANT, no wasted
+      w.put(v.toLong & ((1L << bps) - 1), bps)
+    }
+    def lpcOrder1(w: W, n: Int, bps: Int): Unit = {
+      w.put(0, 1); w.put(32, 6); w.put(0, 1)                 // pad, LPC order 1, no wasted
+      w.put(sq(0).toLong & ((1L << bps) - 1), bps)           // warmup
+      w.put(4, 4)                                            // precision 5 (precM1=4)
+      w.put(0, 5)                                            // shift 0
+      w.put(1, 5)                                            // coeff c0 = 1
+      w.put(1, 2); w.put(0, 4); w.put(16, 5)                 // Rice2 residuals as above
+      (1 until n).foreach { i =>
+        val u = { val v = sq(i) - sq(i - 1); if (v >= 0) 2L * v else -2L * v - 1 }
+        w.put(0, (u >> 16).toInt); w.put(1, 1); w.put(u & 0xFFFF, 16)
+      }
+    }
+    def frame(idx: Int, blockSize: Int, chAssign: Int)(body: W => Unit): Unit = {
+      val w = new W
+      w.put(0xFFF8L, 16)                                     // sync + fixed blocksize
+      val bsCode = blockSize match {
+        case 4096 => 12
+        case n    => require(n - 1 <= 0xFFFF); 7             // 16-bit at end
+      }
+      w.put(bsCode.toLong, 4); w.put(0, 4)                   // rate: STREAMINFO
+      w.put(chAssign.toLong, 4); w.put(4, 3); w.put(0, 1)    // 16-bit, reserved
+      w.put(idx.toLong, 8)                                   // UTF-8 frame number (<128)
+      if (bsCode == 7) w.put((blockSize - 1).toLong, 16)
+      val hdr = w.bytes                                      // aligned: header is whole bytes
+      val w2 = new W
+      body(w2)
+      val payload = w2.bytes
+      val frameBytes = hdr ++ Array(crc8(hdr).toByte) ++ payload
+      out.write(frameBytes)
+      val c = crc16(frameBytes)
+      out.write((c >> 8) & 0xFF); out.write(c & 0xFF)
+    }
+    // frames 0..20: independent stereo, both channels CONSTANT ±A
+    (0 until 21).foreach { f =>
+      frame(f, 4096, chAssign = 1) { w =>
+        constant(w, if (f % 2 == 0) A else -A, 16)
+        constant(w, if (f % 2 == 0) A else -A, 16)
+      }
+    }
+    // frame 21: LPC order-1 square, both channels
+    frame(21, 4096, chAssign = 1) { w => lpcOrder1(w, 4096, 16); lpcOrder1(w, 4096, 16) }
+    // frame 22: FIXED order-1 + Rice2 square, both channels
+    frame(22, 4096, chAssign = 1) { w => rice2Order1(w, 4096, 16); rice2Order1(w, 4096, 16) }
+    // frame 23: mid/side tail (1792 samples): l = r = square ⇒ mid = square
+    // (FIXED+Rice2), side = 0 (CONSTANT over 17 bits)
+    frame(23, 1792, chAssign = 10) { w => rice2Order1(w, 1792, 16); constant(w, 0, 17) }
     out.toByteArray
   }
   /** Two Ogg pages: Vorbis id header (16 kHz mono) + an EOS page with
@@ -862,7 +965,9 @@ object SparkEntry {
       // huffman+IDCT path (hist bin exactly 0.5), GIF pixels through the
       // LZW path (hist bin exactly 0.5), PCM WAV (RMS exactly 0.5), G.711
       // μ-law/A-law expansion (exact known RMS), MP3 frame walk through an
-      // ID3v2 tag (25 frames, 900 ms), FLAC STREAMINFO (2000 ms), Ogg
+      // ID3v2 tag (25 frames, 900 ms), FLAC PAYLOAD decode — 24 real
+      // frames through constant/LPC/fixed+Rice2/mid-side subframes, RMS
+      // exactly 0.5, 2000 ms — Ogg
       // granules (500 ms), MP4 stts + mvhd (30 frames, 1234 ms), AVI avih
       // (48 frames, 1920 ms), WebM Info duration (1500 ms)
       val dir = tmpDir() + "/media_q73"
@@ -1966,7 +2071,9 @@ ORDER BY n_docs DESC, n_total DESC, sentence ASC LIMIT 20""",
         "('ulaw.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.9803466796875 AS DOUBLE)), " +
         "('alaw.wav', 'audio', 0, 0, 1, 8000, CAST(1000 AS BIGINT), CAST(0.984375 AS DOUBLE)), " +
         "('sound.mp3', 'audio', 0, 0, 25, 32000, CAST(900 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
-        "('sound.flac', 'audio', 0, 0, 1, 48000, CAST(2000 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        // FLAC payload decoded for real (24 frames: constant/LPC/fixed-
+        // Rice2/mid-side, all samples ±16384): RMS exactly 0.5
+        "('sound.flac', 'audio', 0, 0, 24, 48000, CAST(2000 AS BIGINT), CAST(0.5 AS DOUBLE)), " +
         "('sound.ogg', 'audio', 0, 0, 1, 16000, CAST(500 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
         "('clip.mp4', 'video', 0, 0, 30, 0, CAST(1234 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
         "('clip.avi', 'video', 0, 0, 48, 0, CAST(1920 AS BIGINT), CAST(0.0 AS DOUBLE)), " +

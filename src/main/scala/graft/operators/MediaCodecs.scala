@@ -1345,6 +1345,298 @@ object MediaCodecs {
     else Some(AudioStreamInfo("flac", rate, ch, 1, total * 1000L / rate))
   }
 
+  // ------------------------------------------------------------------
+  // FLAC frame decode — real PCM, from the spec (RFC 9639 / the classic
+  // xiph format document). FLAC is fully lossless and fully specified
+  // (no perceptual model), so the payload decode needs no codec library:
+  // subframe types CONSTANT / VERBATIM / FIXED(0–4) / LPC, Rice and
+  // Rice2 residual partitions incl. escape-to-raw, stereo decorrelation
+  // (left/side, right/side, mid/side), wasted-bits, UTF-8 frame numbers.
+  // CRCs are consumed but not validated (decode robustness over
+  // verification — same stance as the JPEG/PNG paths).
+  // ------------------------------------------------------------------
+
+  /** Decoded FLAC stream: interleaved PCM (channel-major per frame
+    * position), `bitsPerSample` from STREAMINFO.
+    */
+  case class FlacPcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                     frames: Int, samples: Array[Int])
+
+  /** MSB-first bit reader over a byte range (FLAC framing is big-endian
+    * bit-packed; unlike JPEG there is no marker stuffing).
+    */
+  private final class FlacBits(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var cnt = 0
+    def eof: Boolean = cnt == 0 && pos >= b.length
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length) return 0
+        cur = b(pos) & 0xFF; pos += 1; cnt = 8
+      }
+      cnt -= 1
+      (cur >> cnt) & 1
+    }
+    def bits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def sbits(n: Int): Int = {
+      val v = bits(n)
+      (v << (64 - n) >> (64 - n)).toInt // sign-extend
+    }
+    /** Unary: count of 0 bits before the terminating 1 (capped: malformed
+      * input must not spin to EOF one bit at a time forever).
+      */
+    def unary(): Int = {
+      var q = 0
+      while (bit() == 0) { q += 1; if (q > (1 << 20) || eof) return -1 }
+      q
+    }
+    def align(): Unit = cnt = 0
+  }
+
+  /** Decode the FLAC stream's PCM (up to `maxSamples` interleaved values —
+    * the per-row memory guard for corpus-scale decode). None if the
+    * container or any frame is malformed.
+    */
+  def flacDecodePcm(b: Array[Byte], maxSamples: Int = 1 << 24): Option[FlacPcm] = {
+    val info = flacInfo(b).getOrElse(return None)
+    // walk metadata blocks to the first frame
+    var p = 4
+    var last = false
+    while (!last) {
+      if (p + 4 > b.length) return None
+      last = (b(p) & 0x80) != 0
+      val len = ((b(p + 1) & 0xFF) << 16) | ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+      p += 4 + len
+      if (p > b.length) return None
+    }
+    val streamBps = {
+      // STREAMINFO bits-per-sample: 5 bits straddling bytes 12/13 of the block
+      val o = 8
+      (((b(o + 12) & 0x01) << 4) | ((b(o + 13) & 0xF0) >> 4)) + 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Int](
+      math.min(maxSamples, 1 << 16))
+    var frames = 0
+    while (p + 2 <= b.length && out.length < maxSamples) {
+      // frame sync: 11111111 111110xx
+      if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xFC) != 0xF8) return None
+      val r = new FlacBits(b, p + 2)
+      val bsCode = r.bits(4).toInt
+      val rateCode = r.bits(4).toInt
+      val chAssign = r.bits(4).toInt
+      val sizeCode = r.bits(3).toInt
+      r.bits(1) // reserved
+      // UTF-8 coded frame/sample number: lead byte determines extra bytes
+      val lead = r.bits(8).toInt
+      var extra = 0
+      var l = lead
+      while ((l & 0x80) != 0) { extra += 1; l <<= 1 }
+      if (extra == 1 || extra > 6) return None
+      (1 until math.max(extra, 1)).foreach(_ => r.bits(8))
+      val blockSize = bsCode match {
+        case 0      => return None // reserved
+        case 1      => 192
+        case c if c <= 5 => 576 << (c - 2)
+        case 6      => r.bits(8).toInt + 1
+        case 7      => r.bits(16).toInt + 1
+        case c      => 256 << (c - 8)
+      }
+      rateCode match { // end-of-header rate fields just get consumed
+        case 12 => r.bits(8)
+        case 13 | 14 => r.bits(16)
+        case 15 => return None
+        case _ => ()
+      }
+      val bps = sizeCode match {
+        case 0 => streamBps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case _ => return None
+      }
+      r.bits(8) // CRC-8 (consumed, not validated)
+      val nCh = if (chAssign < 8) chAssign + 1
+        else if (chAssign <= 10) 2
+        else return None
+      if (nCh != info.channels) return None
+      // decode each channel's subframe
+      val chans = Array.ofDim[Array[Int]](nCh)
+      var ch = 0
+      while (ch < nCh) {
+        // side channel carries one extra bit: left/side(8)→ch1,
+        // right/side(9)→ch0, mid/side(10)→ch1
+        val sideBit = chAssign match {
+          case 8 if ch == 1 => 1
+          case 9 if ch == 0 => 1
+          case 10 if ch == 1 => 1
+          case _ => 0
+        }
+        chans(ch) = decodeSubframe(r, blockSize, bps + sideBit).getOrElse(return None)
+        ch += 1
+      }
+      // undo stereo decorrelation
+      val decoded: Array[Array[Int]] = chAssign match {
+        case 8 => // left/side: right = left - side
+          val l0 = chans(0); val s = chans(1)
+          Array(l0, Array.tabulate(blockSize)(i => l0(i) - s(i)))
+        case 9 => // right/side: left = right + side
+          val s = chans(0); val r0 = chans(1)
+          Array(Array.tabulate(blockSize)(i => r0(i) + s(i)), r0)
+        case 10 => // mid/side: sum = (mid<<1)|(side&1); l=(sum+side)/2, r=(sum-side)/2
+          val m = chans(0); val s = chans(1)
+          val l0 = Array.tabulate(blockSize) { i =>
+            val sum = (m(i) << 1) | (s(i) & 1); (sum + s(i)) >> 1
+          }
+          val r0 = Array.tabulate(blockSize) { i =>
+            val sum = (m(i) << 1) | (s(i) & 1); (sum - s(i)) >> 1
+          }
+          Array(l0, r0)
+        case _ => chans
+      }
+      r.align()
+      p = r.pos + 2 // frame CRC-16 (consumed, not validated)
+      if (p > b.length) return None
+      var i = 0
+      while (i < blockSize && out.length < maxSamples) {
+        var c = 0
+        while (c < nCh) { out += decoded(c)(i); c += 1 }
+        i += 1
+      }
+      frames += 1
+    }
+    if (frames == 0) None
+    else Some(FlacPcm(info.sampleRate, info.channels, streamBps, frames, out.toArray))
+  }
+
+  /** One subframe: header (type + wasted bits), payload by type, residual
+    * via Rice/Rice2 partitions. Returns `blockSize` samples.
+    */
+  private def decodeSubframe(r: FlacBits, blockSize: Int, bps: Int): Option[Array[Int]] = {
+    if (r.bits(1) != 0) return None // mandatory zero pad bit
+    val ty = r.bits(6).toInt
+    var wasted = 0
+    if (r.bits(1) == 1) { // wasted-bits flag: unary k-1 follows
+      val u = r.unary()
+      if (u < 0) return None
+      wasted = u + 1
+    }
+    val eb = bps - wasted
+    if (eb <= 0 || eb > 32) return None
+    val s = ty match {
+      case 0 => // CONSTANT
+        val v = r.sbits(eb)
+        Array.fill(blockSize)(v)
+      case 1 => // VERBATIM
+        Array.fill(blockSize)(r.sbits(eb))
+      case t if t >= 8 && t <= 12 => // FIXED, order 0..4
+        val order = t - 8
+        val warm = Array.fill(order)(r.sbits(eb))
+        val res = decodeResiduals(r, blockSize, order).getOrElse(return None)
+        val s = new Array[Int](blockSize)
+        Array.copy(warm, 0, s, 0, order)
+        var i = order
+        while (i < blockSize) {
+          val p = order match {
+            case 0 => 0
+            case 1 => s(i - 1)
+            case 2 => 2 * s(i - 1) - s(i - 2)
+            case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
+            case _ => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
+          }
+          s(i) = res(i - order) + p
+          i += 1
+        }
+        s
+      case t if t >= 32 => // LPC, order 1..32
+        val order = t - 31
+        if (order > blockSize) return None
+        val warm = Array.fill(order)(r.sbits(eb))
+        val precM1 = r.bits(4).toInt
+        if (precM1 == 15) return None // forbidden
+        val prec = precM1 + 1
+        val shift = r.sbits(5)
+        if (shift < 0) return None
+        val coef = Array.fill(order)(r.sbits(prec))
+        val res = decodeResiduals(r, blockSize, order).getOrElse(return None)
+        val s = new Array[Int](blockSize)
+        Array.copy(warm, 0, s, 0, order)
+        var i = order
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coef(j).toLong * s(i - 1 - j); j += 1 }
+          s(i) = res(i - order) + (acc >> shift).toInt
+          i += 1
+        }
+        s
+      case _ => return None // reserved types
+    }
+    if (wasted > 0) { var i = 0; while (i < s.length) { s(i) <<= wasted; i += 1 } }
+    Some(s)
+  }
+
+  /** Rice/Rice2 partitioned residuals (method 00/01): 4-bit partition
+    * order, first partition carries blockSize/2^po − predictorOrder
+    * values, the rest blockSize/2^po; escape parameter ⇒ raw n-bit
+    * values. Zigzag decode throughout.
+    */
+  private def decodeResiduals(r: FlacBits, blockSize: Int, order: Int): Option[Array[Int]] = {
+    val method = r.bits(2).toInt
+    if (method > 1) return None
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val po = r.bits(4).toInt
+    val nPart = 1 << po
+    if (blockSize % nPart != 0) return None
+    val perPart = blockSize / nPart
+    if (perPart <= order && nPart == 1) return None
+    val out = new Array[Int](blockSize - order)
+    var w = 0
+    var part = 0
+    while (part < nPart) {
+      val n = if (part == 0) perPart - order else perPart
+      if (n < 0) return None
+      val param = r.bits(pBits).toInt
+      if (param == escape) {
+        val raw = r.bits(5).toInt
+        var i = 0
+        while (i < n) { out(w) = if (raw == 0) 0 else r.sbits(raw); w += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = r.unary()
+          if (q < 0) return None
+          val u = (q.toLong << param) | r.bits(param)
+          out(w) = ((u >>> 1) ^ -(u & 1L)).toInt // zigzag
+          w += 1; i += 1
+        }
+      }
+      part += 1
+    }
+    Some(out)
+  }
+
+  /** Full FLAC payload decode surfaced in WAV terms: exact duration from
+    * the decoded sample count and the real 8-segment RMS envelope over the
+    * reconstructed PCM — the FLAC counterpart of `wavInfo`, plus the frame
+    * count for the metadata row.
+    */
+  def flacDecodeInfo(b: Array[Byte]): Option[(WavInfo, Int)] =
+    flacDecodePcm(b).filter(p => p.sampleRate > 0 && p.channels > 0).map { p =>
+      val scale = (1L << (p.bitsPerSample - 1)).toDouble
+      (WavInfo(p.sampleRate, p.channels, p.bitsPerSample,
+        (p.samples.length / p.channels) * 1000L / p.sampleRate,
+        rmsEnvelope8(p.samples.length, s => p.samples(s) / scale)),
+        p.frames)
+    }
+
   /** Ogg/Vorbis: sample rate + channels from the Vorbis identification
     * header on the first page (RFC 3533 framing, Vorbis I §4.2.2), total
     * samples from the LAST page's granule position (which for Vorbis IS

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * per-partition transforms (`mapPartitions` over row batches — the Scala
   * analogue of `mapInPandas`: one vectorized call per batch, not per row).
   *
-  * The actual codec step is STUBBED (media libraries are not in this
-  * container): `decodeStub` produces a deterministic fake decode from the
-  * byte content. The Spark-side plumbing — schema, binaryFile ingestion,
-  * partition sizing, batch shape, output contract — is real and tested;
-  * swapping in a real codec is replacing one function.
+  * Decode is REAL wherever the format is losslessly specified (BMP, PNG,
+  * baseline+progressive JPEG, GIF, PCM/ADPCM/G.711 WAV, FLAC payload —
+  * see MediaCodecs, all written from the public specs); only PERCEPTUAL
+  * codec payloads (MP3 waveforms, H.264/VP9 pixels) fall to `decodeStub`,
+  * a deterministic fake from the byte content clearly marked as such. The
+  * Spark-side plumbing — schema, binaryFile ingestion, partition sizing,
+  * batch shape, output contract — is identical for both; swapping a stub
+  * for a codec is replacing one function.
   *
   * Scale notes: `binaryFile` spreads files across tasks and caps per-file
   * size at `spark.sql.sources.binaryFile.maxLength`; large media corpora
@@ -94,14 +97,23 @@ object Multimodal {
       MediaCodecs.wavInfo(content) match {
         case Some(w) =>
           Row(path, mediaType, 0, 0, 1, w.sampleRate, w.durationMs, w.rmsEnvelope.toSeq)
-        case None => MediaCodecs.audioStreamInfo(content) match {
-          // framing-layer metadata (MP3 frame walk / FLAC STREAMINFO / Ogg
-          // granules) is real; the waveform would need a codec, so the
-          // feature is an explicit zero envelope, not a fake
-          case Some(a) =>
-            Row(path, mediaType, 0, 0, a.frames, a.sampleRate, a.durationMs,
-              Seq.fill(8)(0f))
-          case None => decodeStub(path, mediaType, content)
+        case None => MediaCodecs.flacDecodeInfo(content) match {
+          // FLAC is lossless and fully specified — REAL PCM decode
+          // (constant/verbatim/fixed/LPC subframes + Rice residuals), real
+          // RMS envelope, duration from the decoded sample count
+          case Some((w, frames)) =>
+            Row(path, mediaType, 0, 0, frames, w.sampleRate, w.durationMs,
+              w.rmsEnvelope.toSeq)
+          case None => MediaCodecs.audioStreamInfo(content) match {
+            // framing-layer metadata (MP3 frame walk / FLAC STREAMINFO /
+            // Ogg granules) is real; the PERCEPTUAL waveform (MP3/Vorbis
+            // payload) would need a codec, so the feature is an explicit
+            // zero envelope, not a fake
+            case Some(a) =>
+              Row(path, mediaType, 0, 0, a.frames, a.sampleRate, a.durationMs,
+                Seq.fill(8)(0f))
+            case None => decodeStub(path, mediaType, content)
+          }
         }
       }
     case "video" =>

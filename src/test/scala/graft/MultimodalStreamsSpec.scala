@@ -918,6 +918,96 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(MediaCodecs.audioStreamInfo(Array.fill(64)(0x33.toByte)).isEmpty)
   }
 
+  test("FLAC payload decode: full fixture PCM, every subframe family, exact RMS") {
+    import graft.operators.MediaCodecs
+    // the bit-built 24-frame fixture: constant / LPC / fixed+Rice2 /
+    // mid-side frames, stereo 48 kHz, all samples ±16384
+    val (info, frames) = MediaCodecs.flacDecodeInfo(SparkEntry.fixtureFlac()).get
+    assert(frames == 24)
+    assert(info.sampleRate == 48000 && info.channels == 2 && info.bitsPerSample == 16)
+    assert(info.durationMs == 2000)
+    info.rmsEnvelope.foreach(v => assert(v == 0.5f, s"env $v != 0.5"))
+    val pcm = MediaCodecs.flacDecodePcm(SparkEntry.fixtureFlac()).get
+    assert(pcm.samples.length == 96000 * 2)
+    assert(pcm.samples.forall(s => s == 16384 || s == -16384))
+    // frame 22 (fixed+Rice2) region: alternating square, both channels
+    val f22 = 22 * 4096 * 2
+    assert(pcm.samples(f22) == 16384 && pcm.samples(f22 + 2) == -16384)
+    // STREAMINFO-only stream (no frames) must NOT decode — it falls back
+    // to the metadata path, which still reports rate/duration
+    assert(MediaCodecs.flacDecodePcm(makeFlac(48000, 2, 96000L)).isEmpty)
+  }
+
+  test("FLAC decode: verbatim subframes, escape partitions, wasted bits") {
+    import graft.operators.MediaCodecs
+    // mono 8 kHz 16-bit, one 192-sample frame, hand-packed
+    final class FW {
+      val bb = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var cnt = 0
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >> i) & 1L).toInt; cnt += 1
+          if (cnt == 8) { bb.write(cur); cur = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      def bytes: Array[Byte] = { if (cnt > 0) put(0, 8 - cnt); bb.toByteArray }
+    }
+    def stream(total: Long)(body: FW => Unit): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("ISO-8859-1"))
+      out.write(Array[Byte](0x80.toByte, 0, 0, 34))
+      val si = new Array[Byte](34)
+      si(0) = 0x00; si(1) = 0xC0.toByte; si(2) = 0x00; si(3) = 0xC0.toByte // block 192
+      si(10) = 0x01; si(11) = 0xF4.toByte; si(12) = 0x00 // rate 8000, 1 ch
+      si(13) = 0x70 // 16 bps
+      (0 until 4).foreach(k => si(14 + k) = ((total >> (8 * (3 - k))) & 0xFF).toByte)
+      out.write(si)
+      val w = new FW
+      w.put(0xFFF8L, 16); w.put(1, 4); w.put(0, 4)      // sync, block 192, rate SI
+      w.put(0, 4); w.put(4, 3); w.put(0, 1)             // mono, 16-bit
+      w.put(0, 8)                                        // frame 0
+      val hdr = w.bytes
+      out.write(hdr)
+      var c8 = 0
+      hdr.foreach { x => c8 ^= x & 0xFF; (0 until 8).foreach(_ =>
+        c8 = if ((c8 & 0x80) != 0) ((c8 << 1) ^ 0x07) & 0xFF else (c8 << 1) & 0xFF) }
+      out.write(c8)
+      val pw = new FW
+      body(pw)
+      out.write(pw.bytes)
+      out.write(0); out.write(0)                         // CRC-16 (not validated)
+      out.toByteArray
+    }
+    // VERBATIM: 192 explicit samples 0..191
+    val verb = stream(192) { w =>
+      w.put(0, 1); w.put(1, 6); w.put(0, 1)
+      (0 until 192).foreach(i => w.put(i.toLong, 16))
+    }
+    val vp = MediaCodecs.flacDecodePcm(verb).get
+    assert(vp.samples.toSeq == (0 until 192))
+    // FIXED order 0 with an ESCAPE partition (raw 9-bit residuals ±200)
+    val esc = stream(192) { w =>
+      w.put(0, 1); w.put(8, 6); w.put(0, 1)              // fixed order 0
+      w.put(0, 2); w.put(0, 4)                           // method 00, po 0
+      w.put(15, 4)                                       // param 15 = escape
+      w.put(9, 5)                                        // raw width 9
+      (0 until 192).foreach(i => w.put((if (i % 2 == 0) 200L else -200L) & 0x1FF, 9))
+    }
+    val ep = MediaCodecs.flacDecodePcm(esc).get
+    assert(ep.samples.forall(s => s == 200 || s == -200))
+    assert(ep.samples(0) == 200 && ep.samples(1) == -200)
+    // CONSTANT with wasted bits: k=3, stored value 100 → sample 800
+    val wast = stream(192) { w =>
+      w.put(0, 1); w.put(0, 6); w.put(1, 1)              // constant, wasted flag
+      w.put(0, 2); w.put(1, 1)                           // unary 2 ⇒ k=3
+      w.put(100, 13)                                     // 16-3 bits
+    }
+    val wp = MediaCodecs.flacDecodePcm(wast).get
+    assert(wp.samples.forall(_ == 800))
+  }
+
   test("binary parsers never throw on corrupt input (fuzz: random + mutated + truncated)") {
     import graft.operators.MediaCodecs
     // at corpus scale the decode stage WILL see garbage; every parser must
@@ -930,7 +1020,8 @@ class MultimodalStreamsSpec extends SparkSpec {
       "wavInfo" -> (b => MediaCodecs.wavInfo(b)),
       "mp4FrameCount" -> (b => MediaCodecs.mp4FrameCount(b)),
       "bmpHist" -> (b => MediaCodecs.bmpLuminanceHistogram(b)),
-      "audioStreamInfo" -> (b => MediaCodecs.audioStreamInfo(b)))
+      "audioStreamInfo" -> (b => MediaCodecs.audioStreamInfo(b)),
+      "flacDecodePcm" -> (b => MediaCodecs.flacDecodePcm(b)))
     val pal = Array[Byte](0, 0, 0, -1, -1, -1, -1, 0, 0, 0, 0, -1)
     val seeds: Seq[Array[Byte]] = Seq(
       makeJpeg(16, 8, Seq((1, 1, 1)))((m, _, _, _) => if (m == 0) 0 else 128),
@@ -952,6 +1043,7 @@ class MultimodalStreamsSpec extends SparkSpec {
       makeG711Wav(ulaw = true, 8000, Array.fill(100)(0x80.toByte)),
       makeMp3(2, id3Pad = 16),
       makeFlac(48000, 2, 96000L),
+      SparkEntry.fixtureFlac(),
       makeOgg(16000, 1, 8000L),
       makeMp4(Seq(24)))
     val rnd = new scala.util.Random(20260813L)
