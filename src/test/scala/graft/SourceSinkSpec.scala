@@ -84,6 +84,42 @@ class SourceSinkSpec extends SparkSpec {
     assert(html.contains("<td>1</td><td>&lt;x&gt;</td>"))
   }
 
+  test("html push verified by an INDEPENDENT parser (javax DOM) over sf0.001 data") {
+    // substring assertions can't prove well-formedness or complete
+    // escaping; parse the rendered report with the JDK's XML parser (an
+    // independent implementation) over real generated data whose comment
+    // strings carry specials, and compare the extracted table against the
+    // DataFrame cell-for-cell.
+    val src = "/root/testdata/sf0.001/nation.parquet"
+    assume(new java.io.File(src).exists())
+    val df = spark.read.parquet(src).orderBy("n_nationkey")
+      .selectExpr("CAST(n_nationkey AS STRING) AS k", "n_name",
+        // derived column forces the escaping path on every row
+        "concat(n_name, ' <&\"> ', CAST(n_regionkey AS STRING)) AS mix")
+    val expected = df.collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val html = Sinks.toHtmlString(df, name = "nations & <specials>",
+      description = Some("a < b & c"))
+    // esc() guarantees XML well-formedness of the fragment; parse it
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(
+        s"<root>$html</root>".getBytes("UTF-8")))
+    assert(doc.getElementsByTagName("h2").item(0).getTextContent
+      == "nations & <specials>") // title survives escaping round-trip
+    assert(doc.getElementsByTagName("i").item(0).getTextContent == "a < b & c")
+    val trs = doc.getElementsByTagName("tr")
+    val header = trs.item(0).asInstanceOf[org.w3c.dom.Element]
+      .getElementsByTagName("th")
+    assert((0 until header.getLength).map(header.item(_).getTextContent)
+      == df.columns.toSeq)
+    val body = (1 until trs.getLength).map { r =>
+      val tds = trs.item(r).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("td")
+      (0 until tds.getLength).map(tds.item(_).getTextContent)
+    }
+    assert(body == expected, "DOM-extracted table != source rows")
+  }
+
   test("push csv + pull round-trips (base.py:463-567)") {
     val dir = tmp("push") + "/out.csv"
     val df = Seq((1, "x"), (2, "y")).toDF("k", "v")
