@@ -152,4 +152,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"partition-pair cartesian in:\n$p")
     assert(p.contains("BroadcastExchange"), s"query side not broadcast in:\n$p")
   }
+
+  test("q142 PQ serve: pushed-down query scan, broadcast ADC table, no cartesian") {
+    val p = planOf("q142_pq_serve")
+    // the stored-index serve tier: the single query's vector scan must be
+    // pushdown-pruned, every join broadcast (ADC table, candidate refine),
+    // and nothing pairwise
+    assert(!p.contains("CartesianProduct"), s"cartesian in serve path:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join in serve path:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"),
+      s"query filter not pushed to the embeddings scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ADC/refine joins not broadcast:\n$p")
+  }
+
+  test("q143 tfidf serve: query tokenization only, index joined without corpus re-scan") {
+    val p = planOf("q143_tfidf_serve")
+    assert(!p.contains("CartesianProduct"), s"cartesian in serve path:\n$p")
+    // exactly one scan of the documents table (the query row; pushdown
+    // pruned) — the corpus postings come from the persisted index parquet
+    val docScans = "Location.*documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 1, s"expected 1 documents scan (the query row), got $docScans:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,0)]"),
+      s"query filter not pushed to the documents scan:\n$p")
+  }
 }
