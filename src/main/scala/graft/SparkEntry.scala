@@ -1795,6 +1795,26 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("n_total").desc, col("sentence").asc)
         .limit(20)
     }),
+    "q144_dsir_serve" -> ((s, d) => {
+      // DSIR's production shape: the per-bucket weight table (≤ buckets
+      // rows, the persistable selection artifact) trained once per
+      // (corpus, target) pair and cached per sf dir; every scoring pass —
+      // here the registered query — is then one narrow feature explode +
+      // broadcast join + aggregation over the shard being scored. Same
+      // output as q112 by construction ⇒ shares q112's oracle; its bench
+      // time is the per-shard serve cost q112's in-query training hides.
+      val docs = t(s, d, "documents")
+      val weights = dsirWeights.getOrElseUpdate(d, {
+        val w = graft.operators.Importance.importanceWeightsPortable(
+          docs, docs.filter(col("source").isin("src0", "src1")), "text", "text",
+          buckets = 256)
+        (w.schema, w.collect())
+      })
+      val w = s.createDataFrame(
+        java.util.Arrays.asList(weights._2: _*), weights._1)
+      graft.operators.Importance.importanceScoresPortableWith(
+        docs, "doc_id", "text", w, buckets = 256)
+    }),
     "q142_pq_serve" -> ((s, d) => {
       // the FULL production ANN serve shape: codebooks trained once
       // (pqBooks, shared with q132), corpus codes ENCODED ONCE and
@@ -1862,6 +1882,12 @@ object SparkEntry {
     */
   private val servedIndexes =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Per-sf-dir DSIR weight tables (≤ buckets rows) — the train-once cache
+    * behind q144, mirroring pqBooks.
+    */
+  private val dsirWeights = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.types.StructType, Array[Row])]
 
   // =====================================================================
   // DuckDB oracles — same column names, deterministic result sets.
@@ -2429,23 +2455,10 @@ miss AS (SELECT DISTINCT doc_id, g FROM pos WHERE pos NOT IN (SELECT pos FROM bi
 SELECT doc_id, count(*) AS hit_grams FROM gr
 WHERE NOT EXISTS (SELECT 1 FROM miss m WHERE m.doc_id = gr.doc_id AND m.g = gr.g)
 GROUP BY doc_id""",
-    "q112_dsir" ->
-      s"""WITH tk AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-feats AS (
-  SELECT doc_id, source, unnest(toks) AS f FROM tk
-  UNION ALL
-  SELECT doc_id, source, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-    ELSE list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]) END) AS f
-  FROM tk),
-fb AS (SELECT doc_id, source, ${portableHash60Sql("f")} % 256 AS bucket FROM feats),
-qc AS (SELECT bucket, count(*) AS qcnt FROM fb GROUP BY bucket),
-pc AS (SELECT bucket, count(*) AS pcnt FROM fb WHERE source IN ('src0', 'src1') GROUP BY bucket),
-tot AS (SELECT (SELECT count(*) FROM fb) AS qtot,
-               (SELECT count(*) FROM fb WHERE source IN ('src0', 'src1')) AS ptot),
-w AS (SELECT qc.bucket, COALESCE(pc.pcnt, 0) AS pcnt, qc.qcnt AS qcnt FROM qc LEFT JOIN pc USING (bucket))
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-  CAST(sum((1000000 * (w.pcnt + 1) * (tot.qtot + 256)) // ((w.qcnt + 1) * (tot.ptot + 256))) AS BIGINT) AS score_scaled
-FROM fb JOIN w USING (bucket) CROSS JOIN tot GROUP BY doc_id""",
+    // q144 trains the same weight table offline and serves through the
+    // same pipeline - identical output, shared replay
+    "q144_dsir_serve" -> dsirOracleSql,
+    "q112_dsir" -> dsirOracleSql,
     "q113_len_histogram" ->
       """WITH d AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS len FROM documents),
 b AS (SELECT CASE WHEN len <= 0 THEN CAST(-1 AS BIGINT)
@@ -2666,6 +2679,28 @@ FROM documents GROUP BY CUBE (source, lang)""")
     */
   private def pqTopkOracleSql(queryPred: String): String =
     pqTopkOracleTemplate.replace("__QPRED__", queryPred)
+
+  /** DuckDB replay of the full DSIR pipeline — shared by q112
+    * (in-query weight training) and q144 (offline-trained serve),
+    * identical results by construction.
+    */
+  private lazy val dsirOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+feats AS (
+  SELECT doc_id, source, unnest(toks) AS f FROM tk
+  UNION ALL
+  SELECT doc_id, source, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks)), i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]) END) AS f
+  FROM tk),
+fb AS (SELECT doc_id, source, ${portableHash60Sql("f")} % 256 AS bucket FROM feats),
+qc AS (SELECT bucket, count(*) AS qcnt FROM fb GROUP BY bucket),
+pc AS (SELECT bucket, count(*) AS pcnt FROM fb WHERE source IN ('src0', 'src1') GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM fb) AS qtot,
+               (SELECT count(*) FROM fb WHERE source IN ('src0', 'src1')) AS ptot),
+w AS (SELECT qc.bucket, COALESCE(pc.pcnt, 0) AS pcnt, qc.qcnt AS qcnt FROM qc LEFT JOIN pc USING (bucket))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+  CAST(sum((1000000 * (w.pcnt + 1) * (tot.qtot + 256)) // ((w.qcnt + 1) * (tot.ptot + 256))) AS BIGINT) AS score_scaled
+FROM fb JOIN w USING (bucket) CROSS JOIN tot GROUP BY doc_id"""
 
   /** DuckDB replay of the sparse tf·idf ranker — shared by q130
     * (build+serve) and q143 (stored-index serve), identical results by

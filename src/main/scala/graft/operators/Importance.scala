@@ -123,24 +123,50 @@ object Importance {
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("log_weight"))
   }
 
+  /** TRAIN side of the portable twin: the per-bucket exact-integer weight
+    * table (bucket, w) as a local frame — at most `buckets` rows, the
+    * persistable DSIR artifact. In a production selection pipeline this is
+    * computed once per (raw snapshot, target corpus) pair and served
+    * against every shard via [[importanceScoresPortableWith]] — the same
+    * train-once/serve-many split as pqTrain/pqTopKWith and the LM gram
+    * table.
+    */
+  def importanceWeightsPortable(raw: DataFrame, target: DataFrame,
+                                textCol: String, targetTextCol: String,
+                                buckets: Int = 1024,
+                                scale: Long = 1000000L): DataFrame = {
+    val (w, ptot, qtot) = weightTable(raw, target, textCol, targetTextCol, buckets)
+    val b = buckets.toLong
+    w.select(col("bucket"),
+      expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
+        .as("w"))
+  }
+
+  /** SERVE side: score a corpus (shard) against a pre-trained weight
+    * table — one narrow feature explode, a broadcast join, one
+    * aggregation; no target-corpus work at all.
+    */
+  def importanceScoresPortableWith(raw: DataFrame, idCol: String,
+                                   textCol: String, weights: DataFrame,
+                                   buckets: Int = 1024): DataFrame =
+    featureStream(raw, Seq(col(idCol)), textCol)
+      .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_scaled"))
+
   /** Portable twin: exact-integer scaled ratio weights, same pipeline.
     * (id, n_feats, score_scaled) — ANSI-replayable for auditing.
+    * Train + serve in one call; repeated scorers should split via
+    * [[importanceWeightsPortable]] / [[importanceScoresPortableWith]].
     */
   def importanceScoresPortable(raw: DataFrame, idCol: String, textCol: String,
                                target: DataFrame, targetTextCol: String,
                                buckets: Int = 1024,
-                               scale: Long = 1000000L): DataFrame = {
-    val (w, ptot, qtot) = weightTable(raw, target, textCol, targetTextCol, buckets)
-    val b = buckets.toLong
-    val weighted = w.select(col("bucket"),
-      expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
-        .as("w"))
-    featureStream(raw, Seq(col(idCol)), textCol)
-      .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
-      .join(broadcast(weighted), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_scaled"))
-  }
+                               scale: Long = 1000000L): DataFrame =
+    importanceScoresPortableWith(raw, idCol, textCol,
+      importanceWeightsPortable(raw, target, textCol, targetTextCol, buckets, scale),
+      buckets)
 
   /** Keep the `keepPct`% most target-like documents of `scored` (a frame
     * from one of the scorers), deterministic tie-break on the id. DSIR
