@@ -1008,6 +1008,77 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(wp.samples.forall(_ == 800))
   }
 
+  test("FLAC decode: random-PCM verbatim round-trip; fixed order-2 with 4 Rice partitions") {
+    import graft.operators.MediaCodecs
+    final class FW {
+      val bb = new java.io.ByteArrayOutputStream()
+      private var cur = 0; private var cnt = 0
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >> i) & 1L).toInt; cnt += 1
+          if (cnt == 8) { bb.write(cur); cur = 0; cnt = 0 }
+          i -= 1
+        }
+      }
+      def bytes: Array[Byte] = { if (cnt > 0) put(0, 8 - cnt); bb.toByteArray }
+    }
+    def stream(total: Long)(body: FW => Unit): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("fLaC".getBytes("ISO-8859-1"))
+      out.write(Array[Byte](0x80.toByte, 0, 0, 34))
+      val si = new Array[Byte](34)
+      si(0) = 0x00; si(1) = 0xC0.toByte; si(2) = 0x00; si(3) = 0xC0.toByte
+      si(10) = 0x01; si(11) = 0xF4.toByte; si(12) = 0x00
+      si(13) = 0x70
+      (0 until 4).foreach(k => si(14 + k) = ((total >> (8 * (3 - k))) & 0xFF).toByte)
+      out.write(si)
+      val w = new FW
+      w.put(0xFFF8L, 16); w.put(1, 4); w.put(0, 4)
+      w.put(0, 4); w.put(4, 3); w.put(0, 1)
+      w.put(0, 8)
+      val hdr = w.bytes
+      out.write(hdr)
+      var c8 = 0
+      hdr.foreach { x => c8 ^= x & 0xFF; (0 until 8).foreach(_ =>
+        c8 = if ((c8 & 0x80) != 0) ((c8 << 1) ^ 0x07) & 0xFF else (c8 << 1) & 0xFF) }
+      out.write(c8)
+      val pw = new FW
+      body(pw)
+      out.write(pw.bytes)
+      out.write(0); out.write(0)
+      out.toByteArray
+    }
+    // property: ANY 16-bit PCM survives a verbatim encode→decode bit-exactly
+    val rnd = new scala.util.Random(0x74AC5EEDL)
+    (0 until 10).foreach { trial =>
+      val pcm = Array.fill(192)((rnd.nextInt(65536) - 32768).toShort)
+      val bytes = stream(192) { w =>
+        w.put(0, 1); w.put(1, 6); w.put(0, 1)
+        pcm.foreach(s => w.put(s.toLong & 0xFFFF, 16))
+      }
+      val got = MediaCodecs.flacDecodePcm(bytes)
+        .getOrElse(fail(s"trial $trial failed to decode"))
+      assert(got.samples.toSeq == pcm.map(_.toInt).toSeq, s"trial $trial mismatch")
+    }
+    // fixed order 2 over a linear ramp: residuals are all zero, encoded
+    // through FOUR Rice method-0 partitions (partition order 2) with
+    // param 0 — exercises the multi-partition walk and the
+    // first-partition-minus-order accounting
+    val ramp = stream(192) { w =>
+      w.put(0, 1); w.put(10, 6); w.put(0, 1)      // fixed order 2
+      w.put(0, 16); w.put(1, 16)                   // warmup s0=0, s1=1
+      w.put(0, 2); w.put(2, 4)                     // method 00, po 2
+      (0 until 4).foreach { part =>
+        w.put(0, 4)                                // rice param 0
+        val n = if (part == 0) 48 - 2 else 48
+        (0 until n).foreach(_ => w.put(1, 1))      // quotient 0 ⇒ lone stop bit
+      }
+    }
+    val rp = MediaCodecs.flacDecodePcm(ramp).get
+    assert(rp.samples.toSeq == (0 until 192), "order-2 ramp mismatch")
+  }
+
   test("binary parsers never throw on corrupt input (fuzz: random + mutated + truncated)") {
     import graft.operators.MediaCodecs
     // at corpus scale the decode stage WILL see garbage; every parser must
