@@ -60,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),
       (args: Seq[Expression]) => DeflateRatioExpr(args.head)))
+    // session zone injected by ResolveTimeZone, like try_to_timestamp
+    ext.injectFunction((FunctionIdentifier("graft_multi_ts"),
+      new ExpressionInfo(classOf[MultiTsExpr].getName, "graft_multi_ts"),
+      (args: Seq[Expression]) => MultiTsExpr(args.head)))
   }
 }

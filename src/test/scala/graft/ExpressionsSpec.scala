@@ -253,7 +253,8 @@ class ExpressionsSpec extends SparkSpec {
         "size(graft_minhash_sig(array('x'), 8)) AS m, " +
         "graft_repetition_stats('a\\na\\nb', 2)[0] AS r, " +
         "graft_html_to_text('<p>a</p><p>b</p>') AS ht, " +
-        "graft_deflate_ratio('') AS dr").collect()(0)
+        "graft_deflate_ratio('') AS dr, " +
+        "timestamp_micros(graft_multi_ts('2012-04-03 10:20:30')) AS ts").collect()(0)
       val viaCol = Seq("a b c").toDF("t")
         .select(GraftFunctions.simhash64(col("t"))).as[Long].head()
       assert(viaSql.getLong(0) == viaCol)
@@ -262,6 +263,7 @@ class ExpressionsSpec extends SparkSpec {
       assert(math.abs(viaSql.getDouble(4) - (1.0 - 2.0 / 3.0)) < 1e-12)
       assert(viaSql.getString(5) == "a\nb")
       assert(viaSql.getDouble(6) == 1.0)
+      assert(viaSql.getTimestamp(7).toInstant.toString == "2012-04-03T10:20:30Z")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
