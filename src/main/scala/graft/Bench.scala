@@ -2,8 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds. A query
-  * that throws is reported in "errors" with value -1 — failures are never
-  * silently recorded as timings.
+  * that throws is listed in "errors" and omitted from the timing map —
+  * failures are never silently recorded as timings, and summing "queries"
+  * always reproduces "value".
   *
   * Measurement protocol (hardened after the round-5 parse failure, where a
   * WARN-level stack trace interleaved on stderr ahead of the JSON line):
@@ -37,8 +38,14 @@ object Bench {
     // Warm up the JVM/codegen/shuffle machinery so the first timed query
     // doesn't absorb one-time startup cost.
     spark.range(2000000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    // Touch EVERY table, not just one: the first query otherwise pays the
+    // footer read + schema inference of its inputs (q01 absorbed lineitem's,
+    // 0.20 -> 1.23 s in the round-7 driver bench). One limit(1) row per
+    // table keeps the warm-up itself sub-second.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+      catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     // Min-of-3: single-shot timings on a shared host swing up to 11x
     // (round-5 q61: 1.1s builder vs 12.4s driver); the first run also pays
@@ -72,15 +79,19 @@ object Bench {
     // Three defenses: per-query timings go first (front-truncatable) and the
     // headline total/errors go LAST so they always survive; per-query keys
     // are the unique qNN id prefix (full names live in the CORRECTNESS
-    // output, which shares the numbering); 2-decimal rounding. -1.0 failure
-    // markers are preserved. Locale.ROOT: the default-locale formatter would
+    // output, which shares the numbering); 2-decimal rounding.
+    // Locale.ROOT: the default-locale formatter would
     // emit decimal COMMAS on comma-decimal locales and break the JSON.
     def fmt(v: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    val short = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
-    val keys = if (short.map(_._1).distinct.size == short.size) short else results
+    // Failed queries live ONLY in "errors": a -1.0 sentinel inside the
+    // timing map made sum-of-queries diverge from "value" for any consumer
+    // that aggregates the map.
+    val timed = results.filter(_._2 >= 0)
+    val short = timed.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val keys = if (short.map(_._1).distinct.size == short.size) short else timed
     val qs = keys.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v < 0) "-1.0" else fmt(v, 2))
+      "\"" + k + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -23,6 +23,39 @@ object SparkEntry {
 
   private val derbySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Microsecond epoch axis for an event-time column, adaptive to the
+    * lake's physical type: TIMESTAMP(MICROS) parquet surfaces as
+    * TimestampType (`unix_micros`), legacy TIMESTAMP(NANOS) surfaces as
+    * BIGINT nanos under spark.sql.legacy.parquet.nanosAsLong (exact
+    * integer DIV — no float rounding). Real lakes contain both physical
+    * types; the reference's schema model is equally dynamic
+    * (/root/reference/pybabe/base.py:37-108), so the engine must not
+    * assume one. DuckDB oracles stay on `epoch_us(ts)`, which is
+    * type-stable on its side.
+    */
+  private def tsUs(df: DataFrame, field: String = "ts"): Column =
+    df.schema(field).dataType match {
+      case TimestampType => unix_micros(col(field))
+      // isAdjustedToUTC=false parquet → NTZ; every session here pins the
+      // session timezone to UTC, so the cast is the identity wall-clock
+      // mapping DuckDB's epoch_us applies to naive timestamps.
+      case TimestampNTZType => unix_micros(col(field).cast(TimestampType))
+      case LongType         => expr(s"CAST($field DIV 1000 AS BIGINT)")
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for '$field': $other (expected TIMESTAMP or BIGINT nanos)")
+    }
+
+  /** Millisecond variant of [[tsUs]] (streaming queries feed
+    * java.sql.Timestamp, whose resolution is ms). */
+  private def tsMs(df: DataFrame, field: String = "ts"): Column =
+    df.schema(field).dataType match {
+      case TimestampType    => unix_millis(col(field))
+      case TimestampNTZType => unix_millis(col(field).cast(TimestampType))
+      case LongType         => expr(s"CAST($field DIV 1000000 AS BIGINT)")
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for '$field': $other (expected TIMESTAMP or BIGINT nanos)")
+    }
+
   private def tmpDir(): String = {
     val d = "/root/repo/target/tmp"
     new java.io.File(d).mkdirs(); d
@@ -672,10 +705,11 @@ object SparkEntry {
       Seq(pk.getOrElse("none")).toDF("pk_col")
     }),
     "q31_parse_time" -> ((s, d) => {
-      // events.ts surfaces as long nanos (nanosAsLong); `div` keeps the
-      // nanos→micros conversion in exact integer arithmetic.
-      val in = t(s, d, "events").select(col("event_id"),
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH:mm:ss").as("st"))
+      // tsUs adapts to the lake's physical ts type (micros timestamp vs
+      // legacy nanos-as-long) in exact integer arithmetic.
+      val ev = t(s, d, "events")
+      val in = ev.select(col("event_id"),
+        date_format(timestamp_micros(tsUs(ev)), "yyyy-MM-dd HH:mm:ss").as("st"))
       TimeParse(in, "st", inputTimezone = "CET", outputTimezone = "UTC", outputField = "t")
         .select(col("event_id"), date_format(col("t_time"), "yyyy-MM-dd HH:mm:ss").as("t_str"),
           col("t_date"), col("t_hour"))
@@ -949,13 +983,14 @@ object SparkEntry {
         element_at(lined, 2).as("dup_char_frac"),
         element_at(flat, 3).as("top2gram_frac"))
     }),
-    "q68_sessionize_batch" -> ((s, d) =>
-      // 30-minute gap; microsecond time axis (DuckDB truncates the nanos
-      // parquet timestamps to micros, so the oracle compares at micros)
+    "q68_sessionize_batch" -> ((s, d) => {
+      // 30-minute gap; microsecond time axis (tsUs is type-adaptive, and
+      // DuckDB's epoch_us compares at micros on its side)
+      val ev = t(s, d, "events")
       graft.operators.Sessionize.sessions(
-        t(s, d, "events").select(col("user_id"),
-          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us")),
-        "user_id", "ts_us", 1800L * 1000 * 1000)),
+        ev.select(col("user_id"), tsUs(ev).as("ts_us")),
+        "user_id", "ts_us", 1800L * 1000 * 1000)
+    }),
     "q72_top_terms" -> ((s, d) =>
       TextFunctions.topTermsWithDf(t(s, d, "documents"), "doc_id", "text", 3)),
     "q73_media_decode" -> ((s, d) => {
@@ -994,12 +1029,13 @@ object SparkEntry {
         when(col("media_type") === "video", lit(0.0d))
           .otherwise(element_at(col("feature"), 1).cast(DoubleType)).as("f0"))
     }),
-    "q71_funnel" -> ((s, d) =>
+    "q71_funnel" -> ((s, d) => {
       // product-analytics funnel: steps completed in order per user
+      val ev = t(s, d, "events")
       graft.operators.Funnel.funnelSteps(
-        t(s, d, "events").select(col("user_id"),
-          expr("CAST(ts DIV 1000 AS BIGINT)").as("ts_us"), col("event_type")),
-        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))),
+        ev.select(col("user_id"), tsUs(ev).as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+    }),
     "q69_set_ops" -> ((s, d) => {
       // §2.9: INTERSECT / EXCEPT extensions over the reference's
       // union-only surface (distinct semantics, like SQL)
@@ -1531,8 +1567,9 @@ object SparkEntry {
       // integer-scaled value sum (RANGE frame on the microsecond axis —
       // float sums would hit engine-order differences, integers don't)
       import org.apache.spark.sql.expressions.Window
-      val e = t(s, d, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("t_us"),
+      val ev = t(s, d, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+        tsUs(ev).as("t_us"),
         expr("CAST(floor(value * 1000) AS BIGINT)").as("v_scaled"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
         .rangeBetween(-3600000000L, 0L)
@@ -1604,9 +1641,10 @@ object SparkEntry {
       // (the full-table collect was the round-6 verdict's scale-killer).
       import s.implicits._
       val gapMs = 1800L * 1000
-      val base = t(s, d, "events")
+      val ev = t(s, d, "events")
+      val base = ev
         .filter(col("user_id") % 100 < 5)
-        .select(col("user_id"), expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"))
+        .select(col("user_id"), tsMs(ev).as("ms"))
         .as[(Long, Long)].collect()
       val maxMs = base.iterator.map(_._2).max
       val rows: Seq[(Long, java.sql.Timestamp)] =
@@ -1651,10 +1689,10 @@ object SparkEntry {
       // horizon. Like q133, the feed is the deterministic bounded sample
       // user_id % 100 < 5 so driver memory is O(sample) at any sf.
       import s.implicits._
-      val rows = t(s, d, "events")
+      val ev = t(s, d, "events")
+      val rows = ev
         .filter(col("user_id") % 100 < 5)
-        .select(col("user_id"), col("event_type"),
-          expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"))
+        .select(col("user_id"), col("event_type"), tsMs(ev).as("ms"))
         .as[(Long, String, Long)].collect().toSeq
         .map { case (u, e, ms) => (u, e, new java.sql.Timestamp(ms)) }
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1856,7 +1894,54 @@ object SparkEntry {
           tmpDir() + "/tfidf_index"))
       graft.operators.Retrieval.sparseTfIdfTopKWith(
         index, docs.filter(col("doc_id") === 0), "doc_id", "text", k = 5)
+    }),
+    "q145_schema_canary" -> ((s, d) => {
+      // Schema-drift canary: every table's (name, column, canonical type)
+      // as SPARK sees it, oracle-checked against DuckDB's DESCRIBE mapped
+      // through the same canonical tokens. The reference's schema model is
+      // fully dynamic (/root/reference/pybabe/base.py:37-108) — type
+      // introspection is an operator surface, and this row set turns a
+      // silent testdata regeneration (round 7: events.ts nanos -> micros)
+      // into a red correctness row instead of six downstream failures.
+      // Schema metadata only — rows never touch the data, so this is
+      // scale-free by construction.
+      import s.implicits._
+      canaryTables.flatMap { tb =>
+        t(s, d, tb).schema.fields.map(f => (tb, f.name, canonType(f.dataType)))
+      }.toDF("tbl", "col_name", "ctype")
     }))
+
+  /** Tables covered by the q145 schema canary (the full driver fixture set). */
+  private val canaryTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Engine-neutral type tokens for the schema canary: both Spark types
+    * (here) and DuckDB DESCRIBE strings (oracle SQL) collapse onto these,
+    * so a drift on EITHER side of the oracle compare shows as a value
+    * mismatch. Legacy nanos-as-long timestamps surface as `i64` on the
+    * Spark side while DuckDB reports TIMESTAMP_NS -> `ts` — exactly the
+    * round-7 drift — so that lake shape is canary-red by design.
+    */
+  private def canonType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case LongType    => "i64"
+    case IntegerType => "i32"
+    case ShortType   => "i16"
+    case ByteType    => "i8"
+    case DoubleType  => "f64"
+    case FloatType   => "f32"
+    case StringType  => "str"
+    case BooleanType => "bool"
+    case DateType    => "date"
+    case BinaryType  => "bin"
+    case TimestampType | TimestampNTZType => "ts"
+    case d: DecimalType  => s"dec(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"arr<${canonType(e)}>"
+    case MapType(k, v, _) => s"map<${canonType(k)},${canonType(v)}>"
+    case st: StructType =>
+      st.fields.map(f => s"${f.name}:${canonType(f.dataType)}")
+        .mkString("struct<", ",", ">")
+    case other => other.simpleString
+  }
 
   /** Unique memory-sink names for streaming parity queries (Bench reruns
     * each query several times in one session).
@@ -2669,7 +2754,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us
     "q131_cube" ->
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
-FROM documents GROUP BY CUBE (source, lang)""")
+FROM documents GROUP BY CUBE (source, lang)""",
+    // DuckDB's DESCRIBE strings collapsed onto the same canonical tokens as
+    // canonType: any physical-type drift in the fixtures (either engine's
+    // view of them) becomes a value mismatch on this row set. TIMESTAMP%
+    // covers TIMESTAMP/TIMESTAMP_NS/TIMESTAMP WITH TIME ZONE — all 'ts';
+    // the Spark side maps legacy nanos-as-long to 'i64', so a nanos lake is
+    // deliberately canary-red.
+    "q145_schema_canary" -> {
+      val d = canaryTables.map(tb =>
+        s"SELECT '$tb' AS tbl, column_name AS col_name, column_type AS t FROM (DESCRIBE $tb)")
+        .mkString(" UNION ALL ")
+      s"""WITH d AS ($d)
+SELECT tbl, col_name, CASE
+  WHEN t = 'BIGINT'   THEN 'i64'
+  WHEN t = 'INTEGER'  THEN 'i32'
+  WHEN t = 'SMALLINT' THEN 'i16'
+  WHEN t = 'TINYINT'  THEN 'i8'
+  WHEN t = 'DOUBLE'   THEN 'f64'
+  WHEN t = 'FLOAT'    THEN 'f32'
+  WHEN t = 'VARCHAR'  THEN 'str'
+  WHEN t = 'BOOLEAN'  THEN 'bool'
+  WHEN t = 'DATE'     THEN 'date'
+  WHEN t = 'BLOB'     THEN 'bin'
+  WHEN t LIKE 'TIMESTAMP%' THEN 'ts'
+  WHEN t = 'BIGINT[]'  THEN 'arr<i64>'
+  WHEN t = 'INTEGER[]' THEN 'arr<i32>'
+  WHEN t = 'DOUBLE[]'  THEN 'arr<f64>'
+  WHEN t = 'FLOAT[]'   THEN 'arr<f32>'
+  WHEN t = 'VARCHAR[]' THEN 'arr<str>'
+  ELSE lower(t) END AS ctype
+FROM d""" })
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained

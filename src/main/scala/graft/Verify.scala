@@ -6,9 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: only dump queries whose name contains it (local
-    // iteration aid; the driver always runs the full set)
-    val nameFilter = args.lift(2)
+    // optional third arg: comma-separated substrings — only dump queries
+    // whose name contains one (local iteration aid; the driver always runs
+    // the full set)
+    val nameFilter = args.lift(2).map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +23,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => nameFilter.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

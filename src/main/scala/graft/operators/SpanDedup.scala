@@ -112,13 +112,24 @@ object SpanDedup {
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, minSpanTokens: Int = 20): DataFrame = {
+    // Three downstream branches consume this stage (the token rebuild, the
+    // dup-gram aggregation, the membership join). Catalyst re-executes a
+    // shared subplan per consumer, so without a materialization boundary the
+    // scan -> split -> gram kernel runs three times (measured 3x the corpus
+    // scan and a 5x wall regression at sf0.1). Eager localCheckpoint, the
+    // windowMapGlobal pattern (BabeOps.windowMapGlobal): reclaimed by the
+    // ContextCleaner, spills to disk, blocks only executor-loss recovery —
+    // acceptable for a materialize-once scratch stage. Sizes are linear:
+    // token arrays ~ corpus, grams ~ n x corpus.
     val tokenized = docs
       .select(col(idCol).as("__id"), split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+      .localCheckpoint()
     val toks = tokenized
       .select(col("__id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
       .select(col("__id"), col("pos").cast("long").as("pos"), col("tok"))
     val grams = tokenized
       .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
+      .localCheckpoint()
     val dupGrams = grams.groupBy(col("g"))
       .agg(count_distinct(col("__id")).as("nd"))
       .filter(col("nd") >= 2)
