@@ -1909,6 +1909,48 @@ object SparkEntry {
       canaryTables.flatMap { tb =>
         t(s, d, tb).schema.fields.map(f => (tb, f.name, canonType(f.dataType)))
       }.toDF("tbl", "col_name", "ctype")
+    }),
+    "q146_cosine_dup_portable" -> ((s, d) => {
+      // q53's injected-exact-copy recall path on the portable plane basis:
+      // copies (vec_id+100000) hash to identical signatures in every
+      // table, so the bucket join MUST surface them and the 0.95-threshold
+      // verify keeps them (cosine exactly 1.0). The full pipeline —
+      // planes, signatures, candidate join, exact verify — replays
+      // bit-for-bit in DuckDB; the native xxhash64 variant q53 stays the
+      // production path.
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+      VectorFunctions.cosineNearDupPortable(emb.unionByName(dups),
+        "vec_id", "embedding", dim = 64, threshold = 0.95)
+    }),
+    "q147_heavy_hitters_stream" -> ((s, d) => {
+      // batch-parity gate for STREAMING heavy hitters (Misra-Gries in
+      // flatMapGroupsWithState, Streams.streamingHeavyHitters): with
+      // capacity >= distinct items per shard the MG summary never
+      // decrements, so est is the EXACT per-(shard, item) count and the
+      // candidate set is the full count table — oracle-checkable as a
+      // GROUP BY, with err replaying as floor(shard_rows / (capacity+1)).
+      // Items are (event_type, user-bucket) pairs over the bounded
+      // deterministic sample (q133/q134's driver-feed contract); shard
+      // routing uses the portable md5 hash so the oracle reproduces it.
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val items = ev.filter(col("user_id") % 100 < 5)
+        .select(concat(col("event_type"), lit("_"),
+          (col("user_id") % 7).cast(StringType)).as("item"))
+      val feed = items
+        .select(pmod(graft.operators.Sampling.portableHash60(col("item")), lit(4L))
+          .cast(IntegerType).as("shard"), col("item"))
+        .as[(Int, String)].collect().toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+      mem.addData(feed: _*)
+      val qn = s"q147_hh_${memSeq.incrementAndGet()}"
+      val q = graft.streaming.Streams.streamingHeavyHitters(mem.toDS(), capacity = 64)
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select(col("shard"), col("item"), col("est"), col("err"))
     }))
 
   /** Tables covered by the q145 schema canary (the full driver fixture set). */
@@ -2784,7 +2826,25 @@ SELECT tbl, col_name, CASE
   WHEN t = 'FLOAT[]'   THEN 'arr<f32>'
   WHEN t = 'VARCHAR[]' THEN 'arr<str>'
   ELSE lower(t) END AS ctype
-FROM d""" })
+FROM d""" },
+    // q53's recall path replayed end-to-end: same planes/threshold, corpus
+    // with the injected exact copies unioned in.
+    "q146_cosine_dup_portable" -> lshPortableOracleSqlWith(
+      "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings " +
+        "UNION ALL SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE)) " +
+        "FROM embeddings WHERE vec_id < 20",
+      "0.95"),
+    // capacity >= distinct items ⇒ Misra-Gries counts are exact ⇒ the
+    // streaming candidate table equals this GROUP BY; err is the per-shard
+    // MG bound floor(rows/(capacity+1)).
+    "q147_heavy_hitters_stream" ->
+      s"""WITH e AS (SELECT event_type || '_' || CAST(user_id % 7 AS VARCHAR) AS item
+  FROM events WHERE user_id % 100 < 5),
+h AS (SELECT item, CAST(${portableHash60Sql("item")} % 4 AS INTEGER) AS shard FROM e),
+c AS (SELECT shard, item, count(*) AS est FROM h GROUP BY shard, item),
+tot AS (SELECT shard, count(*) AS n FROM h GROUP BY shard)
+SELECT c.shard, c.item, c.est, CAST(n // 65 AS BIGINT) AS err
+FROM c JOIN tot USING (shard)""")
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained
@@ -2976,7 +3036,18 @@ WHERE rank <= 5"""
   /** DuckDB replay of the portable sign-LSH near-dup pipeline: plane
     * literals from the same portablePlanes call as the Spark plan.
     */
-  private lazy val lshPortableOracleSql: String = {
+  private lazy val lshPortableOracleSql: String =
+    lshPortableOracleSqlWith(
+      "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings",
+      "0.25")
+
+  /** DuckDB replay of the full portable sign-LSH near-dup pipeline
+    * (planes, signatures, bucket join, exact-cosine verify), parameterized
+    * by the emb CTE body and the cosine threshold — shared by q95 (raw
+    * corpus, low threshold) and q146 (injected exact copies, q53's 0.95
+    * recall path).
+    */
+  private def lshPortableOracleSqlWith(embCte: String, threshold: String): String = {
     val bits = 6; val tables = 4
     val planes = VectorFunctions.portablePlanes(64, bits, tables)
     val planeValues = (0 until tables).flatMap { t =>
@@ -2989,7 +3060,7 @@ WHERE rank <= 5"""
       "ELSE list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2])) " +
       "/ (sqrt(list_sum(list_transform(va, x -> x * x))) * " +
       "sqrt(list_sum(list_transform(vb, x -> x * x)))) END)"
-    s"WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    s"WITH emb AS ($embCte), " +
       s"planes(t, b, w) AS (SELECT * FROM (VALUES $planeValues) AS p(t, b, w)), " +
       "dots AS (SELECT vec_id, t, b, list_sum(list_transform(list_zip(v, w), p -> p[1] * p[2])) AS d " +
       "FROM emb CROSS JOIN planes), " +
@@ -2999,7 +3070,7 @@ WHERE rank <= 5"""
       "FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id), " +
       "pairs AS (SELECT id_a, id_b, ea.v AS va, eb.v AS vb FROM cand " +
       "JOIN emb ea ON ea.vec_id = cand.id_a JOIN emb eb ON eb.vec_id = cand.id_b) " +
-      s"SELECT id_a, id_b, round($cos, 6) AS cosine FROM pairs WHERE $cos >= 0.25"
+      s"SELECT id_a, id_b, round($cos, 6) AS cosine FROM pairs WHERE $cos >= $threshold"
   }
 
   /** DuckDB replay of the portable minhash pipeline — the permutation

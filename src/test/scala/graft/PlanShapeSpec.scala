@@ -84,6 +84,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("q102_span_remove")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise blow-up in:\n$p")
+    // The tokenize -> gram pipeline is materialized ONCE (localCheckpoint):
+    // the final plan must read the checkpointed scratch stages, never
+    // re-scan the parquet corpus per consumer (the round-7 5x regression).
+    assert(!p.contains("Scan parquet"), s"corpus re-scan past the checkpoint in:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"expected checkpointed stage scan in:\n$p")
   }
 
   test("q106 classifier scoring is a pure narrow map — zero exchanges") {
