@@ -50,9 +50,13 @@ object SpanDedup {
     */
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 8): DataFrame = {
+    // Two consumers (the dup-gram aggregation and the membership join)
+    // re-execute the scan -> split -> gram kernel without a materialization
+    // boundary — same localCheckpoint rationale as removeDupSpans below.
     val grams = docs
       .select(col(idCol).as("__id"), split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
       .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
+      .localCheckpoint()
     // A gram is duplicated when >= 2 distinct documents contain it. The
     // aggregation is two-phase (partial count-distinct per map task), so a
     // boilerplate gram never concentrates rows on one reducer beyond its
