@@ -155,8 +155,10 @@ object VectorFunctions {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, dim: Int, m: Int = 8,
              centroidEvery: Int = 50, rounds: Int = 1,
-             quantScale: Double = 256.0, rescoreFactor: Int = 4): DataFrame = {
-    val book = pqTrain(corpus, idCol, vecCol, dim, m, centroidEvery, rounds, quantScale)
+             quantScale: Double = 256.0, rescoreFactor: Int = 4,
+             trainEvery: Int = 1): DataFrame = {
+    val book = pqTrain(corpus, idCol, vecCol, dim, m, centroidEvery, rounds,
+      quantScale, trainEvery)
     pqTopKWith(corpus, queries, book, idCol, vecCol, k, dim, m, quantScale, rescoreFactor)
   }
 
@@ -205,12 +207,25 @@ object VectorFunctions {
     * result, and serve any number of queries through `pqTopKWith` — at
     * production scale the training cost must not ride inside every query
     * (the round-5 q128 bench tail).
+    *
+    * `trainEvery` > 1 runs the Lloyd assignment/update over the
+    * deterministic id-sample (id ≡ 0 mod trainEvery) instead of the full
+    * corpus — the standard PQ practice (FAISS trains codebooks on a
+    * bounded sample; at 100 TB nobody Lloyds every vector): training cost
+    * drops by the sampling factor while encode/serve still cover
+    * everything. Seeds stay the full corpus's centroidEvery multiples, so
+    * the sample choice and seed choice remain independent and both replay
+    * in SQL.
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               dim: Int, m: Int = 8, centroidEvery: Int = 50,
-              rounds: Int = 1, quantScale: Double = 256.0): DataFrame = {
+              rounds: Int = 1, quantScale: Double = 256.0,
+              trainEvery: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    require(trainEvery >= 1, s"trainEvery must be positive, got $trainEvery")
     val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
+    val tsub = if (trainEvery <= 1) csub
+               else csub.filter(col("id") % trainEvery === 0)
     def assign(book: DataFrame): DataFrame = {
       // argmin via min_by, not a window: the (corpus×centroids) join is the
       // unavoidable distance computation, but min_by collapses it with
@@ -218,7 +233,7 @@ object VectorFunctions {
       // candidate rows. The ordering struct (__d2, cid) is unique per
       // (id, sub) group, so the result is deterministic and identical to
       // the former row_number formulation (d2 asc, cid asc).
-      joinBookGuarded(csub, book, "pqTrain")
+      joinBookGuarded(tsub, book, "pqTrain")
         .withColumn("__d2", intL2(col("sv"), col("cv")))
         .groupBy(col("id"), col("sub"))
         .agg(min_by(struct(col("cid"), col("sv")),

@@ -146,6 +146,18 @@ class RecallSpec extends SparkSpec {
     val recall = (exact intersect refined).size.toDouble / exact.size
     assert(recall >= 0.5, s"refined PQ recall@5 = $recall")
     assert(recall > adcRecall, "refine must improve on pure ADC")
+    // bounded-sample training (trainEvery=5, q128's production shape —
+    // FAISS trains codebooks on a sample): at this spec's tiny scale the
+    // sample is only ~400 vectors, so assert the sampled codebook stays
+    // WITHIN REACH of the full-trained one (the refine stage absorbs most
+    // of the codebook movement) rather than an absolute tiny-scale floor
+    val sampled = VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dim = 64, rescoreFactor = 4,
+        trainEvery = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sampledRecall = (exact intersect sampled).size.toDouble / exact.size
+    assert(sampledRecall >= recall - 0.1 && sampledRecall >= 0.4,
+      s"sample-trained PQ recall@5 = $sampledRecall (full-trained $recall)")
     // planted exact copies must be unbeatable: ADC(copy) = 0 in every
     // subspace, so the copy ranks first for its original
     val copies = emb.filter(col("vec_id") < 5)
