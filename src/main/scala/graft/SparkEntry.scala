@@ -1332,8 +1332,11 @@ object SparkEntry {
       val withCopies = emb.unionByName(
         emb.filter(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 10001L).as("vec_id"), col("embedding")))
+      // Lloyd update on the deterministic 20% id-sample (trainEvery=5,
+      // mirrored in the oracle) — the bounded-sample training shape
       graft.functions.VectorFunctions.semDedupPortable(withCopies,
-        "vec_id", "embedding", threshold = 0.99, centroidEvery = 25)
+        "vec_id", "embedding", threshold = 0.99, centroidEvery = 25,
+        trainEvery = 5)
     }),
     "q104_prototype_prune" -> ((s, d) =>
       // Sorscher et al. 2022 data pruning: rank by cosine-to-centroid
@@ -1341,7 +1344,8 @@ object SparkEntry {
       // half of every cell
       graft.functions.VectorFunctions.prototypePrune(
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", keepPct = 50, centroidEvery = 25)),
+        "vec_id", "embedding", keepPct = 50, centroidEvery = 25,
+        trainEvery = 5)),
     "q105_epoch_shuffle" -> ((s, d) =>
       // deterministic training order: 2 epochs x 8 shards, each epoch an
       // independent hash permutation, contiguous positions within shards
@@ -2956,8 +2960,10 @@ WHERE rank <= 5"""
 
   /** Shared Lloyd-core CTE chain (the SQL twin of
     * VectorFunctions.quantizedLloyd): quantized components, optional
-    * injected copies, systematic seed, one unrolled round. Ends with
-    * `a1` = final assignment and `c1` = final centroids.
+    * injected copies, systematic seed, one unrolled round whose update
+    * trains on the deterministic 20% id-sample (trainEvery=5 — the a0
+    * filter mirrors the Scala side). Ends with `a1` = final FULL-corpus
+    * assignment and `c1` = final centroids.
     */
   private def lloydCtesSql(withInjectedCopies: Boolean): String = {
     val cos = portableCosSql _
@@ -2973,7 +2979,7 @@ WHERE rank <= 5"""
       "a0 AS (SELECT vec_id, cid, v FROM (" +
       "SELECT vd.vec_id, c0.cid, vd.v, row_number() OVER (PARTITION BY vd.vec_id " +
       "ORDER BY " + cos("vd.v", "c0.cv") + " DESC, c0.cid) AS rn " +
-      "FROM vd CROSS JOIN c0) WHERE rn = 1), " +
+      "FROM (SELECT * FROM vd WHERE vec_id % 5 = 0) vd CROSS JOIN c0) WHERE rn = 1), " +
       "u AS (SELECT cid, d, CAST(floor(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m " +
       "FROM (SELECT a0.cid, CAST(i AS INTEGER) AS d, a0.v[CAST(i AS INTEGER)] AS x " +
       "FROM a0 CROSS JOIN UNNEST(range(1, 65)) AS r(i)) GROUP BY cid, d), " +

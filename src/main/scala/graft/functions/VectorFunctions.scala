@@ -587,9 +587,11 @@ object VectorFunctions {
     */
   def semDedupPortable(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, centroidEvery: Int = 25,
-                       rounds: Int = 1, quantScale: Double = 65536.0): DataFrame = {
+                       rounds: Int = 1, quantScale: Double = 65536.0,
+                       trainEvery: Int = 1): DataFrame = {
     val (assigned, _) =
-      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale)
+      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
+        trainEvery)
     val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
     val b = assigned.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
     val dropped = a.join(b, Seq("cid"))
@@ -610,17 +612,24 @@ object VectorFunctions {
     */
   private def quantizedLloyd(df: DataFrame, idCol: String, vecCol: String,
                              centroidEvery: Int, rounds: Int,
-                             quantScale: Double): (DataFrame, DataFrame) = {
+                             quantScale: Double,
+                             trainEvery: Int = 1): (DataFrame, DataFrame) = {
+    require(trainEvery >= 1, s"trainEvery must be positive, got $trainEvery")
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * quantScale + 0.5).cast("double")).as("__v"))
-    def assign(cents: DataFrame): DataFrame =
+    // trainEvery > 1: the centroid-UPDATE passes see only the
+    // deterministic id-sample (the pqTrain rationale — at 100 TB the Lloyd
+    // refinement runs on a bounded sample); seeds and the FINAL assignment
+    // still cover the full corpus, so every vector gets a cell.
+    val tv = if (trainEvery <= 1) v else v.filter(col("id") % trainEvery === 0)
+    def assignOf(src: DataFrame, cents: DataFrame): DataFrame =
       // argmax via max_by instead of a window: ordering (cs, -cid) is
       // unique per id (cid unique within a group), reproducing the
       // (cs desc, cid asc) tie-break exactly while the corpus×centroid
       // rows collapse in map-side partial aggregation rather than being
       // sort-shuffled at full width
-      v.crossJoin(broadcast(cents))
+      src.crossJoin(broadcast(cents))
         .withColumn("__cs", cosine(col("__v"), col("__cv")))
         .groupBy(col("id"))
         .agg(max_by(struct(col("cid"), col("__v")),
@@ -628,9 +637,9 @@ object VectorFunctions {
         .select(col("id"), col("__b.cid").as("cid"), col("__b.__v").as("__v"))
     var cents = v.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("__v").as("__cv"))
-    var assigned = assign(cents)
+    var trained = assignOf(tv, cents)
     for (_ <- 1 to rounds) {
-      cents = assigned
+      cents = trained
         .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
@@ -638,9 +647,11 @@ object VectorFunctions {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           p => p.getField("m")).as("__cv"))
-      assigned = assign(cents)
+      trained = assignOf(tv, cents)
     }
-    (assigned, cents)
+    // Final full-corpus assignment against the trained centroids (lazy
+    // plans: the last in-loop `trained` is never executed when unused).
+    (assignOf(v, cents), cents)
   }
 
   /** Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
@@ -660,10 +671,12 @@ object VectorFunctions {
     */
   def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
                      keepPct: Int = 50, centroidEvery: Int = 25,
-                     rounds: Int = 1, quantScale: Double = 65536.0): DataFrame = {
+                     rounds: Int = 1, quantScale: Double = 65536.0,
+                     trainEvery: Int = 1): DataFrame = {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
     val (assigned, cents) =
-      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale)
+      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
+        trainEvery)
     val w = Window.partitionBy(col("cid"))
     val wRank = w.orderBy(col("__cs").asc, col("id").asc)
     assigned.join(broadcast(cents), Seq("cid"))
