@@ -159,14 +159,41 @@ object Importance {
     * (id, n_feats, score_scaled) — ANSI-replayable for auditing.
     * Train + serve in one call; repeated scorers should split via
     * [[importanceWeightsPortable]] / [[importanceScoresPortableWith]].
+    *
+    * The raw corpus's (id, bucket) feature stream feeds BOTH the q-count
+    * aggregation and the scoring join — one eager localCheckpoint (the
+    * SpanDedup rationale) makes the tokenize → explode → hash pass run
+    * once instead of twice; the materialized stream is two longs per
+    * feature, linear in corpus token count, spill-backed.
     */
   def importanceScoresPortable(raw: DataFrame, idCol: String, textCol: String,
                                target: DataFrame, targetTextCol: String,
                                buckets: Int = 1024,
-                               scale: Long = 1000000L): DataFrame =
-    importanceScoresPortableWith(raw, idCol, textCol,
-      importanceWeightsPortable(raw, target, textCol, targetTextCol, buckets, scale),
-      buckets)
+                               scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20] (driver-collected weight table), got $buckets")
+    val fs = featureStream(raw, Seq(col(idCol)), textCol)
+      .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
+      .localCheckpoint()
+    val q = fs.groupBy("bucket").agg(count(lit(1)).as("qcnt"))
+    val p = bucketCounts(target, targetTextCol, buckets).withColumnRenamed("cnt", "pcnt")
+    val w = q.join(p, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("pcnt"), lit(0L)).as("pcnt"),
+        coalesce(col("qcnt"), lit(0L)).as("qcnt"))
+    val rows = w.collect()
+    val ptot = rows.map(_.getLong(1)).sum
+    val qtot = rows.map(_.getLong(2)).sum
+    val b = buckets.toLong
+    val local = raw.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), w.schema)
+    val weighted = local.select(col("bucket"),
+      expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
+        .as("w"))
+    fs.join(broadcast(weighted), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_scaled"))
+  }
 
   /** Keep the `keepPct`% most target-like documents of `scored` (a frame
     * from one of the scorers), deterministic tie-break on the id. DSIR
