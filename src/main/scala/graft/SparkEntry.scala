@@ -1960,7 +1960,15 @@ object SparkEntry {
         .writeStream.format("memory").queryName(qn).outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select(col("shard"), col("item"), col("est"), col("err"))
-    }))
+    }),
+    "q148_quantile_thresholds" -> ((s, d) =>
+      // curation-threshold quantiles: exact quantile_disc of doc length
+      // WITHOUT a global sort (value-keyed counts -> running sum over the
+      // bounded distinct-value table -> integer rank pick) — the "P10
+      // quality floor / P99 length cap" primitive, bit-exact on any engine
+      graft.operators.Profile.exactQuantilesLong(
+        t(s, d, "documents"), col("n_chars"),
+        Seq(10, 25, 50, 75, 90, 99))))
 
   /** Tables covered by the q145 schema canary (the full driver fixture set). */
   private val canaryTables = Seq("region", "nation", "customer", "supplier",
@@ -2853,7 +2861,17 @@ h AS (SELECT item, CAST(${portableHash60Sql("item")} % 4 AS INTEGER) AS shard FR
 c AS (SELECT shard, item, count(*) AS est FROM h GROUP BY shard, item),
 tot AS (SELECT shard, count(*) AS n FROM h GROUP BY shard)
 SELECT c.shard, c.item, c.est, CAST(n // 65 AS BIGINT) AS err
-FROM c JOIN tot USING (shard)""")
+FROM c JOIN tot USING (shard)""",
+    // identical cumulative-count formulation on the DuckDB side (SUM over
+    // BIGINT yields HUGEINT there — CAST back, the q126 lesson)
+    "q148_quantile_thresholds" ->
+      """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+  CAST(sum(c) OVER () AS BIGINT) AS n FROM cnt),
+p(pct) AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90), (99))),
+pick AS (SELECT pct, v, cum, n, row_number() OVER (PARTITION BY pct ORDER BY v) AS rn
+  FROM cum CROSS JOIN p WHERE cum * 100 >= pct * n)
+SELECT CAST(pct AS INTEGER) AS pct, v AS value, cum AS cum_n, n FROM pick WHERE rn = 1""")
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained

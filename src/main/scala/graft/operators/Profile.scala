@@ -46,6 +46,54 @@ object Profile {
     * is not trustworthy at bucket boundaries). Empty/whitespace docs land
     * in bucket -1. One narrow map + one tiny aggregation (<= 64 buckets).
     */
+  /** Exact discrete quantiles of an integer-valued column WITHOUT a global
+    * sort — the curation-threshold primitive ("keep documents above the
+    * P10 quality floor", "cap at the P99 length") that pairs with the
+    * quality/length scorers. `quantile_disc` semantics: for each requested
+    * percent p, the smallest value v whose cumulative count reaches
+    * ceil(p·n/100). Output (pct, value, cum_n, n) — all exact integers,
+    * ANSI-replayable on any engine (approx sketches like t-digest are not).
+    *
+    * Scale shape: one value-keyed count aggregation (map-side combined —
+    * corpus rows collapse to one row per DISTINCT value), then a running
+    * sum + per-pct pick over the distinct-value table. That table is the
+    * operator's documented bound (the pivot-value-list contract): length
+    * and score columns have bounded domains (a 2^20-value domain is a
+    * 1 MB table); for genuinely unbounded domains, bucket first (e.g.
+    * `lengthHistogram`'s power-of-two buckets) — a global sort would be
+    * the wrong tool at 100 TB either way.
+    */
+  def exactQuantilesLong(df: DataFrame, valueCol: Column,
+                         pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    // The running total orders the DISTINCT-value table only — a
+    // single-partition window over the bounded domain, never corpus rows.
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pctRows = pcts.map(p => s"($p)").mkString(", ")
+    val pctDf = df.sparkSession.sql(s"SELECT pct FROM (VALUES $pctRows) AS t(pct)")
+    // rank target ceil(p*n/100) in exact integer arithmetic; the pick is
+    // min(v) among values whose cumulative count reaches it. min_by keeps
+    // (v, cum) together so `cum` stays a single consumer of the corpus
+    // aggregation (no second branch re-running it).
+    cum.crossJoin(broadcast(pctDf))
+      .filter(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col("pct"))
+      .agg(min_by(struct(col("v"), col("cum")), col("v")).as("b"),
+        max(col("n")).as("n"))
+      .select(col("pct").cast("int").as("pct"), col("b.v").as("value"),
+        col("b.cum").as("cum_n"), col("n"))
+  }
+
   def lengthHistogram(df: DataFrame, lenCol: Column): DataFrame = {
     val n = lenCol.cast("long")
     val bucket = when(n <= 0, lit(-1L))

@@ -396,4 +396,25 @@ class CurationSpec extends SparkSpec {
     assert(back.map(_._2) == Seq("payload one", "payload two"))
     assert(back.head._1 == "https://evil.local/aContent-Length: 9999fake")
   }
+
+  test("exactQuantilesLong matches quantile_disc semantics incl. ties and edges") {
+    // 1..10: P50 -> ceil(0.5*10)=rank 5 -> value 5; P99 -> rank 10; P10 -> rank 1
+    val d1 = (1 to 10).toDF("v")
+    val q1 = graft.operators.Profile.exactQuantilesLong(d1, $"v", Seq(10, 50, 99, 100))
+      .select($"pct", $"value").as[(Int, Long)].collect().toMap
+    assert(q1 == Map(10 -> 1L, 50 -> 5L, 99 -> 10L, 100 -> 10L))
+    // heavy ties: 90x value 7, 10x value 9 — P90 is the smallest value whose
+    // cumulative count reaches 90 (=7); P91 crosses into 9
+    val d2 = (Seq.fill(90)(7) ++ Seq.fill(10)(9)).toDF("v")
+    val q2 = graft.operators.Profile.exactQuantilesLong(d2, $"v", Seq(90, 91))
+      .select($"pct", $"value", $"cum_n", $"n").as[(Int, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(q2(90) == ((90, 7L, 90L, 100L)))
+    assert(q2(91) == ((91, 9L, 100L, 100L)))
+    // nulls are excluded from both the ranks and the total
+    val d3 = Seq[Option[Int]](Some(1), None, Some(3)).toDF("v")
+    val q3 = graft.operators.Profile.exactQuantilesLong(d3, $"v", Seq(50))
+      .select($"value", $"n").as[(Long, Long)].head()
+    assert(q3 == ((1L, 2L)))
+  }
 }
