@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query seconds. A query
   * that throws is listed in "errors" and omitted from the timing map —
   * failures are never silently recorded as timings, and summing "queries"
-  * always reproduces "value".
+  * reproduces "value" up to the per-entry 2-decimal rounding ("value"
+  * itself is the 3-decimal sum of the unrounded timings).
   *
   * Measurement protocol (hardened after the round-5 parse failure, where a
   * WARN-level stack trace interleaved on stderr ahead of the JSON line):
@@ -42,8 +43,7 @@ object Bench {
     // footer read + schema inference of its inputs (q01 absorbed lineitem's,
     // 0.20 -> 1.23 s in the round-7 driver bench). One limit(1) row per
     // table keeps the warm-up itself sub-second.
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"))
+    for (t <- SparkEntry.fixtureTables)
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ArrayBuffer[String]()

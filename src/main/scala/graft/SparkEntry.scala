@@ -1915,7 +1915,7 @@ object SparkEntry {
       // Schema metadata only — rows never touch the data, so this is
       // scale-free by construction.
       import s.implicits._
-      canaryTables.flatMap { tb =>
+      fixtureTables.flatMap { tb =>
         t(s, d, tb).schema.fields.map(f => (tb, f.name, canonType(f.dataType)))
       }.toDF("tbl", "col_name", "ctype")
     }),
@@ -1946,17 +1946,18 @@ object SparkEntry {
       import s.implicits._
       val ev = t(s, d, "events")
       val items = ev.filter(col("user_id") % 100 < 5)
+        .filter(col("event_type").isNotNull) // mirrored in the oracle
         .select(concat(col("event_type"), lit("_"),
           (col("user_id") % 7).cast(StringType)).as("item"))
       val feed = items
-        .select(pmod(graft.operators.Sampling.portableHash60(col("item")), lit(4L))
-          .cast(IntegerType).as("shard"), col("item"))
+        .select(pmod(graft.operators.Sampling.portableHash60(col("item")),
+          lit(hhShards.toLong)).cast(IntegerType).as("shard"), col("item"))
         .as[(Int, String)].collect().toSeq
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
       mem.addData(feed: _*)
       val qn = s"q147_hh_${memSeq.incrementAndGet()}"
-      val q = graft.streaming.Streams.streamingHeavyHitters(mem.toDS(), capacity = 64)
+      val q = graft.streaming.Streams.streamingHeavyHitters(mem.toDS(), capacity = hhCapacity)
         .writeStream.format("memory").queryName(qn).outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select(col("shard"), col("item"), col("est"), col("err"))
@@ -1970,9 +1971,23 @@ object SparkEntry {
         t(s, d, "documents"), col("n_chars"),
         Seq(10, 25, 50, 75, 90, 99))))
 
-  /** Tables covered by the q145 schema canary (the full driver fixture set). */
-  private val canaryTables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events", "documents", "embeddings")
+  /** The full driver fixture set — shared by the q145 schema canary, the
+    * Bench warm-up, and the fixture-rewriting specs so a new table needs
+    * exactly one edit.
+    */
+  val fixtureTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** q147 Misra-Gries parity constants — the ONLY definition; the oracle
+    * SQL interpolates them so capacity/shard changes cannot desync the two
+    * sides. Capacity is deliberately generous: exactness needs
+    * distinct (event_type, user-bucket) items per shard <= capacity, and
+    * 512 leaves an order of magnitude of headroom over any plausible
+    * fixture regeneration (5 types x 7 buckets today).
+    */
+  private val hhCapacity = 512
+  private val hhShards = 4
 
   /** Engine-neutral type tokens for the schema canary: both Spark types
     * (here) and DuckDB DESCRIBE strings (oracle SQL) collapse onto these,
@@ -1993,7 +2008,8 @@ object SparkEntry {
     case DateType    => "date"
     case BinaryType  => "bin"
     case TimestampType | TimestampNTZType => "ts"
-    case d: DecimalType  => s"dec(${d.precision},${d.scale})"
+    // DuckDB DESCRIBE says DECIMAL(p,s) -> ELSE lower(t); emit the same
+    case d: DecimalType  => s"decimal(${d.precision},${d.scale})"
     case ArrayType(e, _) => s"arr<${canonType(e)}>"
     case MapType(k, v, _) => s"map<${canonType(k)},${canonType(v)}>"
     case st: StructType =>
@@ -2821,7 +2837,7 @@ FROM documents GROUP BY CUBE (source, lang)""",
     // the Spark side maps legacy nanos-as-long to 'i64', so a nanos lake is
     // deliberately canary-red.
     "q145_schema_canary" -> {
-      val d = canaryTables.map(tb =>
+      val d = fixtureTables.map(tb =>
         s"SELECT '$tb' AS tbl, column_name AS col_name, column_type AS t FROM (DESCRIBE $tb)")
         .mkString(" UNION ALL ")
       s"""WITH d AS ($d)
@@ -2856,16 +2872,17 @@ FROM d""" },
     // MG bound floor(rows/(capacity+1)).
     "q147_heavy_hitters_stream" ->
       s"""WITH e AS (SELECT event_type || '_' || CAST(user_id % 7 AS VARCHAR) AS item
-  FROM events WHERE user_id % 100 < 5),
-h AS (SELECT item, CAST(${portableHash60Sql("item")} % 4 AS INTEGER) AS shard FROM e),
+  FROM events WHERE user_id % 100 < 5 AND event_type IS NOT NULL),
+h AS (SELECT item, CAST(${portableHash60Sql("item")} % $hhShards AS INTEGER) AS shard FROM e),
 c AS (SELECT shard, item, count(*) AS est FROM h GROUP BY shard, item),
 tot AS (SELECT shard, count(*) AS n FROM h GROUP BY shard)
-SELECT c.shard, c.item, c.est, CAST(n // 65 AS BIGINT) AS err
+SELECT c.shard, c.item, c.est, CAST(n // ${hhCapacity + 1} AS BIGINT) AS err
 FROM c JOIN tot USING (shard)""",
     // identical cumulative-count formulation on the DuckDB side (SUM over
     // BIGINT yields HUGEINT there — CAST back, the q126 lesson)
     "q148_quantile_thresholds" ->
-      """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents GROUP BY 1),
+      """WITH cnt AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents
+  WHERE n_chars IS NOT NULL GROUP BY 1),
 cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
   CAST(sum(c) OVER () AS BIGINT) AS n FROM cnt),
 p(pct) AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90), (99))),

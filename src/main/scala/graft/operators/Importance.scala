@@ -84,13 +84,24 @@ object Importance {
     */
   private def weightTable(raw: DataFrame, target: DataFrame, textCol: String,
                           targetTextCol: String, buckets: Int)
+      : (DataFrame, Long, Long) =
+    weightTableFromCounts(
+      bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "qcnt"),
+      target, targetTextCol, buckets)
+
+  /** [[weightTable]] with the raw-corpus q-counts PRECOMPUTED — the shared
+    * core, so a caller that already holds the raw feature stream (the
+    * localCheckpoint path in [[importanceScoresPortable]]) doesn't pay a
+    * second corpus pass and the smoothing/collect contract exists once.
+    */
+  private def weightTableFromCounts(q: DataFrame, target: DataFrame,
+                                    targetTextCol: String, buckets: Int)
       : (DataFrame, Long, Long) = {
     // The bounded-collect contract is only bounded if `buckets` is: cap it
     // so a caller can't turn the weight-table collect into a driver OOM
     // (2^20 buckets = ~24 MB of rows, already far past DSIR's useful range).
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in [1, 2^20] (driver-collected weight table), got $buckets")
-    val q = bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "qcnt")
     val p = bucketCounts(target, targetTextCol, buckets).withColumnRenamed("cnt", "pcnt")
     val w = q.join(p, Seq("bucket"), "full_outer")
       .select(col("bucket"),
@@ -99,10 +110,21 @@ object Importance {
     val rows = w.collect()
     val ptot = rows.map(_.getLong(1)).sum
     val qtot = rows.map(_.getLong(2)).sum
-    val spark = raw.sparkSession
+    val spark = q.sparkSession
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), w.schema)
     (local, ptot, qtot)
+  }
+
+  /** The exact-integer scaled-ratio weight column over a collected weight
+    * table — the ONE definition of the portable scoring formula.
+    */
+  private def portableWeighted(local: DataFrame, ptot: Long, qtot: Long,
+                               buckets: Int, scale: Long): DataFrame = {
+    val b = buckets.toLong
+    local.select(col("bucket"),
+      expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
+        .as("w"))
   }
 
   /** Per-document DSIR log-importance weight (production scorer, doubles):
@@ -136,10 +158,7 @@ object Importance {
                                 buckets: Int = 1024,
                                 scale: Long = 1000000L): DataFrame = {
     val (w, ptot, qtot) = weightTable(raw, target, textCol, targetTextCol, buckets)
-    val b = buckets.toLong
-    w.select(col("bucket"),
-      expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
-        .as("w"))
+    portableWeighted(w, ptot, qtot, buckets, scale)
   }
 
   /** SERVE side: score a corpus (shard) against a pre-trained weight
@@ -170,27 +189,13 @@ object Importance {
                                target: DataFrame, targetTextCol: String,
                                buckets: Int = 1024,
                                scale: Long = 1000000L): DataFrame = {
-    require(buckets > 0 && buckets <= (1 << 20),
-      s"buckets must be in [1, 2^20] (driver-collected weight table), got $buckets")
     val fs = featureStream(raw, Seq(col(idCol)), textCol)
       .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
       .localCheckpoint()
-    val q = fs.groupBy("bucket").agg(count(lit(1)).as("qcnt"))
-    val p = bucketCounts(target, targetTextCol, buckets).withColumnRenamed("cnt", "pcnt")
-    val w = q.join(p, Seq("bucket"), "full_outer")
-      .select(col("bucket"),
-        coalesce(col("pcnt"), lit(0L)).as("pcnt"),
-        coalesce(col("qcnt"), lit(0L)).as("qcnt"))
-    val rows = w.collect()
-    val ptot = rows.map(_.getLong(1)).sum
-    val qtot = rows.map(_.getLong(2)).sum
-    val b = buckets.toLong
-    val local = raw.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), w.schema)
-    val weighted = local.select(col("bucket"),
-      expr(s"($scale * (pcnt + 1) * ${qtot + b}) div ((qcnt + 1) * ${ptot + b})")
-        .as("w"))
-    fs.join(broadcast(weighted), Seq("bucket"))
+    val (w, ptot, qtot) = weightTableFromCounts(
+      fs.groupBy("bucket").agg(count(lit(1)).as("qcnt")),
+      target, targetTextCol, buckets)
+    fs.join(broadcast(portableWeighted(w, ptot, qtot, buckets, scale)), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score_scaled"))
   }

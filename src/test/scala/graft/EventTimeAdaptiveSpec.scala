@@ -20,8 +20,7 @@ class EventTimeAdaptiveSpec extends SparkSpec {
   // realistic epoch). Other tables are byte-identical copies.
   private lazy val nanosDir: String = {
     val dir = tmp("nanos_lake")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"))
+    for (t <- SparkEntry.fixtureTables.filterNot(_ == "events"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sf/$t.parquet"),
         java.nio.file.Paths.get(s"$dir/$t.parquet"))

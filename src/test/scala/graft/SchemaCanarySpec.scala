@@ -29,8 +29,7 @@ class SchemaCanarySpec extends SparkSpec {
     // the mirror image of the drift that broke round 7. Every other table
     // is byte-identical, so exactly the one (events, ts) row may change.
     val dir = tmp("canary_drift")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"))
+    for (t <- SparkEntry.fixtureTables.filterNot(_ == "events"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sf/$t.parquet"),
         java.nio.file.Paths.get(s"$dir/$t.parquet"))
