@@ -91,6 +91,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), s"expected checkpointed stage scan in:\n$p")
   }
 
+  test("q148 quantiles aggregate before the single-partition window (no corpus sort)") {
+    val p = planOf("q148_quantile_thresholds")
+    // corpus rows must collapse in a hash aggregation BEFORE anything is
+    // globally ordered; the only single-partition stage is the bounded
+    // distinct-value table, and the pct table joins broadcast-side
+    assert(p.contains("HashAggregate"), s"no value-keyed aggregation in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"partition-pair cartesian in:\n$p")
+    // the single-partition exchange (the window's input) must be fed by the
+    // hash aggregation, never by the raw scan: in the root-first plan
+    // string, the scan sits BELOW (after) the aggregate
+    val single = p.indexOf("Exchange SinglePartition")
+    val scan = p.indexOf("Scan parquet")
+    val agg = p.lastIndexOf("HashAggregate", if (scan >= 0) scan else p.length)
+    assert(single >= 0, s"no single-partition stage (window input) in:\n$p")
+    assert(scan > single && agg > single && agg < scan,
+      s"expected scan -> aggregate -> single-partition ordering in:\n$p")
+  }
+
   test("q106 classifier scoring is a pure narrow map — zero exchanges") {
     val p = planOf("q106_quality_classifier")
     assert(!p.contains("Exchange"), s"unexpected shuffle in scoring:\n$p")
