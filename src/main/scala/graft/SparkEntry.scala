@@ -1969,7 +1969,14 @@ object SparkEntry {
       // quality floor / P99 length cap" primitive, bit-exact on any engine
       graft.operators.Profile.exactQuantilesLong(
         t(s, d, "documents"), col("n_chars"),
-        Seq(10, 25, 50, 75, 90, 99))))
+        Seq(10, 25, 50, 75, 90, 99))),
+    "q149_group_quantiles" -> ((s, d) =>
+      // the stratified form: per-source length quantiles (a global cap
+      // over-trims the long-document source); the cumulative pass
+      // partitions by group, so no single-partition stage exists at all
+      graft.operators.Profile.groupQuantilesLong(
+        t(s, d, "documents"), col("source"), col("n_chars"),
+        Seq(50, 90, 99))))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
     * Bench warm-up, and the fixture-rewriting specs so a new table needs
@@ -2888,7 +2895,18 @@ cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS B
 p(pct) AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90), (99))),
 pick AS (SELECT pct, v, cum, n, row_number() OVER (PARTITION BY pct ORDER BY v) AS rn
   FROM cum CROSS JOIN p WHERE cum * 100 >= pct * n)
-SELECT CAST(pct AS INTEGER) AS pct, v AS value, cum AS cum_n, n FROM pick WHERE rn = 1""")
+SELECT CAST(pct AS INTEGER) AS pct, v AS value, cum AS cum_n, n FROM pick WHERE rn = 1""",
+    "q149_group_quantiles" ->
+      """WITH cnt AS (SELECT source AS "group", CAST(n_chars AS BIGINT) AS v, count(*) AS c FROM documents
+  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+cum AS (SELECT "group", v, c,
+  CAST(sum(c) OVER (PARTITION BY "group" ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+  CAST(sum(c) OVER (PARTITION BY "group") AS BIGINT) AS n FROM cnt),
+p(pct) AS (SELECT * FROM (VALUES (50), (90), (99))),
+pick AS (SELECT "group", pct, v, cum, n,
+  row_number() OVER (PARTITION BY "group", pct ORDER BY v) AS rn
+  FROM cum CROSS JOIN p WHERE cum * 100 >= pct * n)
+SELECT "group", CAST(pct AS INTEGER) AS pct, v AS value, cum AS cum_n, n FROM pick WHERE rn = 1""")
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained

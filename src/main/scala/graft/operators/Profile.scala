@@ -94,6 +94,40 @@ object Profile {
         col("b.cum").as("cum_n"), col("n"))
   }
 
+  /** Per-group [[exactQuantilesLong]] — "P99 length per source", the
+    * stratified form every mixed-corpus curation policy actually needs
+    * (a global cap over-trims the long-document source and under-trims
+    * the short one). Same exact integer semantics; the cumulative pass
+    * partitions BY GROUP, so there is no single-partition stage at all —
+    * each group's distinct-value slice sorts independently, and the
+    * operator scales with the largest group's value domain, not the
+    * corpus. Output (group, pct, value, cum_n, n).
+    */
+  def groupQuantilesLong(df: DataFrame, groupCol: Column, valueCol: Column,
+                         pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(groupCol.as("group"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("group", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("group")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("group"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val pctRows = pcts.map(p => s"($p)").mkString(", ")
+    val pctDf = df.sparkSession.sql(s"SELECT pct FROM (VALUES $pctRows) AS t(pct)")
+    cum.crossJoin(broadcast(pctDf))
+      .filter(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col("group"), col("pct"))
+      .agg(min_by(struct(col("v"), col("cum")), col("v")).as("b"),
+        max(col("n")).as("n"))
+      .select(col("group"), col("pct").cast("int").as("pct"),
+        col("b.v").as("value"), col("b.cum").as("cum_n"), col("n"))
+  }
+
   def lengthHistogram(df: DataFrame, lenCol: Column): DataFrame = {
     val n = lenCol.cast("long")
     val bucket = when(n <= 0, lit(-1L))

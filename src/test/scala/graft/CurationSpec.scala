@@ -417,4 +417,16 @@ class CurationSpec extends SparkSpec {
       .select($"value", $"n").as[(Long, Long)].head()
     assert(q3 == ((1L, 2L)))
   }
+
+  test("groupQuantilesLong computes each group independently") {
+    // group a: 1..10 (P50=5); group b: 100x the values (P50=500) — a global
+    // quantile would land between the two bands, per-group must not
+    val df = ((1 to 10).map(v => ("a", v)) ++ (1 to 10).map(v => ("b", v * 100)))
+      .toDF("g", "v")
+    val got = graft.operators.Profile.groupQuantilesLong(df, $"g", $"v", Seq(50, 99))
+      .select($"group", $"pct", $"value", $"n")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == Set(("a", 50, 5L, 10L), ("a", 99, 10L, 10L),
+      ("b", 50, 500L, 10L), ("b", 99, 1000L, 10L)))
+  }
 }
