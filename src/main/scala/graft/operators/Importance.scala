@@ -94,14 +94,18 @@ object Importance {
     * localCheckpoint path in [[importanceScoresPortable]]) doesn't pay a
     * second corpus pass and the smoothing/collect contract exists once.
     */
+  /** The bounded-collect contract is only bounded if `buckets` is: cap it
+    * so a caller can't turn the weight-table collect into a driver OOM
+    * (2^20 buckets = ~24 MB of rows, already far past DSIR's useful range).
+    */
+  private def requireBuckets(buckets: Int): Unit =
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20] (driver-collected weight table), got $buckets")
+
   private def weightTableFromCounts(q: DataFrame, target: DataFrame,
                                     targetTextCol: String, buckets: Int)
       : (DataFrame, Long, Long) = {
-    // The bounded-collect contract is only bounded if `buckets` is: cap it
-    // so a caller can't turn the weight-table collect into a driver OOM
-    // (2^20 buckets = ~24 MB of rows, already far past DSIR's useful range).
-    require(buckets > 0 && buckets <= (1 << 20),
-      s"buckets must be in [1, 2^20] (driver-collected weight table), got $buckets")
+    requireBuckets(buckets)
     val p = bucketCounts(target, targetTextCol, buckets).withColumnRenamed("cnt", "pcnt")
     val w = q.join(p, Seq("bucket"), "full_outer")
       .select(col("bucket"),
@@ -189,6 +193,10 @@ object Importance {
                                target: DataFrame, targetTextCol: String,
                                buckets: Int = 1024,
                                scale: Long = 1000000L): DataFrame = {
+    // fail BEFORE the eager checkpoint runs a corpus pass: an out-of-range
+    // buckets must throw instantly (ANSI pmod-by-zero inside the job, or a
+    // completed featurization before the weight-table require, otherwise)
+    requireBuckets(buckets)
     val fs = featureStream(raw, Seq(col(idCol)), textCol)
       .select(col(idCol), featureBucket(col("f"), buckets).as("bucket"))
       .localCheckpoint()

@@ -35,17 +35,6 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
-  /** Power-of-two length histogram — the token-budget planning view of a
-    * corpus (how many documents and tokens land in each [2^b, 2^{b+1})
-    * bucket, what fraction of the token budget each bucket carries). The
-    * standard first look before choosing a packing sequence length: the
-    * tail buckets are what overflow fixed-length sequences.
-    *
-    * floor(log2 n) is computed EXACTLY as length(base2(n)) - 1 — pure
-    * integer/string ops, so the histogram is ANSI-replayable (float log2
-    * is not trustworthy at bucket boundaries). Empty/whitespace docs land
-    * in bucket -1. One narrow map + one tiny aggregation (<= 64 buckets).
-    */
   /** Exact discrete quantiles of an integer-valued column WITHOUT a global
     * sort — the curation-threshold primitive ("keep documents above the
     * P10 quality floor", "cap at the P99 length") that pairs with the
@@ -64,35 +53,12 @@ object Profile {
     * the wrong tool at 100 TB either way.
     */
   def exactQuantilesLong(df: DataFrame, valueCol: Column,
-                         pcts: Seq[Int]): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
-      s"pcts must be in [1,100], got $pcts")
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.select(valueCol.cast("long").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("c"))
-    // The running total orders the DISTINCT-value table only — a
-    // single-partition window over the bounded domain, never corpus rows.
-    val wCum = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .withColumn("n", sum(col("c")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val pctRows = pcts.map(p => s"($p)").mkString(", ")
-    val pctDf = df.sparkSession.sql(s"SELECT pct FROM (VALUES $pctRows) AS t(pct)")
-    // rank target ceil(p*n/100) in exact integer arithmetic; the pick is
-    // min(v) among values whose cumulative count reaches it. min_by keeps
-    // (v, cum) together so `cum` stays a single consumer of the corpus
-    // aggregation (no second branch re-running it).
-    cum.crossJoin(broadcast(pctDf))
-      .filter(col("cum") * 100 >= col("pct") * col("n"))
-      .groupBy(col("pct"))
-      .agg(min_by(struct(col("v"), col("cum")), col("v")).as("b"),
-        max(col("n")).as("n"))
-      .select(col("pct").cast("int").as("pct"), col("b.v").as("value"),
-        col("b.cum").as("cum_n"), col("n"))
-  }
+                         pcts: Seq[Int]): DataFrame =
+    quantilesPick(
+      df.select(valueCol.cast("long").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("c")),
+      Nil, pcts)
 
   /** Per-group [[exactQuantilesLong]] — "P99 length per source", the
     * stratified form every mixed-corpus curation policy actually needs
@@ -104,30 +70,58 @@ object Profile {
     * corpus. Output (group, pct, value, cum_n, n).
     */
   def groupQuantilesLong(df: DataFrame, groupCol: Column, valueCol: Column,
-                         pcts: Seq[Int]): DataFrame = {
+                         pcts: Seq[Int]): DataFrame =
+    quantilesPick(
+      df.select(groupCol.as("group"), valueCol.cast("long").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("group", "v").agg(count(lit(1)).as("c")),
+      Seq("group"), pcts)
+
+  /** Shared exact-rank quantile core over a (group?, v, c) count table:
+    * running sum + total per group (or globally for `groupCols = Nil` —
+    * the bounded single-partition stage), then each percentile picks the
+    * smallest v whose cumulative count reaches ceil(p·n/100). min_by
+    * keeps (v, cum) together so the count aggregation has ONE consumer.
+    */
+  private def quantilesPick(counts: DataFrame, groupCols: Seq[String],
+                            pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be in [1,100], got $pcts")
     import org.apache.spark.sql.expressions.Window
-    val counts = df.select(groupCol.as("group"), valueCol.cast("long").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy("group", "v").agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(col("group")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("group"))
+    val (wCum, wAll) =
+      if (groupCols.isEmpty)
+        (Window.orderBy(col("v"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      else
+        (Window.partitionBy(groupCols.map(col): _*).orderBy(col("v"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         Window.partitionBy(groupCols.map(col): _*))
     val cum = counts
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
     val pctRows = pcts.map(p => s"($p)").mkString(", ")
-    val pctDf = df.sparkSession.sql(s"SELECT pct FROM (VALUES $pctRows) AS t(pct)")
+    val pctDf = counts.sparkSession.sql(s"SELECT pct FROM (VALUES $pctRows) AS t(pct)")
     cum.crossJoin(broadcast(pctDf))
       .filter(col("cum") * 100 >= col("pct") * col("n"))
-      .groupBy(col("group"), col("pct"))
+      .groupBy(groupCols.map(col) :+ col("pct"): _*)
       .agg(min_by(struct(col("v"), col("cum")), col("v")).as("b"),
         max(col("n")).as("n"))
-      .select(col("group"), col("pct").cast("int").as("pct"),
-        col("b.v").as("value"), col("b.cum").as("cum_n"), col("n"))
+      .select(groupCols.map(col) ++ Seq(col("pct").cast("int").as("pct"),
+        col("b.v").as("value"), col("b.cum").as("cum_n"), col("n")): _*)
   }
 
+  /** Power-of-two length histogram — the token-budget planning view of a
+    * corpus (how many documents and tokens land in each [2^b, 2^{b+1})
+    * bucket, what fraction of the token budget each bucket carries). The
+    * standard first look before choosing a packing sequence length: the
+    * tail buckets are what overflow fixed-length sequences.
+    *
+    * floor(log2 n) is computed EXACTLY as length(base2(n)) - 1 — pure
+    * integer/string ops, so the histogram is ANSI-replayable (float log2
+    * is not trustworthy at bucket boundaries). Empty/whitespace docs land
+    * in bucket -1. One narrow map + one tiny aggregation (<= 64 buckets).
+    */
   def lengthHistogram(df: DataFrame, lenCol: Column): DataFrame = {
     val n = lenCol.cast("long")
     val bucket = when(n <= 0, lit(-1L))
