@@ -1976,7 +1976,62 @@ object SparkEntry {
       // partitions by group, so no single-partition stage exists at all
       graft.operators.Profile.groupQuantilesLong(
         t(s, d, "documents"), col("source"), col("n_chars"),
-        Seq(50, 90, 99))))
+        Seq(50, 90, 99))),
+    "q150_snapshot_diff" -> ((s, d) => {
+      // release-over-release keyed diff: build "release N+1" from the
+      // documents table deterministically (drop %97 keys, bump %89 lengths,
+      // inject 30 new ids) so all three statuses appear, then diff on the
+      // md5 row fingerprint. The oracle replays the column comparison
+      // directly — independent evidence the fingerprint equality IS
+      // row equality here.
+      val docs = t(s, d, "documents")
+      val newRel = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 89 === 0,
+          col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+      graft.operators.Releases.snapshotDiff(docs, newRel,
+        Seq("doc_id"), Seq("text", "lang", "source", "n_chars"))
+    }),
+    "q151_cdc_apply" -> ((s, d) => {
+      // MERGE INTO as one window over union: a deterministic CDC feed
+      // (v1 deletes %13, v1 doubles %11 lengths, v2 triples the even %11
+      // subset, v1 inserts 20 fresh ids) applied onto the base snapshot.
+      // Keys hit by both D and U at the same version resolve U-first
+      // (op desc tie-break) — pinned on both engines.
+      val docs = t(s, d, "documents")
+      def ch(df: DataFrame, v: Long, op: String): DataFrame =
+        df.withColumn("version", lit(v)).withColumn("op", lit(op))
+      val feed = ch(docs.filter(col("doc_id") % 13 === 0), 1L, "D")
+        .unionByName(ch(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("n_chars", col("n_chars") * 2), 1L, "U"))
+        .unionByName(ch(docs.filter(col("doc_id") % 11 === 0 && col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") * 3), 2L, "U"))
+        .unionByName(ch(docs.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 300000L), 1L, "I"))
+      graft.operators.Releases.applyCdc(docs, feed, Seq("doc_id"), "version", "op")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+    "q152_collocations" -> ((s, d) =>
+      // word2phrase collocation mining; the synthetic corpus draws words
+      // near-independently, so scores sit at ~1.0x the independence
+      // baseline and threshold=1 keeps the deterministic above-baseline set
+      graft.operators.Phrases.collocations(t(s, d, "documents"), "text",
+        minCount = 5L, delta = 5L, threshold = 1L)),
+    "q153_fuzzy_pairs" -> ((s, d) => {
+      // blocked record linkage: plant near-duplicate part names (last char
+      // clipped, q45's injection pattern) and match within
+      // (brand, first-name-token) blocks at edit distance <= 2
+      val p = t(s, d, "part")
+      val parts = p.select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .unionByName(p.filter(col("p_partkey") % 40 === 1)
+          .select((col("p_partkey") + 1000000L).as("p_partkey"),
+            expr("substr(p_name, 1, length(p_name) - 1)").as("p_name"),
+            col("p_brand")))
+      NearDedup.editDistancePairs(parts, "p_partkey", "p_name",
+        concat_ws("|", col("p_brand"), element_at(split(col("p_name"), " "), 1)),
+        maxDist = 2)
+    }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
     * Bench warm-up, and the fixture-rewriting specs so a new table needs
@@ -2906,7 +2961,57 @@ p(pct) AS (SELECT * FROM (VALUES (50), (90), (99))),
 pick AS (SELECT "group", pct, v, cum, n,
   row_number() OVER (PARTITION BY "group", pct ORDER BY v) AS rn
   FROM cum CROSS JOIN p WHERE cum * 100 >= pct * n)
-SELECT "group", CAST(pct AS INTEGER) AS pct, v AS value, cum AS cum_n, n FROM pick WHERE rn = 1""")
+SELECT "group", CAST(pct AS INTEGER) AS pct, v AS value, cum AS cum_n, n FROM pick WHERE rn = 1""",
+    // the diff oracle compares COLUMNS, not fingerprints — independent
+    // evidence that snapshotDiff's md5 row-fingerprint equality is exactly
+    // row equality on this data
+    "q150_snapshot_diff" ->
+      """WITH newrel AS (
+  SELECT doc_id, text, lang, source,
+    CASE WHEN doc_id % 89 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, text, lang, source, n_chars FROM documents WHERE doc_id < 30)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.doc_id IS NULL THEN 'added'
+       ELSE 'changed' END AS status
+FROM documents o FULL OUTER JOIN newrel n ON o.doc_id = n.doc_id
+WHERE n.doc_id IS NULL OR o.doc_id IS NULL
+   OR (o.text <> n.text OR o.lang <> n.lang OR o.source <> n.source OR o.n_chars <> n.n_chars)""",
+    "q151_cdc_apply" ->
+      """WITH changes AS (
+  SELECT doc_id, text, lang, source, n_chars, 1 AS version, 'D' AS op FROM documents WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id, text, lang, source, n_chars * 2, 1, 'U' FROM documents WHERE doc_id % 11 = 0
+  UNION ALL SELECT doc_id, text, lang, source, n_chars * 3, 2, 'U' FROM documents WHERE doc_id % 11 = 0 AND doc_id % 2 = 0
+  UNION ALL SELECT doc_id + 300000, text, lang, source, n_chars, 1, 'I' FROM documents WHERE doc_id < 20),
+unioned AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(-9223372036854775808 AS BIGINT) AS version, 'I' AS op FROM documents
+  UNION ALL SELECT doc_id, source, CAST(n_chars AS BIGINT), CAST(version AS BIGINT), op FROM changes),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, op DESC) AS rn FROM unioned)
+SELECT doc_id, source, n_chars FROM r WHERE rn = 1 AND op <> 'D'""",
+    "q152_collocations" ->
+      """WITH tk AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+  WHERE trim(coalesce(text, '')) <> ''),
+uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+  FROM tk CROSS JOIN UNNEST(range(1, len(toks))) AS r(i) WHERE len(toks) >= 2),
+bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2 HAVING count(*) >= 5)
+SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+  CAST((c_ab - 5) * n AS BIGINT) AS score_num, CAST(a.c * b.c AS BIGINT) AS score_den
+FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w CROSS JOIN n
+WHERE (c_ab - 5) * n >= 1 * a.c * b.c""",
+    "q153_fuzzy_pairs" ->
+      """WITH parts AS (SELECT p_partkey, p_name, p_brand FROM part
+  UNION ALL SELECT p_partkey + 1000000, substr(p_name, 1, length(p_name) - 1), p_brand
+  FROM part WHERE p_partkey % 40 = 1),
+b AS (SELECT p_partkey AS id, p_name AS s,
+  p_brand || '|' || split_part(p_name, ' ', 1) AS blk FROM parts)
+SELECT a.id AS id_a, bb.id AS id_b, CAST(levenshtein(a.s, bb.s) AS INTEGER) AS dist
+FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
+WHERE levenshtein(a.s, bb.s) <= 2""")
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained

@@ -453,4 +453,29 @@ object NearDedup {
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("shared_fps"))
   }
+
+  /** Record-linkage pairs by edit distance — the classic blocked fuzzy
+    * match (Fellegi–Sunter blocking): rows are grouped by a cheap blocking
+    * key (`blockOn`, e.g. brand + first name token), candidate pairs form
+    * only WITHIN a block, and a pair survives when the Levenshtein distance
+    * of `strCol` is ≤ `maxDist`. Output: (id_a, id_b, dist) upper-triangle.
+    *
+    * Scale shape: the quadratic blowup is confined to each block (pick
+    * `blockOn` so blocks stay dimension-sized — same contract as the LSH
+    * band buckets above); the join is a plain equi-join on the block key, so
+    * it hash-partitions like any aggregation. The distance check uses
+    * Spark's thresholded `levenshtein`, which abandons a pair's DP early
+    * once `maxDist` is exceeded — O(maxDist·len) per pair, not O(len²) —
+    * and is codegen'd, no UDF.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        blockOn: Column, maxDist: Int): DataFrame = {
+    val a = df.select(blockOn.as("__blk"), col(idCol).as("id_a"), col(strCol).as("__sa"))
+    val b = df.select(blockOn.as("__blk"), col(idCol).as("id_b"), col(strCol).as("__sb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -198,4 +198,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,0)]"),
       s"query filter not pushed to the documents scan:\n$p")
   }
+
+  test("q150 snapshot diff joins fingerprints, not payloads") {
+    val p = planOf("q150_snapshot_diff")
+    // the md5 fingerprint must be computed BELOW the join (each side reduces
+    // to key + 16-byte hash before the exchange), so no join operand carries
+    // the text column
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi fallback in:\n$p")
+    val joinLine = p.linesIterator.find(_.contains("FullOuter")).getOrElse("")
+    assert(joinLine.nonEmpty, s"no full-outer join in:\n$p")
+    assert(!joinLine.contains("text"), s"diff join carries the payload:\n$joinLine")
+  }
+
+  test("q151 CDC apply is join-free: one window over the union") {
+    val p = planOf("q151_cdc_apply")
+    assert(!p.contains("Join"), s"MERGE fell back to a join plan:\n$p")
+    assert(p.contains("Window"), s"expected the row_number window in:\n$p")
+    assert(p.contains("Union"), s"expected base+feed union in:\n$p")
+  }
+
+  test("q152 collocations: token arrays materialize once, joins stay vocabulary-sized") {
+    val p = planOf("q152_collocations")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the corpus never re-tokenizes: every consumer reads the checkpointed
+    // token RDD, so zero parquet scans of documents survive in the plan
+    assert(!p.contains("documents.parquet"), s"corpus re-scan past the checkpoint:\n$p")
+    // N arrives as a broadcast one-row join, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin Cross") || p.contains("BroadcastHashJoin"),
+      s"total-count join not broadcast:\n$p")
+  }
+
+  test("q153 fuzzy pairs block before the quadratic: equi-join on the block key") {
+    val p = planOf("q153_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unblocked pairwise join in:\n$p")
+    // the thresholded levenshtein runs as a codegen'd post-join filter
+    assert(p.contains("levenshtein"), s"distance filter missing from:\n$p")
+  }
 }
