@@ -2031,6 +2031,16 @@ object SparkEntry {
       NearDedup.editDistancePairs(parts, "p_partkey", "p_name",
         concat_ws("|", col("p_brand"), element_at(split(col("p_name"), " "), 1)),
         maxDist = 2)
+    }),
+    "q154_minhash_dedup_portable" -> ((s, d) => {
+      // the FULL near-dedup pipeline oracle-checked end to end: portable
+      // minhash pairs (q93's relation) -> pointer-doubling connected
+      // components -> min-id representative kept. q48's native-xxhash64
+      // twin: the last rows-only pipeline now has a bit-exact sibling.
+      val docs = t(s, d, "documents")
+      graft.operators.Clustering.dedupByComponents(docs, "doc_id",
+        NearDedup.minhashPairsPortable(docs, "doc_id", "text"))
+        .filterColumns(keep = Seq("doc_id", "lang", "source"))
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3011,7 +3021,8 @@ b AS (SELECT p_partkey AS id, p_name AS s,
   p_brand || '|' || split_part(p_name, ' ', 1) AS blk FROM parts)
 SELECT a.id AS id_a, bb.id AS id_b, CAST(levenshtein(a.s, bb.s) AS INTEGER) AS dist
 FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
-WHERE levenshtein(a.s, bb.s) <= 2""")
+WHERE levenshtein(a.s, bb.s) <= 2""",
+    "q154_minhash_dedup_portable" -> minhashDedupPortableOracleSql)
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained
@@ -3246,10 +3257,15 @@ WHERE rank <= 5"""
     * constants are generated by the SAME portablePerms call that built the
     * Spark plan, so both engines compute identical signatures/band keys.
     */
-  private lazy val minhashPortableOracleSql: String = {
+  /** Shared CTE chain of the portable-minhash DuckDB replay (hashing,
+    * permutations, banding, candidate join, jaccard) — the ONLY definition;
+    * q93 selects the pair relation from it and q154 closes the pairs into
+    * components, so the two oracles cannot drift apart.
+    */
+  private lazy val minhashPortableCtes: String = {
     val (as, bs) = graft.operators.NearDedup.portablePerms(32)
     val permValues = (0 until 32).map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(", ")
-    s"""WITH perms(i, a, b) AS (SELECT * FROM (VALUES $permValues) AS v(i, a, b)),
+    s"""perms(i, a, b) AS (SELECT * FROM (VALUES $permValues) AS v(i, a, b)),
 sh AS (SELECT doc_id, list_distinct(
   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 3
        THEN [array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')]
@@ -3267,10 +3283,29 @@ bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(sig AS VARCHAR), ',' O
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
 j AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb
-  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)"""
+  }
+
+  private lazy val minhashPortableOracleSql: String =
+    s"""WITH $minhashPortableCtes
 SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
 FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7"""
-  }
+
+  /** q154: the q93 pair relation closed into components (recursive min-label
+    * propagation, the q74/q75 ground-truth formulation) with the min-id
+    * representative kept — the full minhashDedup pipeline replayed.
+    */
+  private lazy val minhashDedupPortableOracleSql: String =
+    s"""WITH RECURSIVE $minhashPortableCtes,
+p AS (SELECT id_a, id_b FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach(id, comp) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, r.comp FROM e JOIN reach r ON e.dst = r.id),
+losers AS (SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id) WHERE comp < id)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)"""
 
   /** DuckDB replay of the two-stage quantized ANN: same quantization
     * arithmetic as q83, cosine on the quantized vectors for the candidate
