@@ -2019,16 +2019,24 @@ object SparkEntry {
       graft.operators.Phrases.collocations(t(s, d, "documents"), "text",
         minCount = 5L, delta = 5L, threshold = 1L)),
     "q153_fuzzy_pairs" -> ((s, d) => {
-      // blocked record linkage: plant near-duplicate part names (last char
-      // clipped, q45's injection pattern) and match within
-      // (brand, first-name-token) blocks at edit distance <= 2
+      // blocked record linkage, production composition: exact-collapse
+      // FIRST (one representative per distinct (name, brand) — min key),
+      // THEN fuzzy-link the representatives within (brand, first-token)
+      // blocks at edit distance <= 2. The collapse bounds the quadratic
+      // stage by the distinct-name domain, not the corpus — matching the
+      // entity-resolution practice of deduping before linking (a
+      // duplicate-heavy corpus otherwise pays pair counts quadratic in
+      // multiplicity: measured 10.3 s at sf1 vs 0.3 s with the collapse).
+      // Planted positives: last-char-clipped names, q45's injection pattern.
       val p = t(s, d, "part")
       val parts = p.select(col("p_partkey"), col("p_name"), col("p_brand"))
         .unionByName(p.filter(col("p_partkey") % 40 === 1)
           .select((col("p_partkey") + 1000000L).as("p_partkey"),
             expr("substr(p_name, 1, length(p_name) - 1)").as("p_name"),
             col("p_brand")))
-      NearDedup.editDistancePairs(parts, "p_partkey", "p_name",
+      val reps = parts.groupBy(col("p_name"), col("p_brand"))
+        .agg(min(col("p_partkey")).as("rep_id"))
+      NearDedup.editDistancePairs(reps, "rep_id", "p_name",
         concat_ws("|", col("p_brand"), element_at(split(col("p_name"), " "), 1)),
         maxDist = 2)
     }),
@@ -3017,8 +3025,9 @@ WHERE (c_ab - 5) * n >= 1 * a.c * b.c""",
       """WITH parts AS (SELECT p_partkey, p_name, p_brand FROM part
   UNION ALL SELECT p_partkey + 1000000, substr(p_name, 1, length(p_name) - 1), p_brand
   FROM part WHERE p_partkey % 40 = 1),
-b AS (SELECT p_partkey AS id, p_name AS s,
-  p_brand || '|' || split_part(p_name, ' ', 1) AS blk FROM parts)
+reps AS (SELECT p_name, p_brand, min(p_partkey) AS rep_id FROM parts GROUP BY p_name, p_brand),
+b AS (SELECT rep_id AS id, p_name AS s,
+  p_brand || '|' || split_part(p_name, ' ', 1) AS blk FROM reps)
 SELECT a.id AS id_a, bb.id AS id_b, CAST(levenshtein(a.s, bb.s) AS INTEGER) AS dist
 FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
 WHERE levenshtein(a.s, bb.s) <= 2""",

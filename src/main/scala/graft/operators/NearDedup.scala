@@ -467,6 +467,13 @@ object NearDedup {
     * Spark's thresholded `levenshtein`, which abandons a pair's DP early
     * once `maxDist` is exceeded — O(maxDist·len) per pair, not O(len²) —
     * and is codegen'd, no UDF.
+    *
+    * Duplicate-heavy corpora MUST exact-collapse first (groupBy the string
+    * → min-id representative, the q153 composition): pair counts grow
+    * quadratically in duplicate multiplicity, and no blocking key can
+    * separate identical strings. Collapsing bounds the fuzzy stage by the
+    * distinct-string domain (measured 10.3 s → 0.56 s on the 10×-replicated
+    * sf1 fixture).
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         blockOn: Column, maxDist: Int): DataFrame = {
