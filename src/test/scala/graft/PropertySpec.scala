@@ -296,4 +296,61 @@ class PropertySpec extends SparkSpec {
     assert(diff.isEmpty,
       s"kernel/formatter divergence on fuzzed input: ${diff.take(10).mkString("; ")}")
   }
+
+  test("snapshotDiff laws: self-diff empty, add/remove inverse, statuses partition") {
+    import graft.operators.Releases
+    val rowGen = Gen.zip(Gen.choose(0L, 30L), Gen.option(Gen.alphaStr), Gen.choose(0L, 5L))
+    forAll(Gen.listOfN(20, rowGen), n = 10) { rows =>
+      val df = rows.toDF("id", "s", "n").dropDuplicates("id")
+      // diff(x, x) = empty for any x
+      assert(Releases.snapshotDiff(df, df, Seq("id"), Seq("s", "n")).count() === 0L)
+      // diff against a key-perturbed copy: every emitted status is one of
+      // the three, and added/removed counts mirror the key-set delta
+      val shifted = df.withColumn("id", col("id") + 7L)
+      val got = Releases.snapshotDiff(df, shifted, Seq("id"), Seq("s", "n"))
+        .as[(Long, String)].collect()
+      assert(got.forall(r => Set("added", "removed", "changed")(r._2)))
+      val oldKeys = df.select("id").as[Long].collect().toSet
+      val newKeys = oldKeys.map(_ + 7L)
+      assert(got.count(_._2 == "added") === (newKeys -- oldKeys).size)
+      assert(got.count(_._2 == "removed") === (oldKeys -- newKeys).size)
+    }
+  }
+
+  test("applyCdc laws: empty feed is identity; delete-all empties; upsert is last-write-wins") {
+    import graft.operators.Releases
+    val rowGen = Gen.zip(Gen.choose(0L, 15L), Gen.alphaStr, Gen.choose(0L, 9L))
+    forAll(Gen.listOfN(12, rowGen), n = 10) { rows =>
+      val base = rows.toDF("id", "s", "n").dropDuplicates("id")
+      val empty = base.filter(lit(false))
+        .withColumn("version", lit(0L)).withColumn("op", lit("U"))
+      assert(Releases.applyCdc(base, empty, Seq("id"), "version", "op").count()
+        === base.count())
+      val delAll = base.withColumn("version", lit(1L)).withColumn("op", lit("D"))
+      assert(Releases.applyCdc(base, delAll, Seq("id"), "version", "op").count() === 0L)
+      // two upserts at distinct versions: the higher version's payload wins
+      val u1 = base.withColumn("s", lit("v1")).withColumn("version", lit(1L)).withColumn("op", lit("U"))
+      val u2 = base.withColumn("s", lit("v2")).withColumn("version", lit(2L)).withColumn("op", lit("U"))
+      val merged = Releases.applyCdc(base, u1.unionByName(u2), Seq("id"), "version", "op")
+      assert(merged.filter(col("s") =!= "v2").count() === 0L)
+      assert(merged.count() === base.count())
+    }
+  }
+
+  test("collocations: scores respect the cross-multiplied threshold and counts are consistent") {
+    import graft.operators.Phrases
+    val docGen = Gen.listOfN(12,
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAll(docGen, n = 8) { docs =>
+      val out = Phrases.collocations(docs.toDF("text"), "text",
+        minCount = 1L, delta = 0L, threshold = 1L)
+        .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      out.foreach { case (_, _, cab, ca, cb, num, den) =>
+        assert(cab >= 1L && cab <= math.min(ca, cb),
+          s"pair count $cab exceeds unigram counts ($ca, $cb)")
+        assert(den === ca * cb)
+        assert(num >= den, s"below-threshold pair emitted: $num < $den")
+      }
+    }
+  }
 }
