@@ -476,9 +476,21 @@ object NearDedup {
     * sf1 fixture).
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        blockOn: Column, maxDist: Int): DataFrame = {
-    val a = df.select(blockOn.as("__blk"), col(idCol).as("id_a"), col(strCol).as("__sa"))
-    val b = df.select(blockOn.as("__blk"), col(idCol).as("id_b"), col(strCol).as("__sb"))
+                        blockOn: Column, maxDist: Int,
+                        maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // Same degenerate-key guard as the LSH buckets: a count-only aggregate
+    // finds oversized blocks (a mis-chosen blocking key routing a corpus
+    // slice into one block), they are broadcast-anti-joined away BEFORE the
+    // quadratic self-join, and the dropped volume is observable.
+    val rows = df.select(blockOn.as("__blk"), col(idCol).as("__id"), col(strCol).as("__s"))
+    val sized = rows.groupBy(col("__blk")).agg(count(lit(1)).as("n"))
+      .observe(s"fuzzy_dropped_blocks_${dropSeq.incrementAndGet()}",
+        sum(when(col("n") > maxBlockSize, lit(1L)).otherwise(lit(0L))).as("dropped_blocks"),
+        sum(when(col("n") > maxBlockSize, col("n")).otherwise(lit(0L))).as("dropped_rows"))
+    val hot = sized.filter(col("n") > maxBlockSize).select(col("__blk"))
+    val kept = rows.join(broadcast(hot), Seq("__blk"), "left_anti")
+    val a = kept.select(col("__blk"), col("__id").as("id_a"), col("__s").as("__sa"))
+    val b = kept.select(col("__blk"), col("__id").as("id_b"), col("__s").as("__sb"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))

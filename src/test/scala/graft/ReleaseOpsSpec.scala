@@ -111,6 +111,17 @@ class ReleaseOpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1), (5L, 6L, 0)))
   }
 
+  test("editDistancePairs drops oversized blocks whole (LSH bucket-cap contract)") {
+    val rows = ((1L to 6L).map(i => (i, s"word$i", "hot")) ++
+      Seq((10L, "abc", "cold"), (11L, "abd", "cold"))).toDF("id", "name", "brand")
+    val got = graft.operators.NearDedup.editDistancePairs(
+        rows, "id", "name", col("brand"), maxDist = 5, maxBlockSize = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    // the 6-row "hot" block exceeds the cap and contributes nothing; the
+    // 2-row "cold" block survives
+    assert(got === Set((10L, 11L, 1)))
+  }
+
   test("editDistancePairs emits the true distance, not the threshold sentinel") {
     val rows = Seq((1L, "abcd", "k"), (2L, "abxd", "k"), (3L, "abcd", "k"))
       .toDF("id", "name", "brand")
