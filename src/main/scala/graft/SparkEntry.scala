@@ -2036,9 +2036,12 @@ object SparkEntry {
             col("p_brand")))
       val reps = parts.groupBy(col("p_name"), col("p_brand"))
         .agg(min(col("p_partkey")).as("rep_id"))
+      // cap-free like every oracle-replayed path (minhashPairsPortable
+      // convention): the DuckDB side joins all blocks, so the production
+      // block cap must not be able to silently diverge the two
       NearDedup.editDistancePairs(reps, "rep_id", "p_name",
         concat_ws("|", col("p_brand"), element_at(split(col("p_name"), " "), 1)),
-        maxDist = 2)
+        maxDist = 2, maxBlockSize = Int.MaxValue)
     }),
     "q154_minhash_dedup_portable" -> ((s, d) => {
       // the FULL near-dedup pipeline oracle-checked end to end: portable

@@ -89,11 +89,6 @@ object Importance {
       bucketCounts(raw, textCol, buckets).withColumnRenamed("cnt", "qcnt"),
       target, targetTextCol, buckets)
 
-  /** [[weightTable]] with the raw-corpus q-counts PRECOMPUTED — the shared
-    * core, so a caller that already holds the raw feature stream (the
-    * localCheckpoint path in [[importanceScoresPortable]]) doesn't pay a
-    * second corpus pass and the smoothing/collect contract exists once.
-    */
   /** The bounded-collect contract is only bounded if `buckets` is: cap it
     * so a caller can't turn the weight-table collect into a driver OOM
     * (2^20 buckets = ~24 MB of rows, already far past DSIR's useful range).
@@ -102,6 +97,11 @@ object Importance {
     require(buckets > 0 && buckets <= (1 << 20),
       s"buckets must be in [1, 2^20] (driver-collected weight table), got $buckets")
 
+  /** [[weightTable]] with the raw-corpus q-counts PRECOMPUTED — the shared
+    * core, so a caller that already holds the raw feature stream (the
+    * localCheckpoint path in [[importanceScoresPortable]]) doesn't pay a
+    * second corpus pass and the smoothing/collect contract exists once.
+    */
   private def weightTableFromCounts(q: DataFrame, target: DataFrame,
                                     targetTextCol: String, buckets: Int)
       : (DataFrame, Long, Long) = {

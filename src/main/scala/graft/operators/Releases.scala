@@ -68,12 +68,26 @@ object Releases {
   def applyCdc(base: DataFrame, changes: DataFrame,
                keyCols: Seq[String], versionCol: String, opCol: String): DataFrame = {
     val dataCols = base.columns.toSeq
+    // versionCol/opCol are the feed's ranking metadata — a base snapshot
+    // carrying a data column of the same name would be silently clobbered
+    // with ranking internals, so reject it loudly (rename before calling).
+    require(!dataCols.contains(versionCol) && !dataCols.contains(opCol),
+      s"applyCdc: base must not carry the feed metadata columns " +
+        s"('$versionCol', '$opCol') — rename the base column first")
     val b = base
       .withColumn(versionCol, lit(Long.MinValue).cast(LongType))
       .withColumn(opCol, lit("I"))
+    // Fail fast on ops outside the I/U/D contract: anything else (a
+    // lowercase 'd', a typo) would otherwise be applied as an upsert — and
+    // would outrank legitimate same-version ops in the tie-break below.
+    val feed = changes.select(b.columns.map(col).toIndexedSeq: _*)
+      .withColumn(opCol,
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit("applyCdc: op must be I|U|D, got '"), col(opCol), lit("'")))))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc, col(opCol).desc)
-    b.unionByName(changes.select(b.columns.map(col).toIndexedSeq: _*))
+    b.unionByName(feed)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .select(dataCols.map(col): _*)

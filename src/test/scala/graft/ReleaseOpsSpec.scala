@@ -55,6 +55,24 @@ class ReleaseOpsSpec extends SparkSpec {
     assert(got === Seq((1L, "kept", 11L)))
   }
 
+  test("applyCdc rejects a base that carries the feed metadata columns") {
+    val clash = Seq((1L, "x", 2L)).toDF("id", "s", "version")
+    val feed = Seq((1L, "y", 3L, 1L, "U")).toDF("id", "s", "version2", "version", "op")
+    val e = intercept[IllegalArgumentException] {
+      Releases.applyCdc(clash, feed, Seq("id"), "version", "op")
+    }
+    assert(e.getMessage.contains("feed metadata columns"))
+  }
+
+  test("applyCdc fails fast on ops outside I/U/D instead of upserting them") {
+    val feed = Seq((2L, "two", 2L, 1L, "d")).toDF("id", "s", "n", "version", "op")
+    val e = intercept[Exception] {
+      Releases.applyCdc(cdcBase, feed, Seq("id"), "version", "op").count()
+    }
+    assert(e.getMessage.contains("op must be I|U|D") ||
+      Option(e.getCause).exists(_.getMessage.contains("op must be I|U|D")))
+  }
+
   // ---------------------------------------------------------- collocations
 
   test("collocations scores adjacent pairs against the independence baseline") {
