@@ -2052,6 +2052,33 @@ object SparkEntry {
       graft.operators.Clustering.dedupByComponents(docs, "doc_id",
         NearDedup.minhashPairsPortable(docs, "doc_id", "text"))
         .filterColumns(keep = Seq("doc_id", "lang", "source"))
+    }),
+    "q155_quality_buckets" -> ((s, d) =>
+      // CCNet head/middle/tail assignment (Wenzek et al. 2020 §4.3):
+      // per-source value terciles via exact integer rank arithmetic —
+      // the calibration that makes one score comparable across sources
+      graft.operators.Profile.groupRankBuckets(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), col("n_chars"), nBuckets = 3)),
+    "q156_interval_join" -> ((s, d) => {
+      // which user sessions overlapped an error-incident window: 30-min-gap
+      // sessions interval-joined against [error - 2min, error + 2min] on the
+      // bucket-equi-join shape; claim-bucket keeps each pair exactly once
+      val ev = t(s, d, "events")
+      val sessions = graft.operators.Sessionize.sessions(
+          ev.select(col("user_id"), tsUs(ev).as("ts_us")),
+          "user_id", "ts_us", 1800L * 1000 * 1000)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id"),
+          (tsUs(ev) - lit(120L * 1000 * 1000)).as("inc_start"),
+          (tsUs(ev) + lit(120L * 1000 * 1000)).as("inc_end"))
+      graft.operators.Joins.intervalOverlapJoin(
+          sessions, "session_start", "session_end",
+          incidents, "inc_start", "inc_end",
+          bucketWidth = 3600L * 1000 * 1000)
+        .select(col("user_id"), col("session_seq"), col("event_id"))
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3034,7 +3061,25 @@ b AS (SELECT rep_id AS id, p_name AS s,
 SELECT a.id AS id_a, bb.id AS id_b, CAST(levenshtein(a.s, bb.s) AS INTEGER) AS dist
 FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
 WHERE levenshtein(a.s, bb.s) <= 2""",
-    "q154_minhash_dedup_portable" -> minhashDedupPortableOracleSql)
+    "q154_minhash_dedup_portable" -> minhashDedupPortableOracleSql,
+    "q155_quality_buckets" ->
+      """SELECT doc_id, source, n_chars, CAST(((rk - 1) * 3) // n AS BIGINT) AS bucket FROM (
+  SELECT doc_id, source, n_chars,
+    rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM documents)""",
+    "q156_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+  THEN 1 ELSE 0 END AS nw FROM e),
+s AS (SELECT user_id, t, SUM(nw) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+sess AS (SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+  min(t) AS session_start, max(t) AS session_end FROM s GROUP BY user_id, sid),
+inc AS (SELECT event_id, t - 120000000 AS inc_start, t + 120000000 AS inc_end
+  FROM e WHERE event_type = 'error')
+SELECT sess.user_id, sess.session_seq, inc.event_id
+FROM sess JOIN inc
+  ON sess.session_start <= inc.inc_end AND inc.inc_start <= sess.session_end""")
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained

@@ -89,6 +89,39 @@ object Joins {
     * range tables (the geoip /8 trick, generalized). Ranges spanning
     * multiple buckets are exploded once on the (small) right side.
     */
+  /** Interval-overlap join: pairs of (left, right) rows whose CLOSED
+    * integer intervals [lsCol, leCol] and [rsCol, reCol] overlap
+    * (ls <= re && rs <= le) — sessions × incident windows, spans × spans.
+    * The generalization of [[rangeJoin]] from points to intervals, with the
+    * same equi-join trick: both sides explode to the fixed-width buckets
+    * they cover, candidates meet on the bucket id, and each overlapping
+    * pair is kept EXACTLY ONCE by the claim-bucket rule — only the bucket
+    * containing max(ls, rs), the overlap's left edge, emits it — so no
+    * distinct pass over the (wide) output is needed.
+    *
+    * Scale: per-side blowup = interval length / bucketWidth (pick the width
+    * near the typical interval length, as with rangeJoin); the join is a
+    * plain hash equi-join — broadcast when the right side is
+    * dimension-sized, shuffled otherwise. Column names must be disjoint
+    * (standard join contract).
+    */
+  def intervalOverlapJoin(left: DataFrame, lsCol: String, leCol: String,
+                          right: DataFrame, rsCol: String, reCol: String,
+                          bucketWidth: Long,
+                          broadcastRight: Boolean = true): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def buckets(s: Column, e: Column): Column =
+      sequence(floor(s / bucketWidth).cast(LongType),
+        floor(e / bucketWidth).cast(LongType))
+    val l = left.withColumn("__b", explode(buckets(col(lsCol), col(leCol))))
+    val r0 = right.withColumn("__b", explode(buckets(col(rsCol), col(reCol))))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    l.join(r, Seq("__b"))
+      .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol))
+      .filter(floor(greatest(col(lsCol), col(rsCol)) / bucketWidth).cast(LongType) === col("__b"))
+      .drop("__b")
+  }
+
   def rangeJoin(left: DataFrame, valueCol: String,
                 right: DataFrame, startCol: String, endCol: String,
                 bucketWidth: Long, broadcastRight: Boolean = true): DataFrame = {

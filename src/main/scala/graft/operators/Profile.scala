@@ -77,6 +77,32 @@ object Profile {
         .groupBy("group", "v").agg(count(lit(1)).as("c")),
       Seq("group"), pcts)
 
+  /** Per-group rank-bucket ASSIGNMENT — the step after the thresholds:
+    * label every row with its within-group value bucket (0 .. nBuckets-1,
+    * ascending by `valueCol`). With nBuckets = 3 this is CCNet's
+    * head/middle/tail split (Wenzek et al. 2020, §4.3: per-language
+    * perplexity terciles), the calibration that makes one quality score
+    * comparable across sources. Bucket index = (rank-1)·nBuckets div n —
+    * exact integer arithmetic, so ties (equal values share a rank) land in
+    * the same bucket deterministically on any engine, unlike row-count
+    * ntile. ONE hash exchange on the group feeds both windows (rank and
+    * group count share the partitioning); scales with the largest group.
+    * Nulls in `valueCol` rank first (bucket 0) — filter upstream if that
+    * is not the policy.
+    */
+  def groupRankBuckets(df: DataFrame, groupCol: Column, valueCol: Column,
+                       nBuckets: Int, bucketName: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    val wn = Window.partitionBy(groupCol)
+    df.withColumn("__rk", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn(bucketName,
+        expr(s"CAST((( __rk - 1) * $nBuckets) DIV __n AS BIGINT)"))
+      .drop("__rk", "__n")
+  }
+
   /** Shared exact-rank quantile core over a (group?, v, c) count table:
     * running sum + total per group (or globally for `groupCols = Nil` —
     * the bounded single-partition stage), then each percentile picks the

@@ -429,4 +429,19 @@ class CurationSpec extends SparkSpec {
     assert(got == Set(("a", 50, 5L, 10L), ("a", 99, 10L, 10L),
       ("b", 50, 500L, 10L), ("b", 99, 1000L, 10L)))
   }
+
+  test("groupRankBuckets: exact per-group terciles, ties share a bucket") {
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L).map(("a", _)) ++
+      Seq(10L, 10L, 10L, 20L).map(("b", _))).toDF("g", "v")
+    val got = Profile.groupRankBuckets(df, $"g", $"v", 3)
+      .as[(String, Long, Long)].collect().toSet
+    // group a (n=6): ranks 1-6 -> buckets 0,0,1,1,2,2; group b (n=4): the
+    // three tied 10s share rank 1 -> bucket 0, the 20 ranks 4 -> bucket 2
+    assert(got === Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("a", 4L, 1L), ("a", 5L, 2L), ("a", 6L, 2L),
+      ("b", 10L, 0L), ("b", 20L, 2L)))
+    // a single bucket degenerates to the identity labeling
+    assert(Profile.groupRankBuckets(df, $"g", $"v", 1)
+      .filter($"bucket" =!= 0L).count() === 0L)
+  }
 }

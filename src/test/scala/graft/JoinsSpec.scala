@@ -79,4 +79,27 @@ class JoinsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin")) // equi-join on bucket, not nested loop
   }
+
+  test("intervalOverlapJoin equals the naive theta join; claim-bucket emits each pair once") {
+    val l = Seq((1L, 0L, 100L), (2L, 250L, 260L), (3L, 90L, 310L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 95L, 105L), (11L, 300L, 400L), (12L, 500L, 600L))
+      .toDF("rid", "rs", "re")
+    val out = Joins.intervalOverlapJoin(l, "ls", "le", r, "rs", "re", bucketWidth = 50L)
+    val got = out.select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    // naive closed-interval overlap: (1,10), (3,10), (3,11) — and interval 3
+    // spans 5 buckets overlapping 10's 3, yet each pair appears exactly once
+    assert(got === Seq((1L, 10L), (3L, 10L), (3L, 11L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("intervalOverlapJoin: touching endpoints match, disjoint do not, point intervals work") {
+    val l = Seq((1L, 10L, 20L), (2L, 30L, 30L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, 20L, 25L), (11L, 26L, 29L), (12L, 30L, 35L))
+      .toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(l, "ls", "le", r, "rs", "re", bucketWidth = 7L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 10L), (2L, 12L))) // closed: le==rs touches; 26-29 disjoint
+  }
 }

@@ -229,6 +229,13 @@ class PlanShapeSpec extends SparkSpec {
       s"total-count join not broadcast:\n$p")
   }
 
+  test("q156 interval join is a bucket equi-join: no theta fallback, one session exchange") {
+    val p = planOf("q156_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval theta-join fell back to nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"incident side not broadcast:\n$p")
+  }
+
   test("q153 fuzzy pairs block before the quadratic: equi-join on the block key") {
     val p = planOf("q153_fuzzy_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
