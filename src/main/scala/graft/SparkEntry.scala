@@ -3063,9 +3063,12 @@ FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
 WHERE levenshtein(a.s, bb.s) <= 2""",
     "q154_minhash_dedup_portable" -> minhashDedupPortableOracleSql,
     "q155_quality_buckets" ->
+      // NULLS FIRST pins DuckDB to Spark's ASC default (nulls rank first ->
+      // bucket 0, the operator's documented policy); latent until a fixture
+      // carries a null n_chars, but the contract should not depend on that
       """SELECT doc_id, source, n_chars, CAST(((rk - 1) * 3) // n AS BIGINT) AS bucket FROM (
   SELECT doc_id, source, n_chars,
-    rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+    rank() OVER (PARTITION BY source ORDER BY n_chars NULLS FIRST) AS rk,
     count(*) OVER (PARTITION BY source) AS n
   FROM documents)""",
     "q156_interval_join" ->

@@ -9,9 +9,11 @@ object Verify {
     // optional third arg: comma-separated substrings — only dump queries
     // whose name contains one (local iteration aid; the driver always runs
     // the full set)
-    // empty tokens dropped (a trailing comma would otherwise match EVERY
-    // query via "".contains — the same guard Bench's ONLY parser has)
+    // empty tokens dropped (a leading/embedded comma would otherwise match
+    // EVERY query via "".contains), and an all-empty arg counts as unset
+    // (run everything) — the same two guards Bench's ONLY parser has
     val nameFilter = args.lift(2).map(_.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -110,11 +110,18 @@ object Joins {
                           bucketWidth: Long,
                           broadcastRight: Boolean = true): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "intervalOverlapJoin: '__b' is reserved for the bucket key")
     def buckets(s: Column, e: Column): Column =
       sequence(floor(s / bucketWidth).cast(LongType),
         floor(e / bucketWidth).cast(LongType))
-    val l = left.withColumn("__b", explode(buckets(col(lsCol), col(leCol))))
-    val r0 = right.withColumn("__b", explode(buckets(col(rsCol), col(reCol))))
+    // a reversed interval (s > e) is empty as a set: it overlaps nothing,
+    // so drop it here — without this, sequence() silently descends and the
+    // overlap filter can still emit pairs for it
+    val l = left.filter(col(lsCol) <= col(leCol))
+      .withColumn("__b", explode(buckets(col(lsCol), col(leCol))))
+    val r0 = right.filter(col(rsCol) <= col(reCol))
+      .withColumn("__b", explode(buckets(col(rsCol), col(reCol))))
     val r = if (broadcastRight) broadcast(r0) else r0
     l.join(r, Seq("__b"))
       .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol))

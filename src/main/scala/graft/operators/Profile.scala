@@ -93,13 +93,19 @@ object Profile {
   def groupRankBuckets(df: DataFrame, groupCol: Column, valueCol: Column,
                        nBuckets: Int, bucketName: String = "bucket"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(!df.columns.contains(bucketName) &&
+      !df.columns.contains("__rk") && !df.columns.contains("__n"),
+      s"groupRankBuckets: input must not carry '$bucketName'/__rk/__n " +
+        "(they would be silently clobbered) — rename or pass a bucketName")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy(valueCol)
     val wn = Window.partitionBy(groupCol)
+    // rank() is IntegerType: widen BEFORE the multiply or groups past
+    // 2^31/nBuckets rows wrap the product (the whole point is big groups)
     df.withColumn("__rk", rank().over(w))
       .withColumn("__n", count(lit(1)).over(wn))
       .withColumn(bucketName,
-        expr(s"CAST((( __rk - 1) * $nBuckets) DIV __n AS BIGINT)"))
+        expr(s"CAST(((CAST(__rk AS BIGINT) - 1) * $nBuckets) DIV __n AS BIGINT)"))
       .drop("__rk", "__n")
   }
 

@@ -443,5 +443,11 @@ class CurationSpec extends SparkSpec {
     // a single bucket degenerates to the identity labeling
     assert(Profile.groupRankBuckets(df, $"g", $"v", 1)
       .filter($"bucket" =!= 0L).count() === 0L)
+    // reserved/output name collisions fail loudly instead of clobbering
+    val clash = df.withColumnRenamed("v", "bucket")
+    val e = intercept[IllegalArgumentException] {
+      Profile.groupRankBuckets(clash, $"g", $"bucket", 3)
+    }
+    assert(e.getMessage.contains("silently clobbered"))
   }
 }

@@ -102,4 +102,12 @@ class JoinsSpec extends SparkSpec {
       .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
     assert(got === Seq((1L, 10L), (2L, 12L))) // closed: le==rs touches; 26-29 disjoint
   }
+
+  test("intervalOverlapJoin drops set-empty reversed intervals instead of matching them") {
+    val l = Seq((1L, 100L, 0L), (2L, 10L, 20L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, -5L, 200L)).toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(l, "ls", "le", r, "rs", "re", bucketWidth = 50L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 10L))) // the reversed [100, 0] emits nothing
+  }
 }
