@@ -2079,6 +2079,17 @@ object SparkEntry {
           incidents, "inc_start", "inc_end",
           bucketWidth = 3600L * 1000 * 1000)
         .select(col("user_id"), col("session_seq"), col("event_id"))
+    }),
+    "q157_pagerank" -> ((s, d) => {
+      // integer fixed-point PageRank over the customer -> supplier purchase
+      // graph (supplier ids offset into a disjoint node space), 3
+      // iterations — the domain-authority ranking crawl curation uses,
+      // bit-exact on any engine because every step is integer arithmetic
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+      graft.operators.Clustering.pageRankInt(edges, "src", "dst", iters = 3)
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3082,7 +3093,36 @@ inc AS (SELECT event_id, t - 120000000 AS inc_start, t + 120000000 AS inc_end
   FROM e WHERE event_type = 'error')
 SELECT sess.user_id, sess.session_seq, inc.event_id
 FROM sess JOIN inc
-  ON sess.session_start <= inc.inc_end AND inc.inc_start <= sess.session_end""")
+  ON sess.session_start <= inc.inc_end AND inc.inc_start <= sess.session_end""",
+    "q157_pagerank" -> pageRankOracleSql)
+
+  /** DuckDB replay of q157's integer PageRank: the iteration constants live
+    * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop
+    * and the oracle cannot drift. Every step is floor division and exact
+    * integer addition — aggregation-order-independent, unlike IEEE-double
+    * PageRank.
+    */
+  private lazy val pageRankOracleSql: String = {
+    val scale = 1000000L
+    val (dampNum, dampDen) = (85L, 100L)
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    val iters = 3
+    val sb = new StringBuilder
+    sb ++= s"""WITH edges AS (SELECT DISTINCT o_custkey AS src, CAST(l_suppkey + 10000000 AS BIGINT) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS n FROM edges UNION SELECT DISTINCT dst FROM edges),
+r0 AS (SELECT n, CAST($scale AS BIGINT) AS r FROM nodes)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+c$i AS (SELECT e.dst AS n, CAST(sum(r.r // d.d) AS BIGINT) AS s
+  FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.n = e.src GROUP BY e.dst),
+r$i AS (SELECT nodes.n, CAST($base + ($dampNum * COALESCE(c$i.s, 0)) // $dampDen AS BIGINT) AS r
+  FROM nodes LEFT JOIN c$i ON nodes.n = c$i.n)"""
+    }
+    sb ++= s"\nSELECT n, r FROM r$iters"
+    sb.toString
+  }
 
   /** DuckDB replay of the full PQ pipeline (training, encoding, ADC,
     * refine) — shared by q128 (in-query training), q132 (offline-trained

@@ -79,4 +79,23 @@ class ClusteringSpec extends SparkSpec {
     assert(pairs.count() > 0L, "fixture must contain near-dup pairs")
     assert(residual.count() == 0L)
   }
+
+  test("pageRankInt matches the hand-unrolled integer recurrence") {
+    // a->b, a->c, b->c at scale=100, damp 85/100 (base 15), 2 iterations:
+    //   r1: a=15, b=15+(85*50)//100=57, c=15+(85*150)//100=142
+    //   r2: a=15, b=15+(85*7)//100=20,  c=15+(85*(7+57))//100=69
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Clustering.pageRankInt(edges, "src", "dst", iters = 2, scale = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 15L, 2L -> 20L, 3L -> 69L))
+  }
+
+  test("pageRankInt is deterministic across partitionings and ranks hubs above leaves") {
+    val edges = (for (i <- 2L to 20L) yield (i, 1L)).toDF("src", "dst") // star into node 1
+    val r1 = Clustering.pageRankInt(edges, "src", "dst").as[(Long, Long)].collect().toMap
+    val r2 = Clustering.pageRankInt(edges.repartition(7), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === r2)
+    assert(r1(1L) > r1(2L), "the 19-in-link hub must outrank a leaf")
+  }
 }
