@@ -2090,6 +2090,41 @@ object SparkEntry {
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
       graft.operators.Clustering.pageRankInt(edges, "src", "dst", iters = 3)
+    }),
+    "q158_hard_negatives" -> ((s, d) => {
+      // DPR-style hard-negative mining: top-5 lexical candidates per query
+      // doc, with the query's near-duplicates (3-gram Jaccard >= 0.5 on the
+      // q74 slice) anti-joined out BEFORE the rank cut — doc 8's near-dup
+      // partner tops the raw ranking and must be absent from the output
+      val docs = t(s, d, "documents")
+      val idx = graft.operators.Retrieval.sparseTfIdfIndex(docs, "doc_id", "text")
+      val jp = NearDedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") < 600), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val positives = jp.select(col("id_a").as("query_id"), col("id_b").as("doc_id"))
+        .union(jp.select(col("id_b").as("query_id"), col("id_a").as("doc_id")))
+      graft.operators.Retrieval.hardNegatives(idx,
+        docs.filter(col("doc_id") < 10), "doc_id", "text", positives, k = 5)
+    }),
+    "q159_contrastive_pairs" -> ((s, d) => {
+      // (anchor, positive) supervision mined from near-dup clusters: the
+      // star rooted at each component representative (c-1 pairs per
+      // cluster, never the quadratic clique), cluster_size as the
+      // downsampling weight
+      val pairs = NearDedup.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 600), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      graft.operators.Clustering.contrastivePairs(
+        graft.operators.Clustering.connectedComponents(pairs))
+    }),
+    "q160_stupid_backoff" -> ((s, d) => {
+      // Brants et al. 2007 Stupid Backoff LM quality scores: bigram model
+      // counted on the even-id half (the "trusted" corpus), every doc
+      // scored under it — integer-exact, so seen/backoff branch choices
+      // and the final means replay bit-for-bit in the oracle
+      val docs = t(s, d, "documents")
+      graft.operators.LanguageModel.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3094,7 +3129,53 @@ inc AS (SELECT event_id, t - 120000000 AS inc_start, t + 120000000 AS inc_end
 SELECT sess.user_id, sess.session_seq, inc.event_id
 FROM sess JOIN inc
   ON sess.session_start <= inc.inc_end AND inc.inc_start <= sess.session_end""",
-    "q157_pagerank" -> pageRankOracleSql)
+    "q157_pagerank" -> pageRankOracleSql,
+    "q158_hard_negatives" ->
+      """WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
+qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE doc_id < 10),
+sh AS (SELECT doc_id, list_distinct(
+  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+       THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+       ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+         i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')) END) AS s
+  FROM documents WHERE doc_id < 600),
+jp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+pos AS (SELECT id_a AS query_id, id_b AS doc_id FROM jp0
+        UNION SELECT id_b AS query_id, id_a AS doc_id FROM jp0),
+sc AS (SELECT q.query_id, tf.doc_id,
+  CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms
+  FROM qtf q JOIN dft USING (t) JOIN tf USING (t)
+  WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id),
+neg AS (SELECT sc.* FROM sc LEFT JOIN pos p ON p.query_id = sc.query_id AND p.doc_id = sc.doc_id WHERE p.query_id IS NULL)
+SELECT query_id, doc_id, score, shared_terms, CAST(rank AS INTEGER) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM neg)
+WHERE rank <= 5""",
+    "q159_contrastive_pairs" ->
+      (ccLabelsSql + """,
+sz AS (SELECT comp, count(*) AS cluster_size FROM labels GROUP BY comp)
+SELECT comp AS anchor_id, id AS positive_id, cluster_size
+FROM labels JOIN sz USING (comp) WHERE id <> comp"""),
+    "q160_stupid_backoff" ->
+      """WITH sw AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> length(x) > 0) AS w FROM documents),
+trw AS (SELECT w FROM sw WHERE doc_id % 2 = 0),
+c1 AS (SELECT t, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM trw) GROUP BY t),
+tot AS (SELECT count(*) AS n FROM (SELECT unnest(w) AS t FROM trw)),
+trbg AS (SELECT p[1] AS w1, p[2] AS w2 FROM (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM trw WHERE len(w) >= 2)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM trbg GROUP BY w1, w2),
+sbg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM sw WHERE len(w) >= 2)),
+sc AS (SELECT s.doc_id,
+  CASE WHEN c2.c2 IS NOT NULL THEN 1000000 * c2.c2 // u1.c1
+       ELSE (400000 * coalesce(u2.c1, 0)) // (SELECT n FROM tot) END AS sb
+  FROM sbg s LEFT JOIN c2 ON s.w1 = c2.w1 AND s.w2 = c2.w2
+  LEFT JOIN c1 u1 ON s.w1 = u1.t LEFT JOIN c1 u2 ON s.w2 = u2.t)
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(sb) AS BIGINT) AS sb_sum,
+  CAST(sum(sb) // count(*) AS BIGINT) AS sb_score
+FROM sc GROUP BY doc_id""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

@@ -91,6 +91,37 @@ object Clustering {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Contrastive (anchor, positive) training pairs from duplicate
+    * clusters — the supervision signal embedding models mine from corpus
+    * structure when no labels exist (near-duplicate = semantically
+    * equivalent; the Spider/SimCSE-style recipe of treating paraphrase
+    * clusters as positives). Input is the (id, comp) labeling from
+    * [[connectedComponents]]; output is one row per non-representative
+    * member: (anchor_id = component representative, positive_id = member,
+    * cluster_size).
+    *
+    * The pair set is the STAR rooted at the representative, not the
+    * clique: a c-member cluster yields c−1 pairs, not c·(c−1)/2 — the
+    * difference between linear and quadratic output when a boilerplate
+    * cluster has 10⁶ members. Training loops that want more pairs per
+    * cluster should re-run with a rotated representative, not ask for the
+    * clique. `cluster_size` rides along as the downsampling weight (cap
+    * pairs per oversized cluster with `Sampling.capPerGroup` on
+    * anchor_id).
+    *
+    * Scale shape: one aggregation on comp for sizes, one comp-keyed join
+    * back — both bounded by the labeling relation, which holds only nodes
+    * that appear in a duplicate pair.
+    */
+  def contrastivePairs(components: DataFrame): DataFrame = {
+    val sizes = components.groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    components.filter(col("id") =!= col("comp"))
+      .join(sizes, Seq("comp"))
+      .select(col("comp").as("anchor_id"), col("id").as("positive_id"),
+        col("cluster_size"))
+  }
+
   /** Fixed-point integer PageRank over a directed edge relation — domain
     * authority for crawl curation (prioritize/weight sources by link
     * centrality, the CommonCrawl-ranking companion to the dedup graph ops

@@ -150,6 +150,48 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for retrieval-model training (Karpukhin et al.
+    * 2020 DPR §4.2 "BM25 negatives"; Qu et al. 2021 RocketQA's denoised
+    * variant): for each query document, the top-k corpus documents by the
+    * integer sparse TF-IDF score that are NOT the query itself and NOT in
+    * the `positives` exclusion set. The exclusion set carries the known
+    * relevant pairs AND near/exact duplicates of the query — mining a
+    * duplicate as a "negative" poisons the contrastive loss with false
+    * negatives, the failure mode RocketQA documents.
+    *
+    * `index` is a persisted [[sparseTfIdfIndex]]; `positives` is
+    * (query_id, doc_id). The anti-join runs BEFORE the rank cut, so the
+    * output always holds k true negatives per query (mining top-k first
+    * and filtering after can return fewer — the naive composition's bug).
+    *
+    * Scale shape: identical to [[sparseTfIdfTopKWith]] — term-keyed join
+    * against the index, one (query, doc) aggregation — plus one keyed
+    * anti-join on the candidate stream; `positives` reduces to its
+    * distinct pair set and is typically queries×duplicates sized, far
+    * below the corpus. Scoring is exact integers, so ranks replay
+    * bit-for-bit on any engine.
+    */
+  def hardNegatives(index: DataFrame, queries: DataFrame,
+                    idCol: String, textCol: String,
+                    positives: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "hardNegatives needs k > 0")
+    val qtf = toks(queries, idCol, textCol).filter(length(col("t")) > 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
+      .withColumnRenamed("doc_id", "query_id")
+    val pos = positives.select(col("query_id"), col("doc_id")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    qtf.join(index, Seq("t"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qtf") * col("tf") * col("w")).as("score"),
+        count(lit(1)).as("shared_terms"))
+      .join(pos, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two ranked
     * candidate lists — the standard way to combine lexical and embedding
     * retrieval without score calibration: fused = Σ 1/(c + rank), summing

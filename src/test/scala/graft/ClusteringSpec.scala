@@ -98,4 +98,15 @@ class ClusteringSpec extends SparkSpec {
     assert(r1 === r2)
     assert(r1(1L) > r1(2L), "the 19-in-link hub must outrank a leaf")
   }
+
+  test("contrastivePairs: star per component (c-1 pairs, not the clique), sizes ride along") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "comp")
+    val out = Clustering.contrastivePairs(comps)
+      .orderBy(col("anchor_id"), col("positive_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // 3-member cluster -> 2 pairs anchored at the representative (the
+    // clique would emit 3); singleton representative rows never pair
+    assert(out == Seq((1L, 2L, 3L), (1L, 3L, 3L), (7L, 9L, 2L)))
+  }
 }

@@ -328,4 +328,25 @@ class LlmOpsSpec extends SparkSpec {
       .select(TextFunctions.compressionRatio(col("text"))).collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("stupidBackoffScore: exact integer seen/backoff branches (Brants et al. 2007)") {
+    import graft.operators.LanguageModel
+    // train counts: c1(a)=2, c1(b)=1, c1(c)=1, N=4; c2(a,b)=1, c2(a,c)=1
+    val train = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"),     // seen:   1000000*1 div 2            = 500000
+      (11L, "b a"),     // backoff: (400000*c1(a)=2) div N=4  = 200000
+      (12L, "a d"),     // backoff with unseen unigram d      = 0
+      (13L, "a"),       // no bigrams -> absent
+      (14L, "a b a c")  // 500000 + 200000 + 500000 over 3    = 400000
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.stupidBackoffScore(train, score, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, 1L, 500000L, 500000L),
+      (11L, 1L, 200000L, 200000L),
+      (12L, 1L, 0L, 0L),
+      (14L, 3L, 1200000L, 400000L)))
+  }
 }

@@ -168,4 +168,29 @@ class TokenizerRetrievalSpec extends SparkSpec {
     // k truncates
     assert(Retrieval.rrfFuse(sparse, dense, k = 1).filter(col("query_id") === 1).count() == 1L)
   }
+
+  test("hardNegatives: positives excised BEFORE the rank cut, so k true negatives survive") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana cherry"), // duplicate of the query: false negative
+      (3L, "apple banana date"),
+      (4L, "apple fig grape"),
+      (5L, "kiwi lemon mango")).toDF("doc_id", "text")
+    val idx = Retrieval.sparseTfIdfIndex(docs, "doc_id", "text")
+    val pos = Seq((1L, 2L)).toDF("query_id", "doc_id")
+    val out = Retrieval.hardNegatives(idx, docs.filter(col("doc_id") === 1),
+        "doc_id", "text", pos, k = 2)
+      .orderBy(col("rank"))
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    // the duplicate tops the raw ranking; mining top-k first and filtering
+    // after would return a single negative — the anti-join-before-cut
+    // contract yields exactly k
+    assert(out.map(_._2) == Seq(3L, 4L))
+    assert(out.map(_._5) == Seq(1, 2))
+    // no positives: plain sparse TF-IDF top-k on the same index
+    val plain = Retrieval.hardNegatives(idx, docs.filter(col("doc_id") === 1),
+        "doc_id", "text", pos.limit(0), k = 2)
+      .orderBy(col("rank")).as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(plain.map(_._2) == Seq(2L, 3L))
+  }
 }
