@@ -2125,7 +2125,35 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       graft.operators.LanguageModel.stupidBackoffScore(
         docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
-    }))
+    }),
+    "q161_leakage_split" -> ((s, d) => {
+      // leakage-free 80/10/10 split: near-dup clusters share a split key
+      // (their component representative), so eval contamination by
+      // duplicates is structurally impossible — Lee et al. 2022's C4
+      // train/val overlap is the failure this prevents
+      val docs = t(s, d, "documents").filter(col("doc_id") < 600)
+      val pairs = NearDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      graft.operators.Sampling.leakageFreeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split_key"), col("split"))
+    }),
+    "q162_release_manifest" -> ((s, d) =>
+      // per-source release manifest: counts, chars, distinct canonical
+      // fingerprints, and the XOR-of-row-hash corpus checksum — the
+      // order-independent integrity record a shipped release carries
+      graft.operators.Releases.manifest(
+        t(s, d, "documents"), "source", "doc_id", "text")),
+    "q163_sentence_chunks" -> ((s, d) =>
+      // sentence-respecting RAG chunks at a 20-token budget: boundaries
+      // never cut a sentence, the straddler stays with its chunk. The
+      // fixture corpus is punctuation-free, so sentence structure is
+      // injected deterministically (the q141 pattern): a period after
+      // every 'table' token
+      graft.operators.Packing.chunkBySentences(
+        t(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "\\btable\\b", "table.")),
+        "doc_id", "text", budget = 20)))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
     * Bench warm-up, and the fixture-rewriting specs so a new table needs
@@ -3175,7 +3203,37 @@ sc AS (SELECT s.doc_id,
   LEFT JOIN c1 u1 ON s.w1 = u1.t LEFT JOIN c1 u2 ON s.w2 = u2.t)
 SELECT doc_id, count(*) AS n_bigrams, CAST(sum(sb) AS BIGINT) AS sb_sum,
   CAST(sum(sb) // count(*) AS BIGINT) AS sb_score
-FROM sc GROUP BY doc_id""")
+FROM sc GROUP BY doc_id""",
+    "q161_leakage_split" ->
+      (ccLabelsSql + s""",
+k AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id WHERE d.doc_id < 600),
+h AS (SELECT doc_id, split_key, ${portableHash60Sql("split_key")} % 100 AS b FROM k)
+SELECT doc_id, split_key,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM h"""),
+    "q162_release_manifest" ->
+      s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt FROM documents),
+h AS (SELECT source, length(txt) AS len,
+  lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))) AS canon,
+  ${portableHash60Sql("doc_id || ':' || txt")} AS hv FROM m)
+SELECT source, count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS n_chars,
+  count(DISTINCT canon) AS n_distinct, CAST(bit_xor(hv) AS BIGINT) AS checksum
+FROM h GROUP BY source""",
+    "q163_sentence_chunks" ->
+      """WITH s0 AS (SELECT doc_id, list_filter(list_transform(
+    regexp_extract_all(regexp_replace(coalesce(text, ''), '\btable\b', 'table.', 'g'), '[^.!?]+[.!?]+|[^.!?]+$'),
+    x -> trim(regexp_replace(x, '\s+', ' ', 'g'))), x -> length(x) > 0) AS ss FROM documents),
+sen AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ss[CAST(i AS INTEGER)] AS sentence,
+  CAST(len(regexp_split_to_array(ss[CAST(i AS INTEGER)], ' ')) AS BIGINT) AS n_toks
+  FROM s0 CROSS JOIN UNNEST(range(1, len(ss) + 1)) AS r(i)),
+cw AS (SELECT *, CAST(coalesce(sum(n_toks) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 20 AS raw_chunk FROM sen),
+dr AS (SELECT *, dense_rank() OVER (PARTITION BY doc_id ORDER BY raw_chunk) - 1 AS chunk_id FROM cw)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  string_agg(sentence, ' ' ORDER BY pos) AS text,
+  count(*) AS n_sentences, CAST(sum(n_toks) AS BIGINT) AS n_toks
+FROM dr GROUP BY doc_id, chunk_id""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

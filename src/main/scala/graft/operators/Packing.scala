@@ -76,4 +76,48 @@ object Packing {
       .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
         col("c.tok_start"), col("c.n_toks"), col("c.chunk"))
   }
+
+  /** Sentence-respecting chunking — the RAG/embedding-index variant of
+    * [[chunkSliding]]: never cut inside a sentence. Sentences fill a chunk
+    * until the cumulative token count crosses the budget; the straddling
+    * sentence stays with its chunk (a chunk can exceed the budget by one
+    * sentence — the price of never splitting one; a single over-budget
+    * sentence becomes its own chunk). Chunk ids are dense per doc.
+    *
+    * The rule is positional arithmetic, not a sequential scan: a sentence's
+    * chunk = (exclusive running token sum) div budget, densified —
+    * deterministic, engine-replayable, and expressible as two windows over
+    * the per-doc sentence stream. Output: (doc_id, chunk_id, text,
+    * n_sentences, n_toks).
+    *
+    * Scale shape: one explode of the sentence array, two windows and one
+    * aggregation all partitioned by doc — per-group memory is bounded by
+    * the longest document, nothing is corpus-wide, and docs chunk
+    * embarrassingly parallel.
+    */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+                       budget: Int): DataFrame = {
+    require(budget > 0, s"chunkBySentences needs budget > 0, got $budget")
+    val sen = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.sentences(
+          coalesce(col(textCol), lit("")))).as(Seq("pos", "sentence")))
+      // sentences() space-normalizes, so tokens are exactly the
+      // single-space splits — no empty tokens possible
+      .withColumn("n_toks", size(split(col("sentence"), " ")).cast("long"))
+    val cum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dense = Window.partitionBy(col("doc_id")).orderBy(col("raw_chunk"))
+    sen
+      .withColumn("cum", coalesce(sum(col("n_toks")).over(cum), lit(0L)))
+      .withColumn("raw_chunk", expr(s"cum div $budget"))
+      .withColumn("chunk_id", (dense_rank().over(dense) - 1).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sentence")))),
+          p => p.getField("sentence")), " ").as("text"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("n_toks")).as("n_toks"))
+  }
 }

@@ -92,4 +92,35 @@ object Releases {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .select(dataCols.map(col): _*)
   }
+
+  /** Per-source release manifest — the integrity record shipped next to a
+    * corpus release (datasheet/data-card accounting plus a verifiable
+    * checksum): row count, total chars, distinct canonical fingerprints
+    * (the dedup audit), and a 60-bit corpus checksum = XOR of the portable
+    * row hash over (id, text).
+    *
+    * XOR is the point: it is order-independent and overflow-free, so the
+    * checksum is identical no matter how partitions aggregated, and any
+    * engine reading the same parquet reproduces it (the md5-fold basis of
+    * the split/LSH twins) — two releases match iff their manifests match,
+    * with no row-order caveats. A flipped byte in any document flips the
+    * source checksum; a dropped-and-compensating pair of identical rows is
+    * the known XOR blind spot, which `n_rows` + `n_distinct` cover.
+    *
+    * Scale shape: one hash aggregation keyed on the source column; the
+    * distinct-fingerprint count is the only expansion (exact here for the
+    * oracle contract — swap `approx_count_distinct` at corpus scale, same
+    * contract as Profile's approx path).
+    */
+  def manifest(df: DataFrame, groupCol: String, idCol: String,
+               textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    df.withColumn("__h",
+        Sampling.portableHash60(concat_ws(":", col(idCol), txt)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(txt)).as("n_chars"),
+        countDistinct(graft.functions.TextFunctions.fingerprint(txt)).as("n_distinct"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
 }

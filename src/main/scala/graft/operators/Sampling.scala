@@ -58,6 +58,34 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Leakage-free train/val/test split: assign every member of a
+    * near-duplicate cluster to the SAME split by keying [[hashSplit]] on
+    * the cluster representative instead of the row id. Splitting by raw id
+    * leaks — Lee et al. 2022 measured C4 train/val near-dup overlap, which
+    * silently inflates eval scores — and the fix is structural: the split
+    * key must be constant across each duplicate class. `pairs` is any
+    * near-dup pair relation (Jaccard, MinHash, SimHash, embedding);
+    * unpaired docs key on their own id. The emitted `split_key` column
+    * makes the assignment auditable: equal keys ⇒ equal split, by
+    * construction.
+    *
+    * Scale shape: one connected-components labeling of the PAIR relation
+    * (bounded by docs that have a duplicate, not the corpus), one left
+    * join of the corpus against it, then the narrow hash map — membership
+    * stays a pure function of (pair relation, id), re-derivable on any
+    * engine.
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Int)],
+                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val labels = Clustering.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("comp"))
+    val keyed = df.join(labels, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    hashSplit(keyed, col("split_key"), splits)
+  }
+
   /** Weighted corpus mixing — re-weight each row by a percentage (possibly
     * over 100): a row with weight w is emitted floor(w/100) times plus one
     * more when hash(key) % 100 < w % 100, under a `copy` index column. This

@@ -36,4 +36,26 @@ class PackingSpec extends SparkSpec {
     // each shard restarts at position 0: doc 2 is b's first doc, seq 0
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
   }
+
+  test("chunkBySentences: straddler stays, oversize sentence stands alone, ids dense") {
+    import spark.implicits._
+    val docs = Seq(
+      // sentences of 3/3/3 tokens at budget 5: the second sentence starts
+      // at cum 3 < 5 so it STAYS in chunk 0 (6 tokens — over budget by the
+      // straddler); the third starts at 6 -> chunk 1
+      (1L, "a b c. d e f. g h i."),
+      // a 7-token sentence between 3-token ones: raw chunk ids 0,0,2 must
+      // densify to 0,0,1
+      (2L, "a b c. t u v w x y z. d e f."),
+      (3L, "short only.")).toDF("doc_id", "text")
+    val got = Packing.chunkBySentences(docs, "doc_id", "text", budget = 5)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c. d e f.", 2L, 6L),
+      (1L, 1L, "g h i.", 1L, 3L),
+      (2L, 0L, "a b c. t u v w x y z.", 2L, 10L),
+      (2L, 1L, "d e f.", 1L, 3L),
+      (3L, 0L, "short only.", 1L, 2L)))
+  }
 }

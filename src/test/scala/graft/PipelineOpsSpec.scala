@@ -98,6 +98,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("leakageFreeSplit: every member of a dup cluster lands in the same split") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 is one cluster; 10-11 another; rest are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageFreeSplit(docs, "doc_id", pairs,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(out.size == 40)
+    // clustered docs share the representative key AND the split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    // unpaired docs key on their own id -> identical to plain hashSplit
+    val plain = Sampling.hashSplit(docs, col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    out.filter(t => !Seq(1L, 2L, 3L, 10L, 11L).contains(t._1))
+      .foreach(t => assert(t._3 == plain(t._1)))
+  }
+
   test("capPerGroup keeps at most k rows per group, deterministically") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val capped = Sampling.capPerGroup(docs.select("doc_id", "source"),

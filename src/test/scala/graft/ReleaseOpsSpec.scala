@@ -148,4 +148,26 @@ class ReleaseOpsSpec extends SparkSpec {
       .map { case (a, b, d) => ((a, b), d) }.toMap
     assert(got === Map((1L, 2L) -> 1, (1L, 3L) -> 0, (2L, 3L) -> 1))
   }
+
+  test("manifest: order-independent checksum, content-sensitive, dedup audit counts") {
+    import spark.implicits._
+    val rel = Seq(
+      (1L, "src_a", "hello world"),
+      (2L, "src_a", "hello  world"), // same canonical form as doc 1
+      (3L, "src_a", "different"),
+      (4L, "src_b", "only one")).toDF("doc_id", "source", "text")
+    def get(df: org.apache.spark.sql.DataFrame) =
+      Releases.manifest(df, "source", "doc_id", "text")
+        .orderBy(col("source"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val base = get(rel)
+    assert(base.map(t => (t._1, t._2, t._4)) == Seq(("src_a", 3L, 2L), ("src_b", 1L, 1L)))
+    assert(base.head._3 == 11L + 12L + 9L) // n_chars sums raw (pre-canonical) lengths
+    // row order / partitioning cannot move the checksum: XOR commutes
+    assert(get(rel.orderBy(col("doc_id").desc).repartition(3)) == base)
+    // one flipped character in one doc must flip that source's checksum only
+    val tweaked = get(rel.withColumn("text",
+      when(col("doc_id") === 3, lit("differenT")).otherwise(col("text"))))
+    assert(tweaked.head._5 != base.head._5 && tweaked(1)._5 == base(1)._5)
+  }
 }
