@@ -2153,7 +2153,43 @@ object SparkEntry {
       graft.operators.Packing.chunkBySentences(
         t(s, d, "documents").withColumn("text",
           regexp_replace(col("text"), "\\btable\\b", "table.")),
-        "doc_id", "text", budget = 20)))
+        "doc_id", "text", budget = 20)),
+    "q164_cdc_stream" -> ((s, d) => {
+      // batch-parity gate for STREAMING CDC apply: q151's deterministic
+      // feed (v1 D on %13, v1 U doubling %11, v2 U tripling even %11, v1
+      // inserts) replayed through a MemoryStream into applyCdcStream in
+      // one micro-batch; the Update-mode emissions ARE the merged current
+      // table, and the oracle is the batch MERGE of the same sample.
+      // Bounded deterministic sample doc_id % 100 < 10 keeps the driver
+      // feed O(sample) at any sf (the q133/q134 contract).
+      import s.implicits._
+      val d0 = t(s, d, "documents").filter(col("doc_id") % 100 < 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def ch(df: DataFrame, v: Long, op: String): DataFrame =
+        df.withColumn("version", lit(v)).withColumn("op", lit(op))
+      val feed = ch(d0.filter(col("doc_id") % 13 === 0), 1L, "D")
+        .unionByName(ch(d0.filter(col("doc_id") % 11 === 0)
+          .withColumn("n_chars", col("n_chars") * 2), 1L, "U"))
+        .unionByName(ch(d0.filter(col("doc_id") % 11 === 0 && col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") * 3), 2L, "U"))
+        .unionByName(ch(d0.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 300000L), 1L, "I"))
+      val rows = ch(d0, Long.MinValue, "I").unionByName(feed)
+        .select(col("doc_id"), col("version"), col("op"), col("source"), col("n_chars"))
+        .as[(Long, Long, String, String, Long)].collect().toSeq
+        .map { case (k, v, op, src, nc) =>
+          graft.streaming.Streams.CdcChange(k, v, op, src, nc) }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.Streams.CdcChange]
+      mem.addData(rows: _*)
+      val qn = s"q164_cdc_${memSeq.incrementAndGet()}"
+      val q = graft.streaming.Streams.applyCdcStream(mem.toDS())
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).select(col("key").as("doc_id"), col("source"),
+        col("nChars").as("n_chars"))
+    }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
     * Bench warm-up, and the fixture-rewriting specs so a new table needs
@@ -3233,7 +3269,20 @@ dr AS (SELECT *, dense_rank() OVER (PARTITION BY doc_id ORDER BY raw_chunk) - 1 
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
   string_agg(sentence, ' ' ORDER BY pos) AS text,
   count(*) AS n_sentences, CAST(sum(n_toks) AS BIGINT) AS n_toks
-FROM dr GROUP BY doc_id, chunk_id""")
+FROM dr GROUP BY doc_id, chunk_id""",
+    "q164_cdc_stream" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 100 < 10),
+changes AS (
+  SELECT doc_id, source, n_chars, 1 AS version, 'D' AS op FROM docs WHERE doc_id % 13 = 0
+  UNION ALL SELECT doc_id, source, n_chars * 2, 1, 'U' FROM docs WHERE doc_id % 11 = 0
+  UNION ALL SELECT doc_id, source, n_chars * 3, 2, 'U' FROM docs WHERE doc_id % 11 = 0 AND doc_id % 2 = 0
+  UNION ALL SELECT doc_id + 300000, source, n_chars, 1, 'I' FROM docs WHERE doc_id < 20),
+unioned AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(-9223372036854775808 AS BIGINT) AS version, 'I' AS op FROM docs
+  UNION ALL SELECT doc_id, source, CAST(n_chars AS BIGINT), CAST(version AS BIGINT), op FROM changes),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, op DESC) AS rn FROM unioned)
+SELECT doc_id, source, n_chars FROM r WHERE rn = 1 AND op <> 'D'""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

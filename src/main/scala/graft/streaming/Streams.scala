@@ -187,4 +187,44 @@ object Streams {
             .map { case (i, e) => HeavyHitter(shard, i, e, err) }.iterator
         })
   }
+
+  /** One CDC change event: op ∈ I/U/D, higher `version` wins, and a D/U tie
+    * at the same version resolves U-first — the exact precedence of the
+    * batch `Releases.applyCdc` (op desc: 'U' > 'I' > 'D').
+    */
+  case class CdcChange(key: Long, version: Long, op: String,
+                       source: String, nChars: Long)
+
+  /** The current row a key resolves to after the changes seen so far. */
+  case class CdcCurrent(key: Long, version: Long, source: String, nChars: Long)
+
+  /** Continuously-maintained MERGE INTO: the streaming twin of
+    * `Releases.applyCdc`. Each key's group state holds only the WINNING
+    * change (version, op, payload) — O(live keys) state, independent of
+    * feed length — and every trigger re-emits the keys it touched with
+    * their post-merge current row (Update mode upsert stream). Deleted
+    * keys emit nothing; sinks that need tombstones forward the D from the
+    * feed itself.
+    *
+    * Batch parity is structural: folding the batch's rows with the saved
+    * state by max (version, op) is associative and commutative with the
+    * batch operator's `row_number over (order by version desc, op desc)`
+    * pick, so replaying any prefix of the feed through this function and
+    * the rest through batch applyCdc lands on the same table — the
+    * property that makes a lambda architecture (nightly batch + intraday
+    * stream) safe to mix.
+    */
+  def applyCdcStream(changes: Dataset[CdcChange]): Dataset[CdcCurrent] = {
+    implicit val outEnc: Encoder[CdcCurrent] = Encoders.product[CdcCurrent]
+    implicit val stEnc: Encoder[CdcChange] = Encoders.product[CdcChange]
+    changes.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: Long, rows: Iterator[CdcChange], state: GroupState[CdcChange]) => {
+          val all = rows ++ state.getOption.iterator
+          val best = all.maxBy(c => (c.version, c.op))
+          state.update(best)
+          if (best.op == "D") Iterator.empty
+          else Iterator.single(CdcCurrent(key, best.version, best.source, best.nChars))
+        })
+  }
 }

@@ -251,4 +251,47 @@ class PipelineOpsSpec extends SparkSpec {
       assert(spark.table("hll_live").orderBy("register").collect().toSeq == hllBatch)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("applyCdcStream: cross-batch merge matches batch applyCdc; D/U tie and deletes") {
+    import graft.streaming.Streams
+    import graft.operators.Releases
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Streams.CdcChange]
+    val q = Streams.applyCdcStream(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_stream_spec")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Streams.CdcChange(1L, 0L, "I", "a", 10L),
+        Streams.CdcChange(2L, 0L, "I", "a", 20L),
+        Streams.CdcChange(3L, 0L, "I", "b", 30L))
+      q.processAllAvailable()
+      mem.addData(
+        Streams.CdcChange(1L, 2L, "U", "a", 11L), // plain update
+        Streams.CdcChange(2L, 1L, "D", "a", 0L),  // delete across batches
+        Streams.CdcChange(3L, 1L, "D", "b", 0L),  // same-version D/U tie:
+        Streams.CdcChange(3L, 1L, "U", "b", 33L), //   U must win (op desc)
+        Streams.CdcChange(4L, 1L, "I", "c", 40L)) // fresh key, no base row
+      q.processAllAvailable()
+      val rows = spark.table("cdc_stream_spec")
+        .as[(Long, Long, String, Long)].collect().toSeq
+      // a deleted key emits nothing once the D wins: key 2's only emission
+      // is its batch-1 insert
+      assert(rows.filter(_._1 == 2L).map(_._2) == Seq(0L))
+      // the latest emission per surviving key is the batch MERGE of the
+      // full feed over an empty base — the lambda-architecture parity
+      val latest = rows.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        .map(r => (r._1, r._3, r._4)).toSet
+      val feed = Seq(
+        (1L, 0L, "I", "a", 10L), (2L, 0L, "I", "a", 20L), (3L, 0L, "I", "b", 30L),
+        (1L, 2L, "U", "a", 11L), (2L, 1L, "D", "a", 0L), (3L, 1L, "D", "b", 0L),
+        (3L, 1L, "U", "b", 33L), (4L, 1L, "I", "c", 40L))
+        .toDF("key", "version", "op", "source", "nChars")
+      val batch = Releases.applyCdc(feed.limit(0).drop("version", "op"),
+          feed, Seq("key"), "version", "op")
+        .as[(Long, String, Long)].collect().toSet
+      assert(batch == Set((1L, "a", 11L), (3L, "b", 33L), (4L, "c", 40L)))
+      assert(batch.forall(latest.contains))
+    } finally q.stop()
+  }
 }
