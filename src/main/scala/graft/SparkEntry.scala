@@ -2189,6 +2189,25 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select(col("key").as("doc_id"), col("source"),
         col("nChars").as("n_chars"))
+    }),
+    "q165_semantic_decontaminate" -> ((s, d) => {
+      // embedding-level decontamination: benchmark = vectors 0-4, corpus =
+      // the table plus injected "rephrased" leaks (benchmark vectors with
+      // the first component nudged +0.01 under fresh ids — cosine ~0.9999,
+      // the paraphrase that n-gram checks miss). At threshold 0.95 the
+      // flagged set must be exactly the benchmark rows themselves (cosine
+      // 1) and the five injected leaks; the noise corpus peaks at ~0.40.
+      val emb = t(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      val bench = emb.filter(col("vec_id") < 5)
+      val rephrased = bench.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.01d)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      graft.operators.Contamination.semanticContaminatedIds(
+          emb.unionByName(rephrased), "vec_id", "embedding", bench,
+          minCosine = 0.95)
+        .select(col("vec_id"), round(col("max_cosine"), 6).as("max_cosine"),
+          col("n_hits"))
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3282,7 +3301,19 @@ unioned AS (
     CAST(-9223372036854775808 AS BIGINT) AS version, 'I' AS op FROM docs
   UNION ALL SELECT doc_id, source, CAST(n_chars AS BIGINT), CAST(version AS BIGINT), op FROM changes),
 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC, op DESC) AS rn FROM unioned)
-SELECT doc_id, source, n_chars FROM r WHERE rn = 1 AND op <> 'D'""")
+SELECT doc_id, source, n_chars FROM r WHERE rn = 1 AND op <> 'D'""",
+    "q165_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+b AS (SELECT v AS bv FROM e WHERE vec_id < 5),
+reph AS (SELECT vec_id + 100000 AS vec_id, list_concat([v[1] + 0.01], v[2:len(v)]) AS v FROM e WHERE vec_id < 5),
+corpus AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM reph),
+sc AS (SELECT c.vec_id,
+  CASE WHEN sqrt(list_sum(list_transform(c.v, x -> x * x))) * sqrt(list_sum(list_transform(b.bv, x -> x * x))) = 0.0 THEN 0.0
+       ELSE list_sum(list_transform(list_zip(c.v, b.bv), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(c.v, x -> x * x))) * sqrt(list_sum(list_transform(b.bv, x -> x * x)))) END AS cos
+  FROM corpus c CROSS JOIN b)
+SELECT vec_id, round(max(cos), 6) AS max_cosine, count(*) AS n_hits
+FROM sc WHERE cos >= 0.95 GROUP BY vec_id""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

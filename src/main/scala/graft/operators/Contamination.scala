@@ -117,4 +117,40 @@ object Contamination {
     docs.join(bloomContaminatedIds(docs, idCol, textCol, bits, n, k, m),
       Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-level companion of the
+    * n-gram/Bloom surface above: flag every corpus vector whose cosine to
+    * ANY benchmark vector reaches `minCosine`. Lexical overlap checks miss
+    * paraphrased benchmark leakage ("rephrased samples" — Yang et al.
+    * 2023's contamination study); embedding proximity is the signal that
+    * survives rewording. Returns (id, max_cosine, n_hits) per contaminated
+    * vector — max_cosine grades severity, n_hits says how many benchmark
+    * items it shadows.
+    *
+    * Scale shape: the benchmark is eval-set sized, so it broadcasts and
+    * the corpus is scanned ONCE (BroadcastNestedLoopJoin against the k-row
+    * build side — the brute-force-ANN shape, compiled cosine kernel, no
+    * shuffle of vectors); the aggregation keys on the corpus id. For
+    * benchmark sets too big to broadcast, pre-bucket both sides with the
+    * sign-LSH family and run this per bucket.
+    */
+  def semanticContaminatedIds(corpus: DataFrame, idCol: String, vecCol: String,
+                              benchmark: DataFrame, minCosine: Double): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(benchmark.select(col(vecCol).as("__bv"))))
+      .withColumn("__c", graft.functions.VectorFunctions.cosine(col("__cv"), col("__bv")))
+      .filter(col("__c") >= minCosine)
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("max_cosine"), count(lit(1)).as("n_hits"))
+  }
+
+  /** The corpus with semantically contaminated vectors removed. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            benchmark: DataFrame, minCosine: Double): DataFrame =
+    corpus.join(
+      semanticContaminatedIds(corpus, idCol, vecCol, benchmark, minCosine)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -450,4 +450,28 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("silently clobbered"))
   }
+
+  test("semantic decontamination: paraphrase proximity flags, orthogonal noise survives") {
+    val bench = Seq((0L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),   // the benchmark row itself: cosine 1
+      (10L, Array(0.99, 0.1, 0.0)), // "rephrased": same direction, nudged
+      (11L, Array(0.0, 1.0, 0.0)),  // orthogonal
+      (12L, Array(-1.0, 0.0, 0.0)), // opposite direction
+      (13L, Array(0.0, 0.0, 0.0))   // zero norm -> cosine 0 by contract
+    ).toDF("vec_id", "embedding")
+    val flagged = Contamination.semanticContaminatedIds(
+        corpus, "vec_id", "embedding", bench, minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(flagged == Set(0L, 10L))
+    val kept = Contamination.semanticDecontaminate(
+        corpus, "vec_id", "embedding", bench, minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L, 13L))
+    // the corpus side must never cartesian-shuffle: benchmark broadcasts
+    val plan = Contamination.semanticContaminatedIds(
+      corpus, "vec_id", "embedding", bench, minCosine = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
