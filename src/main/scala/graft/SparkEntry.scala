@@ -2208,6 +2208,18 @@ object SparkEntry {
           minCosine = 0.95)
         .select(col("vec_id"), round(col("max_cosine"), 6).as("max_cosine"),
           col("n_hits"))
+    }),
+    "q166_near_dedup_snapshot" -> ((s, d) => {
+      // incremental MinHash near-dedup: docs < 250 are the released
+      // corpus, the rest arrive as the fresh batch; fresh docs near-dup
+      // (jaccard >= 0.7) to ANY released doc are dropped. The prior side
+      // is exactly the persistable (bands, shingles) index — daily
+      // batches never rescan released text.
+      val docs = t(s, d, "documents")
+      NearDedup.nearDedupAgainstSnapshotMinhash(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"))
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3313,7 +3325,8 @@ sc AS (SELECT c.vec_id,
             / (sqrt(list_sum(list_transform(c.v, x -> x * x))) * sqrt(list_sum(list_transform(b.bv, x -> x * x)))) END AS cos
   FROM corpus c CROSS JOIN b)
 SELECT vec_id, round(max(cos), 6) AS max_cosine, count(*) AS n_hits
-FROM sc WHERE cos >= 0.95 GROUP BY vec_id""")
+FROM sc WHERE cos >= 0.95 GROUP BY vec_id""",
+    "q166_near_dedup_snapshot" -> nearDedupSnapshotOracleSql)
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop
@@ -3625,6 +3638,18 @@ reach(id, comp) AS (
 losers AS (SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id) WHERE comp < id)
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
+  /** q166: the incremental near-dedup decision replayed from the SAME
+    * portable-minhash CTE chain as q93/q154 — a cross (prior, fresh) pair
+    * always lands as (id_a < 250 <= id_b) because the pair relation is
+    * ordered id_a < id_b, so the contaminated set is one filter over it.
+    */
+  private lazy val nearDedupSnapshotOracleSql: String =
+    s"""WITH $minhashPortableCtes,
+pp AS (SELECT id_a, id_b FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id >= 250
+  AND doc_id NOT IN (SELECT id_b FROM pp WHERE id_a < 250 AND id_b >= 250)"""
 
   /** DuckDB replay of the two-stage quantized ANN: same quantization
     * arithmetic as q83, cosine on the quantized vectors for the candidate

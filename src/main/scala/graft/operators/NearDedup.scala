@@ -147,15 +147,25 @@ object NearDedup {
     * exact-jaccard verify) can be replayed and checked bit-for-bit by an
     * external SQL engine.
     */
-  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-                           shingleSize: Int = 3, numPerms: Int = 32,
-                           bands: Int = 8, threshold: Double = 0.7,
-                           seed: Long = 42L): DataFrame = {
+  /** (id, sh) shingle sets on the portable basis — the verify-stage relation
+    * of the portable minhash pipeline.
+    */
+  private def portableShingles(df: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
+
+  /** (id, band, bk) banded minhash keys on the portable md5 basis — the
+    * candidate-stage relation. Together with [[portableShingles]] this IS
+    * the persistable near-dup index of a corpus release: store both per
+    * release and incremental batches join against them without rescanning
+    * prior text.
+    */
+  private def portableBands(sh: DataFrame, numPerms: Int, bands: Int,
+                            seed: Long): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val rowsPerBand = numPerms / bands
     val (as, bs) = portablePerms(numPerms, seed)
-    val sh = df.select(col(idCol).as("id"),
-      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
       .withColumn("hm",
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType) % PortableP)
@@ -167,8 +177,16 @@ object NearDedup {
         md5(concat_ws(",",
           (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)).as("bk"))
     }
-    val banded = sigs.select(col("id"), explode(array(bandStructs: _*)).as("q"))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("q"))
       .select(col("id"), col("q.band").as("band"), col("q.bk").as("bk"))
+  }
+
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           shingleSize: Int = 3, numPerms: Int = 32,
+                           bands: Int = 8, threshold: Double = 0.7,
+                           seed: Long = 42L): DataFrame = {
+    val sh = portableShingles(df, idCol, textCol, shingleSize)
+    val banded = portableBands(sh, numPerms, bands, seed)
     val aSide = banded.select(col("band"), col("bk"), col("id").as("id_a"))
     val bSide = banded.select(col("band"), col("bk"), col("id").as("id_b"))
     val cand = aSide.join(bSide, Seq("band", "bk"))
@@ -432,6 +450,48 @@ object NearDedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__fp")
+  }
+
+  /** Incremental NEAR-dedup against a released corpus — the MinHash
+    * companion of [[dedupAgainstSnapshot]] (which catches only canonical-
+    * exact matches): drop every fresh document whose Jaccard similarity to
+    * ANY prior document reaches `threshold`. The daily-ingest workflow for
+    * near-dups: re-crawls and boilerplate variants of released content
+    * should not re-enter the corpus just because a byte changed.
+    *
+    * Scale shape: the prior side reduces to the two relations of the
+    * portable minhash index — (id, band, bk) banded keys and (id, sh)
+    * shingle sets — which a production pipeline persists ONCE per release
+    * (Memoize) so daily batches never rescan prior text; candidates come
+    * from the (band, bk) equi-join of the fresh batch's bands against that
+    * index (linear in both sides, never fresh × prior), and the Jaccard
+    * verify touches candidates only. Same portable basis as
+    * [[minhashPairsPortable]], so the WHOLE incremental decision replays
+    * in external SQL. In-batch near-dedup of the survivors composes via
+    * [[minhashDedupCC]].
+    */
+  def nearDedupAgainstSnapshotMinhash(fresh: DataFrame, prior: DataFrame,
+                                      idCol: String, textCol: String,
+                                      shingleSize: Int = 3, numPerms: Int = 32,
+                                      bands: Int = 8, threshold: Double = 0.7,
+                                      seed: Long = 42L): DataFrame = {
+    val fsh = portableShingles(fresh, idCol, textCol, shingleSize)
+    val psh = portableShingles(prior, idCol, textCol, shingleSize)
+    val fb = portableBands(fsh, numPerms, bands, seed)
+      .select(col("band"), col("bk"), col("id").as("fresh_id"))
+    val pb = portableBands(psh, numPerms, bands, seed)
+      .select(col("band"), col("bk"), col("id").as("prior_id"))
+    val cand = fb.join(pb, Seq("band", "bk"))
+      .select(col("fresh_id"), col("prior_id")).distinct()
+    val contaminated = cand
+      .join(fsh.select(col("id").as("fresh_id"), col("sh").as("sh_f")), Seq("fresh_id"))
+      .join(psh.select(col("id").as("prior_id"), col("sh").as("sh_p")), Seq("prior_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_f"), col("sh_p"))).cast(DoubleType) /
+          size(array_union(col("sh_f"), col("sh_p"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("fresh_id").as(idCol)).distinct()
+    fresh.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Cross-source duplication matrix — for every source pair, how many

@@ -103,6 +103,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(!kept.contains(4L))
   }
 
+  test("nearDedupAgainstSnapshotMinhash: fresh near-dups of the release drop, novel docs survive") {
+    val prior = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")).toDF("id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),     // exact re-crawl
+      (11L, "the quick brown fox jumps over the lazy cat"),     // near-dup variant
+      (12L, "entirely novel text with no released counterpart"),
+      (13L, "spark engines")).toDF("id", "text")                // shares words, below threshold
+    val kept = NearDedup.nearDedupAgainstSnapshotMinhash(fresh, prior, "id", "text",
+        shingleSize = 2, numPerms = 32, bands = 16, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+    // a tighter threshold lets the variant back in but still blocks the re-crawl
+    val strict = NearDedup.nearDedupAgainstSnapshotMinhash(fresh, prior, "id", "text",
+        shingleSize = 2, numPerms = 32, bands = 16, threshold = 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(!strict.contains(10L) && strict.contains(11L))
+  }
+
   test("simhash: identical texts have distance 0, dissimilar texts exceed the cap") {
     val pairs = NearDedup.simhashPairs(corpus, "id", "text", maxHamming = 3)
     val found = pairs.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
