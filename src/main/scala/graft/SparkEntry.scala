@@ -2220,7 +2220,13 @@ object SparkEntry {
           docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
           "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"))
-    }))
+    }),
+    "q167_key_skew" -> ((s, d) =>
+      // pre-flight skew profile of the lineitem join key: exact top-10
+      // heaviest suppliers with share and skew factor — the number that
+      // decides salting vs AQE before the job runs
+      graft.operators.Skew.keySkewProfile(
+        t(s, d, "lineitem"), col("l_suppkey"), topN = 10)))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
     * Bench warm-up, and the fixture-rewriting specs so a new table needs
@@ -3326,7 +3332,13 @@ sc AS (SELECT c.vec_id,
   FROM corpus c CROSS JOIN b)
 SELECT vec_id, round(max(cos), 6) AS max_cosine, count(*) AS n_hits
 FROM sc WHERE cos >= 0.95 GROUP BY vec_id""",
-    "q166_near_dedup_snapshot" -> nearDedupSnapshotOracleSql)
+    "q166_near_dedup_snapshot" -> nearDedupSnapshotOracleSql,
+    "q167_key_skew" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+SELECT key, cnt, total, n_keys, cnt * 10000 // total AS share_bp,
+  cnt * 100 // greatest(total // n_keys, 1) AS skew_x100
+FROM c, st ORDER BY cnt DESC, key LIMIT 10""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

@@ -83,4 +83,31 @@ object Skew {
     case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
     case _ => false
   }
+
+  /** Pre-flight skew diagnosis for a join/aggregation key: the top-N
+    * heaviest keys with exact counts, basis-point share of all rows, and a
+    * skew factor (count over the mean per-key count, ×100). This is the
+    * number that decides BEFORE a 100 TB job whether a key needs
+    * [[saltedJoin]]/[[saltedAggregate]] or AQE's runtime splitting will do
+    * — skew_x100 ≈ 100 means uniform; a key at 30% of a 10⁶-key domain
+    * shows ≈ 3×10⁷.
+    *
+    * All-integer arithmetic (the mean is computed first — `total div
+    * n_keys` — so nothing multiplies two corpus-sized numbers; overflow
+    * would need a single key × 100 past 2⁶³ rows). Scale shape: one
+    * partial+final count aggregation on the key, a broadcast of the 1-row
+    * stats relation, and a TakeOrderedAndProject cut — the driver sees N
+    * rows.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: Column, topN: Int): DataFrame = {
+    require(topN > 0, s"keySkewProfile needs topN > 0, got $topN")
+    val counts = df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("share_bp", expr("cnt * 10000 div total"))
+      .withColumn("skew_x100", expr("cnt * 100 div greatest(total div n_keys, 1L)"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topN)
+  }
 }

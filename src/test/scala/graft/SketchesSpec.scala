@@ -126,4 +126,16 @@ class SketchesSpec extends SparkSpec {
     assert(again.getAs[Long]("s_scaled") == row.getAs[Long]("s_scaled"))
     assert(again.getAs[Double]("estimate") == est)
   }
+
+  test("keySkewProfile: exact counts, shares, and mean-relative skew factor") {
+    // 'hot' owns 8 of 10 rows over a 3-key domain: mean = 10 div 3 = 3,
+    // so skew_x100(hot) = 800 div 3 = 266 and share_bp = 8000
+    val rows = (Seq.fill(8)("hot") ++ Seq("a", "b")).map(Tuple1(_))
+      .toDF("k")
+    val out = Skew.keySkewProfile(rows, col("k"), topN = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("hot", 8L, 10L, 3L, 8000L, 266L),
+      ("a", 1L, 10L, 3L, 1000L, 33L))) // tie with 'b' broken by key asc
+  }
 }
