@@ -2226,7 +2226,16 @@ object SparkEntry {
       // heaviest suppliers with share and skew factor — the number that
       // decides salting vs AQE before the job runs
       graft.operators.Skew.keySkewProfile(
-        t(s, d, "lineitem"), col("l_suppkey"), topN = 10)))
+        t(s, d, "lineitem"), col("l_suppkey"), topN = 10)),
+    "q168_token_budget" -> ((s, d) =>
+      // fill a 15k-token budget best-first: score = coarse n_chars bucket
+      // (deliberately tied so the boundary score has real multiplicity and
+      // the hash-ordered greedy fill is exercised), tokens = word count
+      graft.operators.Sampling.selectToTokenBudget(
+        t(s, d, "documents"), "doc_id", expr("n_chars div 100"),
+        size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+          w => length(w) > 0)),
+        budget = 15000L)))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
     * Bench warm-up, and the fixture-rewriting specs so a new table needs
@@ -3338,7 +3347,24 @@ FROM sc WHERE cos >= 0.95 GROUP BY vec_id""",
 st AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
 SELECT key, cnt, total, n_keys, cnt * 10000 // total AS share_bp,
   cnt * 100 // greatest(total // n_keys, 1) AS skew_x100
-FROM c, st ORDER BY cnt DESC, key LIMIT 10""")
+FROM c, st ORDER BY cnt DESC, key LIMIT 10""",
+    "q168_token_budget" ->
+      s"""WITH bb AS (SELECT doc_id, n_chars // 100 AS score,
+  CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_toks
+  FROM documents WHERE n_chars IS NOT NULL),
+b2 AS (SELECT * FROM bb WHERE n_toks > 0),
+ps AS (SELECT score, CAST(sum(n_toks) AS BIGINT) AS st FROM b2 GROUP BY score),
+mk AS (SELECT score, st, CAST(coalesce(sum(st) OVER (ORDER BY score DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bf FROM ps),
+fullin AS (SELECT b.doc_id, b.score, b.n_toks FROM b2 b JOIN mk ON b.score = mk.score
+  WHERE mk.bf + mk.st <= 15000),
+bnd AS (SELECT score, 15000 - bf AS remaining FROM mk WHERE bf < 15000 AND bf + st > 15000),
+bp AS (SELECT b.doc_id, b.score, b.n_toks,
+  CAST(coalesce(sum(b.n_toks) OVER (PARTITION BY b.score ORDER BY b.h, b.doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum, r.remaining
+  FROM (SELECT *, ${portableHash60Sql("doc_id")} AS h FROM b2) b JOIN bnd r ON b.score = r.score)
+SELECT doc_id, score, n_toks FROM fullin
+UNION ALL SELECT doc_id, score, n_toks FROM bp WHERE cum + n_toks <= remaining""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

@@ -86,6 +86,52 @@ object Sampling {
     hashSplit(keyed, col("split_key"), splits)
   }
 
+  /** Fill a token budget by quality priority — the "select the best 1T
+    * tokens" step between scoring and training: take documents from the
+    * highest score down until the budget is exhausted, never exceeding it.
+    * Returns the selected (id, score, n_toks) rows.
+    *
+    * There is NO global sort: per-score token mass cumulates over the
+    * DISTINCT-score relation (bounded by the score domain — the
+    * exactQuantilesLong contract), which yields the set of fully-included
+    * scores and the single boundary score in one pass. Only documents AT
+    * the boundary score need within-value ordering, and that order is the
+    * portable hash of the id (deterministic, engine-replayable, no
+    * quality-correlated bias) — a greedy fill that stops before the first
+    * document that would cross the remaining budget. The one partition-
+    * sized stage is bounded by the boundary score's multiplicity, not the
+    * corpus; coarsen or refine the score to trade boundary size against
+    * selection granularity.
+    */
+  def selectToTokenBudget(df: DataFrame, idCol: String, scoreCol: Column,
+                          tokensCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = df.select(col(idCol), scoreCol.cast("long").as("score"),
+        tokensCol.cast("long").as("n_toks"))
+      .filter(col("score").isNotNull && col("n_toks").isNotNull &&
+        col("n_toks") > 0)
+    val perScore = base.groupBy(col("score")).agg(sum(col("n_toks")).as("st"))
+    val wS = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = perScore
+      .withColumn("before", coalesce(sum(col("st")).over(wS), lit(0L)))
+    val fullIn = marked.filter(col("before") + col("st") <= budget)
+      .select(col("score"))
+    val boundary = marked
+      .filter(col("before") < budget && col("before") + col("st") > budget)
+      .select(col("score"), (lit(budget) - col("before")).as("remaining"))
+    val wB = Window.partitionBy(col("score")).orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryPick = base.join(broadcast(boundary), Seq("score"))
+      .withColumn("h", portableHash60(col(idCol)))
+      .withColumn("cum", coalesce(sum(col("n_toks")).over(wB), lit(0L)))
+      .filter(col("cum") + col("n_toks") <= col("remaining"))
+      .select(col(idCol), col("score"), col("n_toks"))
+    base.join(broadcast(fullIn), Seq("score"))
+      .select(col(idCol), col("score"), col("n_toks"))
+      .unionByName(boundaryPick)
+  }
+
   /** Weighted corpus mixing — re-weight each row by a percentage (possibly
     * over 100): a row with weight w is emitted floor(w/100) times plus one
     * more when hash(key) % 100 < w % 100, under a `copy` index column. This

@@ -98,6 +98,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("selectToTokenBudget: best-first fill, boundary greedy, never exceeds") {
+    val docs = Seq(
+      (1L, 3L, 10L),
+      (2L, 2L, 10L), (3L, 2L, 10L), (4L, 2L, 10L), // boundary score: 1 of 3 cut
+      (5L, 1L, 10L)).toDF("doc_id", "s", "t")
+    def sel(b: Long) = Sampling.selectToTokenBudget(docs, "doc_id", col("s"), col("t"), b)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val got = sel(30L)
+    assert(got.map(_._3).sum == 30L)
+    assert(got.map(_._1).contains(1L) && !got.map(_._1).contains(5L))
+    assert(got.count(r => r._2 == 2L) == 2) // exactly two boundary docs fit
+    // deterministic under reshuffling (hash order, not partition order)
+    assert(sel(30L) == Sampling.selectToTokenBudget(
+      docs.repartition(7), "doc_id", col("s"), col("t"), 30L)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1))
+    // budget beyond the corpus takes everything; sub-document budget takes nothing
+    assert(sel(1000L).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sel(5L).isEmpty && sel(0L).isEmpty)
+  }
+
   test("leakageFreeSplit: every member of a dup cluster lands in the same split") {
     val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3 is one cluster; 10-11 another; rest are singletons
