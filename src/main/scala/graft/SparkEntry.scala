@@ -2235,7 +2235,23 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", expr("n_chars div 100"),
         size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
           w => length(w) > 0)),
-        budget = 15000L)))
+        budget = 15000L)),
+    "q169_budget_per_source" -> ((s, d) => {
+      // per-source budget filling: each source gets its own allocation
+      // (300 + 40*index tokens — every source hits its boundary at this
+      // fixture density), the two-operator pipeline a temperature mix
+      // feeds in production. Zero single-partition stages: both windows
+      // partition by source.
+      val docs = t(s, d, "documents")
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget",
+          lit(300L) + expr("CAST(substring(source, 4) AS LONG)") * 40L)
+      graft.operators.Sampling.selectToTokenBudgetPerGroup(docs, "doc_id",
+        "source", expr("n_chars div 100"),
+        size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+          w => length(w) > 0)),
+        budgets)
+    }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
     * Bench warm-up, and the fixture-rewriting specs so a new table needs
@@ -3364,7 +3380,29 @@ bp AS (SELECT b.doc_id, b.score, b.n_toks,
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum, r.remaining
   FROM (SELECT *, ${portableHash60Sql("doc_id")} AS h FROM b2) b JOIN bnd r ON b.score = r.score)
 SELECT doc_id, score, n_toks FROM fullin
-UNION ALL SELECT doc_id, score, n_toks FROM bp WHERE cum + n_toks <= remaining""")
+UNION ALL SELECT doc_id, score, n_toks FROM bp WHERE cum + n_toks <= remaining""",
+    "q169_budget_per_source" ->
+      s"""WITH bb AS (SELECT doc_id, source, n_chars // 100 AS score,
+  CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_toks
+  FROM documents WHERE n_chars IS NOT NULL),
+b2 AS (SELECT * FROM bb WHERE n_toks > 0),
+bud AS (SELECT source, 300 + CAST(substr(source, 4) AS BIGINT) * 40 AS budget
+  FROM (SELECT DISTINCT source FROM documents)),
+b3 AS (SELECT b2.*, bud.budget FROM b2 JOIN bud USING (source)),
+ps AS (SELECT source, score, CAST(sum(n_toks) AS BIGINT) AS st, min(budget) AS budget
+  FROM b3 GROUP BY source, score),
+mk AS (SELECT source, score, st, budget, CAST(coalesce(sum(st) OVER (PARTITION BY source
+    ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bf FROM ps),
+fullin AS (SELECT b.doc_id, b.source, b.score, b.n_toks FROM b3 b
+  JOIN mk ON b.source = mk.source AND b.score = mk.score WHERE mk.bf + mk.st <= mk.budget),
+bnd AS (SELECT source, score, budget - bf AS remaining FROM mk WHERE bf < budget AND bf + st > budget),
+bp AS (SELECT b.doc_id, b.source, b.score, b.n_toks,
+  CAST(coalesce(sum(b.n_toks) OVER (PARTITION BY b.source, b.score ORDER BY b.h, b.doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum, r.remaining
+  FROM (SELECT *, ${portableHash60Sql("doc_id")} AS h FROM b3) b
+  JOIN bnd r ON b.source = r.source AND b.score = r.score)
+SELECT doc_id, source, score, n_toks FROM fullin
+UNION ALL SELECT doc_id, source, score, n_toks FROM bp WHERE cum + n_toks <= remaining""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

@@ -132,6 +132,52 @@ object Sampling {
       .unionByName(boundaryPick)
   }
 
+  /** Per-group [[selectToTokenBudget]] — fill an INDEPENDENT token budget
+    * for every group (source, language, domain): `budgets` is a (group,
+    * budget) relation, typically the epoch allocation
+    * [[temperatureMixWeights]] emits, so "compute the mix, then fill each
+    * source's share best-first" is a two-operator pipeline. Same
+    * never-exceed greedy semantics per group; with the cumulative and
+    * boundary windows both partitioned by group there is NO
+    * single-partition stage anywhere — the operator scales with the
+    * largest group's score domain and boundary multiplicity.
+    */
+  def selectToTokenBudgetPerGroup(df: DataFrame, idCol: String,
+                                  groupCol: String, scoreCol: Column,
+                                  tokensCol: Column,
+                                  budgets: DataFrame): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol),
+        scoreCol.cast("long").as("score"), tokensCol.cast("long").as("n_toks"))
+      .filter(col("score").isNotNull && col("n_toks").isNotNull &&
+        col("n_toks") > 0)
+      .join(broadcast(budgets.select(col(groupCol),
+        col("budget").cast("long").as("budget"))), Seq(groupCol))
+    val perScore = base.groupBy(col(groupCol), col("score"))
+      .agg(sum(col("n_toks")).as("st"), first(col("budget")).as("budget"))
+    val wS = Window.partitionBy(col(groupCol)).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = perScore
+      .withColumn("before", coalesce(sum(col("st")).over(wS), lit(0L)))
+    val fullIn = marked.filter(col("before") + col("st") <= col("budget"))
+      .select(col(groupCol), col("score"))
+    val boundary = marked
+      .filter(col("before") < col("budget") &&
+        col("before") + col("st") > col("budget"))
+      .select(col(groupCol), col("score"),
+        (col("budget") - col("before")).as("remaining"))
+    val wB = Window.partitionBy(col(groupCol), col("score"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryPick = base.join(boundary, Seq(groupCol, "score"))
+      .withColumn("h", portableHash60(col(idCol)))
+      .withColumn("cum", coalesce(sum(col("n_toks")).over(wB), lit(0L)))
+      .filter(col("cum") + col("n_toks") <= col("remaining"))
+      .select(col(idCol), col(groupCol), col("score"), col("n_toks"))
+    base.join(fullIn, Seq(groupCol, "score"))
+      .select(col(idCol), col(groupCol), col("score"), col("n_toks"))
+      .unionByName(boundaryPick)
+  }
+
   /** Weighted corpus mixing — re-weight each row by a percentage (possibly
     * over 100): a row with weight w is emitted floor(w/100) times plus one
     * more when hash(key) % 100 < w % 100, under a `copy` index column. This

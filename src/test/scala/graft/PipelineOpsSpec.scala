@@ -118,6 +118,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sel(5L).isEmpty && sel(0L).isEmpty)
   }
 
+  test("selectToTokenBudgetPerGroup: independent budgets, per-group boundaries") {
+    val docs = Seq(
+      (1L, "a", 3L, 10L), (2L, "a", 2L, 10L), (3L, "a", 1L, 10L),
+      (4L, "b", 5L, 10L), (5L, "b", 4L, 10L)).toDF("doc_id", "g", "s", "t")
+    val budgets = Seq(("a", 20L), ("b", 10L)).toDF("g", "budget")
+    val got = Sampling.selectToTokenBudgetPerGroup(
+        docs, "doc_id", "g", col("s"), col("t"), budgets)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // a's 20-token budget takes its top two scores; b's 10 takes one —
+    // each group cuts at ITS budget, never a global one
+    assert(got.map(_._1) == Seq(1L, 2L, 4L))
+    // a group absent from the budgets relation contributes nothing
+    val partial = Sampling.selectToTokenBudgetPerGroup(
+        docs, "doc_id", "g", col("s"), col("t"), budgets.filter(col("g") === "b"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(partial.map(_._1) == Seq(4L))
+  }
+
   test("leakageFreeSplit: every member of a dup cluster lands in the same split") {
     val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3 is one cluster; 10-11 another; rest are singletons
