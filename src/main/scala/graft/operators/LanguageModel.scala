@@ -72,8 +72,13 @@ object LanguageModel {
 
     val trainToks = train.select(explode(wordsCol(textCol)).as("t"))
     val c1 = trainToks.groupBy(col("t")).agg(count(lit(1)).as("c1"))
-    val total = trainToks.count() // the single scalar N; never a row join
-    require(total > 0, "stupidBackoffScore needs a non-empty training corpus")
+    // N = Σ c1 — derived from the unigram table, so the plan stays fully
+    // lazy (no job at construction time) and train is scanned exactly
+    // twice (unigrams, bigrams), not three times. The 1-row stats relation
+    // folds in as a broadcast, the keySkewProfile pattern; greatest(…, 1)
+    // keeps the floor division defined when train is empty (every score
+    // is then 0 — there is nothing to back off TO).
+    val tot = c1.agg(greatest(sum(col("c1")), lit(1L)).as("total"))
     val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
 
@@ -82,10 +87,11 @@ object LanguageModel {
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1.select(col("t").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
       .join(c1.select(col("t").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
       .withColumn("sb",
         when(col("c2").isNotNull, // seen ⇒ c1(w1) ≥ c2 ≥ 1, division safe
           expr(s"$scale * c2 div c1w1"))
-          .otherwise(expr(s"$alphaScale * coalesce(c1w2, 0L) div $total")))
+          .otherwise(expr(s"$alphaScale * coalesce(c1w2, 0L) div total")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sb")).as("sb_sum"))
       .withColumn("sb_score", expr("sb_sum div n_bigrams"))

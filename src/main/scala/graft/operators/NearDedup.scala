@@ -137,16 +137,6 @@ object NearDedup {
     (as, bs)
   }
 
-  /** MinHash-LSH pairs on a PORTABLE hash basis: shingles hash through the
-    * first 60 bits of md5 (any engine can reproduce it — unlike xxhash64),
-    * permutations come from [[portablePerms]], and band keys are md5 of the
-    * comma-joined signature slice. Semantics and shape match
-    * [[minhashPairs]]; the price is md5 instead of the codegen'd xxhash64
-    * kernel, so the native variant remains the production path — this one
-    * exists so the WHOLE LSH pipeline (hashing, banding, candidate join,
-    * exact-jaccard verify) can be replayed and checked bit-for-bit by an
-    * external SQL engine.
-    */
   /** (id, sh) shingle sets on the portable basis — the verify-stage relation
     * of the portable minhash pipeline.
     */
@@ -181,6 +171,16 @@ object NearDedup {
       .select(col("id"), col("q.band").as("band"), col("q.bk").as("bk"))
   }
 
+  /** MinHash-LSH pairs on a PORTABLE hash basis: shingles hash through the
+    * first 60 bits of md5 (any engine can reproduce it — unlike xxhash64),
+    * permutations come from [[portablePerms]], and band keys are md5 of the
+    * comma-joined signature slice. Semantics and shape match
+    * [[minhashPairs]]; the price is md5 instead of the codegen'd xxhash64
+    * kernel, so the native variant remains the production path — this one
+    * exists so the WHOLE LSH pipeline (hashing, banding, candidate join,
+    * exact-jaccard verify) can be replayed and checked bit-for-bit by an
+    * external SQL engine.
+    */
   def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3, numPerms: Int = 32,
                            bands: Int = 8, threshold: Double = 0.7,

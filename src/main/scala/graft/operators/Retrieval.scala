@@ -132,22 +132,40 @@ object Retrieval {
     * term-keyed join against the index and a (query, doc) aggregation —
     * the single-query latency shape of a stored inverted index.
     */
-  def sparseTfIdfTopKWith(index: DataFrame, queries: DataFrame,
-                          idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k > 0, "sparseTfIdfTopKWith needs k > 0")
+  /** The scored-candidate stage shared by [[sparseTfIdfTopKWith]] and
+    * [[hardNegatives]]: tokenize the query batch, join the index on the
+    * term axis, drop self-matches, aggregate to (query_id, doc_id, score,
+    * shared_terms). The weight formula and the downstream tie-break
+    * contract live HERE once, so the serve path and the mining path
+    * cannot drift.
+    */
+  private def scoredCandidates(index: DataFrame, queries: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
     val qtf = toks(queries, idCol, textCol).filter(length(col("t")) > 0)
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
       .withColumnRenamed("doc_id", "query_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
     qtf.join(index, Seq("t"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("qtf") * col("tf") * col("w")).as("score"),
         count(lit(1)).as("shared_terms"))
-      .withColumn("rank", row_number().over(w))
+  }
+
+  /** Per-query rank cut over a scored-candidate stream: ties break by
+    * ascending doc id so the cut at k is deterministic on any engine.
+    */
+  private def rankCut(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def sparseTfIdfTopKWith(index: DataFrame, queries: DataFrame,
+                          idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "sparseTfIdfTopKWith needs k > 0")
+    rankCut(scoredCandidates(index, queries, idCol, textCol), k)
   }
 
   /** Hard-negative mining for retrieval-model training (Karpukhin et al.
@@ -175,21 +193,9 @@ object Retrieval {
                     idCol: String, textCol: String,
                     positives: DataFrame, k: Int): DataFrame = {
     require(k > 0, "hardNegatives needs k > 0")
-    val qtf = toks(queries, idCol, textCol).filter(length(col("t")) > 0)
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
-      .withColumnRenamed("doc_id", "query_id")
     val pos = positives.select(col("query_id"), col("doc_id")).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    qtf.join(index, Seq("t"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("qtf") * col("tf") * col("w")).as("score"),
-        count(lit(1)).as("shared_terms"))
-      .join(pos, Seq("query_id", "doc_id"), "left_anti")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankCut(scoredCandidates(index, queries, idCol, textCol)
+      .join(pos, Seq("query_id", "doc_id"), "left_anti"), k)
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two ranked

@@ -200,11 +200,18 @@ object Streams {
 
   /** Continuously-maintained MERGE INTO: the streaming twin of
     * `Releases.applyCdc`. Each key's group state holds only the WINNING
-    * change (version, op, payload) — O(live keys) state, independent of
-    * feed length — and every trigger re-emits the keys it touched with
-    * their post-merge current row (Update mode upsert stream). Deleted
-    * keys emit nothing; sinks that need tombstones forward the D from the
-    * feed itself.
+    * change (version, op, payload) — one fixed-size record per KEY EVER
+    * SEEN, independent of feed length. Deleted keys keep their D record
+    * (required: it is what suppresses a late lower-version update from
+    * resurrecting the row), so state tracks the key universe, not the
+    * live table — bound it in production with a version floor (drop state
+    * below the batch-compaction watermark) when the key churn is high.
+    * Every trigger re-emits the keys it touched with their post-merge
+    * current row (Update mode upsert stream). Deleted keys emit nothing;
+    * sinks that need tombstones forward the D from the feed itself.
+    * Ops outside I/U/D fail the trigger — the same fail-fast contract as
+    * the batch operator (a lowercase 'u' would silently outrank 'U' in
+    * the lexicographic tie-break).
     *
     * Batch parity is structural: folding the batch's rows with the saved
     * state by max (version, op) is associative and commutative with the
@@ -220,7 +227,11 @@ object Streams {
     changes.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
         (key: Long, rows: Iterator[CdcChange], state: GroupState[CdcChange]) => {
-          val all = rows ++ state.getOption.iterator
+          val all = rows.map { c =>
+            require(c.op == "I" || c.op == "U" || c.op == "D",
+              s"applyCdcStream: op must be I|U|D, got '${c.op}' for key ${c.key}")
+            c
+          } ++ state.getOption.iterator
           val best = all.maxBy(c => (c.version, c.op))
           state.update(best)
           if (best.op == "D") Iterator.empty

@@ -331,5 +331,19 @@ class PipelineOpsSpec extends SparkSpec {
       assert(batch == Set((1L, "a", 11L), (3L, "b", 33L), (4L, "c", 40L)))
       assert(batch.forall(latest.contains))
     } finally q.stop()
+    // ops outside I/U/D fail the trigger — the batch twin's raise_error
+    // contract (a lowercase 'u' would lexicographically outrank 'U')
+    val bad = MemoryStream[Streams.CdcChange]
+    val qb = Streams.applyCdcStream(bad.toDS())
+      .writeStream.format("memory").queryName("cdc_stream_bad")
+      .outputMode("update").start()
+    try {
+      bad.addData(Streams.CdcChange(1L, 1L, "u", "a", 1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qb.processAllAvailable()
+      }
+      assert(e.getMessage.contains("op must be I|U|D") ||
+        Option(e.getCause).exists(_.getMessage.contains("op must be I|U|D")))
+    } finally qb.stop()
   }
 }
