@@ -2251,6 +2251,28 @@ object SparkEntry {
         size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
           w => length(w) > 0)),
         budgets)
+    }),
+    "q170_manifest_stream" -> ((s, d) => {
+      // batch-parity gate for the STREAMING manifest: the bounded document
+      // sample replayed through a MemoryStream; Update-mode re-emission
+      // after the single batch IS the manifest of everything seen, and the
+      // oracle is the batch aggregation of the same sample. XOR's order
+      // independence is the property under test.
+      import s.implicits._
+      val rows = t(s, d, "documents").filter(col("doc_id") % 100 < 20)
+        .select(col("doc_id"), col("source"), coalesce(col("text"), lit("")))
+        .as[(Long, String, String)].collect().toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      mem.addData(rows: _*)
+      val qn = s"q170_manifest_${memSeq.incrementAndGet()}"
+      val q = graft.streaming.Streams.streamingManifest(
+          mem.toDF().toDF("doc_id", "source", "text"),
+          "source", "doc_id", "text")
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3402,7 +3424,15 @@ bp AS (SELECT b.doc_id, b.source, b.score, b.n_toks,
   FROM (SELECT *, ${portableHash60Sql("doc_id")} AS h FROM b3) b
   JOIN bnd r ON b.source = r.source AND b.score = r.score)
 SELECT doc_id, source, score, n_toks FROM fullin
-UNION ALL SELECT doc_id, source, score, n_toks FROM bp WHERE cum + n_toks <= remaining""")
+UNION ALL SELECT doc_id, source, score, n_toks FROM bp WHERE cum + n_toks <= remaining""",
+    "q170_manifest_stream" ->
+      s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt
+  FROM documents WHERE doc_id % 100 < 20),
+h AS (SELECT source, length(txt) AS len,
+  ${portableHash60Sql("doc_id || ':' || txt")} AS hv FROM m)
+SELECT source, count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS n_chars,
+  CAST(bit_xor(hv) AS BIGINT) AS checksum
+FROM h GROUP BY source""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop

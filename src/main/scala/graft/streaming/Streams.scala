@@ -188,6 +188,28 @@ object Streams {
         })
   }
 
+  /** Continuous release integrity — `Releases.manifest`'s checksum core
+    * applied to an ingest stream: per-source row count, char mass, and the
+    * 60-bit XOR-of-row-hash checksum, re-emitted every trigger (Update
+    * mode). XOR's order independence is what makes this streamable at all:
+    * the running checksum after any prefix of the feed equals the batch
+    * checksum of the rows seen, so an ingest's manifest can be compared
+    * against the releasing side's the moment the feed drains — no
+    * end-of-day batch recount. (The exact distinct-fingerprint audit stays
+    * batch-side: distinct aggregation is not incremental; swap in
+    * `approx_count_distinct` here if a streaming dedup signal is needed.)
+    * State per source is three scalars — O(groups) forever.
+    */
+  def streamingManifest(rows: DataFrame, groupCol: String, idCol: String,
+                        textCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    rows.withColumn("__h",
+        graft.operators.Sampling.portableHash60(concat_ws(":", col(idCol), txt)))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(length(txt)).as("n_chars"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
+
   /** One CDC change event: op ∈ I/U/D, higher `version` wins, and a D/U tie
     * at the same version resolves U-first — the exact precedence of the
     * batch `Releases.applyCdc` (op desc: 'U' > 'I' > 'D').

@@ -290,6 +290,34 @@ class PipelineOpsSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streamingManifest: running checksum across triggers equals the batch manifest") {
+    import graft.streaming.Streams
+    import graft.operators.Releases
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.streamingManifest(
+        mem.toDF().toDF("doc_id", "source", "text"), "source", "doc_id", "text")
+      .writeStream.format("memory").queryName("manifest_live")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "a", "x"), (2L, "a", "yy"), (3L, "b", "z"))
+      q.processAllAvailable()
+      mem.addData((4L, "a", "www"))
+      q.processAllAvailable()
+      // the latest re-emission per source (highest n_rows) must equal the
+      // batch manifest of everything fed — XOR accumulates order-free
+      val latest = spark.table("manifest_live")
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+      val batch = Releases.manifest(
+          Seq((1L, "a", "x"), (2L, "a", "yy"), (3L, "b", "z"), (4L, "a", "www"))
+            .toDF("doc_id", "source", "text"), "source", "doc_id", "text")
+        .select(col("source"), col("n_rows"), col("n_chars"), col("checksum"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(latest == batch)
+    } finally q.stop()
+  }
+
   test("applyCdcStream: cross-batch merge matches batch applyCdc; D/U tie and deletes") {
     import graft.streaming.Streams
     import graft.operators.Releases
