@@ -2273,6 +2273,21 @@ object SparkEntry {
         .writeStream.format("memory").queryName(qn).outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn)
+    }),
+    "q171_mix_budget_fill" -> ((s, d) => {
+      // the documented two-operator pipeline end to end: the temperature
+      // mix's integer epoch allocation (q119) IS the per-source budget
+      // relation the fill consumes — compute the mix, fill each share
+      // best-first
+      val docs = t(s, d, "documents")
+      val budgets = graft.operators.Sampling.temperatureMixWeights(
+          docs, col("source"), epochSize = 10000L)
+        .select(col("source"), col("alloc").as("budget"))
+      graft.operators.Sampling.selectToTokenBudgetPerGroup(docs, "doc_id",
+        "source", expr("n_chars div 100"),
+        size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+          w => length(w) > 0)),
+        budgets)
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3432,7 +3447,32 @@ h AS (SELECT source, length(txt) AS len,
   ${portableHash60Sql("doc_id || ':' || txt")} AS hv FROM m)
 SELECT source, count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS n_chars,
   CAST(bit_xor(hv) AS BIGINT) AS checksum
-FROM h GROUP BY source""")
+FROM h GROUP BY source""",
+    "q171_mix_budget_fill" ->
+      s"""WITH cnts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+ws AS (SELECT source,
+  CAST(floor(CAST(1000000 AS DOUBLE) * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w_scaled FROM cnts),
+tt AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS tot FROM ws),
+bud AS (SELECT source, (w_scaled * 10000) // tot AS budget FROM ws CROSS JOIN tt),
+bb AS (SELECT doc_id, source, n_chars // 100 AS score,
+  CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_toks
+  FROM documents WHERE n_chars IS NOT NULL),
+b2 AS (SELECT * FROM bb WHERE n_toks > 0),
+b3 AS (SELECT b2.*, bud.budget FROM b2 JOIN bud USING (source)),
+ps AS (SELECT source, score, CAST(sum(n_toks) AS BIGINT) AS st, min(budget) AS budget
+  FROM b3 GROUP BY source, score),
+mk AS (SELECT source, score, st, budget, CAST(coalesce(sum(st) OVER (PARTITION BY source
+    ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bf FROM ps),
+fullin AS (SELECT b.doc_id, b.source, b.score, b.n_toks FROM b3 b
+  JOIN mk ON b.source = mk.source AND b.score = mk.score WHERE mk.bf + mk.st <= mk.budget),
+bnd AS (SELECT source, score, budget - bf AS remaining FROM mk WHERE bf < budget AND bf + st > budget),
+bp AS (SELECT b.doc_id, b.source, b.score, b.n_toks,
+  CAST(coalesce(sum(b.n_toks) OVER (PARTITION BY b.source, b.score ORDER BY b.h, b.doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum, r.remaining
+  FROM (SELECT *, ${portableHash60Sql("doc_id")} AS h FROM b3) b
+  JOIN bnd r ON b.source = r.source AND b.score = r.score)
+SELECT doc_id, source, score, n_toks FROM fullin
+UNION ALL SELECT doc_id, source, score, n_toks FROM bp WHERE cum + n_toks <= remaining""")
 
   /** DuckDB replay of q157's integer PageRank: the iteration constants live
     * HERE ONCE and the unrolled CTE chain is generated, so the Spark loop
