@@ -2252,6 +2252,28 @@ object SparkEntry {
           w => length(w) > 0)),
         budgets)
     }),
+    "q172_training_triples" -> ((s, d) => {
+      // the complete contrastive-training data pipeline: positives mined
+      // from near-dup structure (the q159 signal), hard negatives mined
+      // lexically with those same positives excluded (the q158 contract),
+      // emitted as the (query, positive, negative, rank) triples a
+      // DPR-style trainer consumes
+      val docs = t(s, d, "documents")
+      val idx = graft.operators.Retrieval.sparseTfIdfIndex(docs, "doc_id", "text")
+      val jp = NearDedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") < 600), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      val positives = jp.select(col("id_a").as("query_id"), col("id_b").as("positive_id"))
+        .union(jp.select(col("id_b").as("query_id"), col("id_a").as("positive_id")))
+      val queries = docs.join(
+        positives.select(col("query_id").as("doc_id")).distinct(), Seq("doc_id"))
+      val negs = graft.operators.Retrieval.hardNegatives(idx, queries,
+        "doc_id", "text",
+        positives.select(col("query_id"), col("positive_id").as("doc_id")), k = 3)
+      negs.select(col("query_id"), col("doc_id").as("negative_id"), col("rank"))
+        .join(positives, Seq("query_id"))
+        .select(col("query_id"), col("positive_id"), col("negative_id"), col("rank"))
+    }),
     "q170_manifest_stream" -> ((s, d) => {
       // batch-parity gate for the STREAMING manifest: the bounded document
       // sample replayed through a MemoryStream; Update-mode re-emission
@@ -3440,6 +3462,34 @@ bp AS (SELECT b.doc_id, b.source, b.score, b.n_toks,
   JOIN bnd r ON b.source = r.source AND b.score = r.score)
 SELECT doc_id, source, score, n_toks FROM fullin
 UNION ALL SELECT doc_id, source, score, n_toks FROM bp WHERE cum + n_toks <= remaining""",
+    "q172_training_triples" ->
+      """WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
+sh AS (SELECT doc_id, list_distinct(
+  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3
+       THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+       ELSE list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+         i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')) END) AS s
+  FROM documents WHERE doc_id < 600),
+jp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+pos AS (SELECT id_a AS query_id, id_b AS positive_id FROM jp0
+        UNION SELECT id_b AS query_id, id_a AS positive_id FROM jp0),
+qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf
+  WHERE doc_id IN (SELECT query_id FROM pos)),
+sc AS (SELECT q.query_id, tf.doc_id,
+  CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms
+  FROM qtf q JOIN dft USING (t) JOIN tf USING (t)
+  WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id),
+neg AS (SELECT sc.* FROM sc LEFT JOIN pos p
+  ON p.query_id = sc.query_id AND p.positive_id = sc.doc_id WHERE p.query_id IS NULL),
+rk AS (SELECT query_id, doc_id AS negative_id, CAST(rank AS INTEGER) AS rank FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM neg)
+  WHERE rank <= 3)
+SELECT p.query_id, p.positive_id, r.negative_id, r.rank FROM pos p JOIN rk r USING (query_id)""",
     "q170_manifest_stream" ->
       s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt
   FROM documents WHERE doc_id % 100 < 20),
