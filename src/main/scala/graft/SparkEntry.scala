@@ -2274,6 +2274,15 @@ object SparkEntry {
         .join(positives, Seq("query_id"))
         .select(col("query_id"), col("positive_id"), col("negative_id"), col("rank"))
     }),
+    "q173_contamination_spans" -> ((s, d) => {
+      // contamination ATTRIBUTION: maximal word-index spans of consecutive
+      // benchmark 5-gram hits — the reviewer-facing view behind q80's
+      // drop decision (docs 0-4 are the benchmark, so they self-attribute
+      // as full-length spans and true leaks show as partial ones)
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.contaminationSpans(
+        docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text", n = 5)
+    }),
     "q170_manifest_stream" -> ((s, d) => {
       // batch-parity gate for the STREAMING manifest: the bounded document
       // sample replayed through a MemoryStream; Update-mode re-emission
@@ -3490,6 +3499,18 @@ rk AS (SELECT query_id, doc_id AS negative_id, CAST(rank AS INTEGER) AS rank FRO
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM neg)
   WHERE rank <= 3)
 SELECT p.query_id, p.positive_id, r.negative_id, r.rank FROM pos p JOIN rk r USING (query_id)""",
+    "q173_contamination_spans" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> length(x) > 0) AS w FROM documents),
+bg AS (SELECT DISTINCT array_to_string(w[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS g
+  FROM tk CROSS JOIN UNNEST(range(1, len(w) - 3)) AS r(i) WHERE doc_id < 5 AND len(w) >= 5),
+pg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+  array_to_string(w[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS g
+  FROM tk CROSS JOIN UNNEST(range(1, len(w) - 3)) AS r(i) WHERE len(w) >= 5),
+hits AS (SELECT doc_id, pos FROM pg JOIN bg USING (g)),
+isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+  CAST(max(pos) + 4 AS BIGINT) AS end_word, count(*) AS n_grams
+FROM isl GROUP BY doc_id, grp""",
     "q170_manifest_stream" ->
       s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt
   FROM documents WHERE doc_id % 100 < 20),

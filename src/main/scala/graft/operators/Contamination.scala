@@ -118,6 +118,53 @@ object Contamination {
       Seq(idCol), "left_anti")
   }
 
+  /** Contamination ATTRIBUTION — not just which documents overlap the
+    * benchmark but WHERE: maximal word-index spans of consecutive
+    * benchmark n-gram hits per document (doc_id, start_word, end_word,
+    * n_grams). The audit surface behind a decontamination decision — a
+    * reviewer sees the leaked passage, distinguishes a quoted benchmark
+    * question from an incidental idiom, and tunes n accordingly; it is
+    * also what span-level excision (SpanDedup.removeDupSpans' policy)
+    * consumes when dropping whole documents is too blunt.
+    *
+    * Only full n-gram positions participate: documents (and benchmark
+    * rows) shorter than n words produce no grams here — use
+    * [[contaminatedIds]]'s whole-text fallback for the sub-n edge.
+    *
+    * Scale shape: benchmark grams broadcast (eval-set sized); the corpus
+    * explodes to positional grams once, the hit set is candidate-sized,
+    * and the islands merge (pos − row_number) is one window partitioned
+    * by doc — per-group memory bounded by a doc's hit count.
+    */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 8): DataFrame = {
+    require(n >= 1, s"contaminationSpans needs n >= 1, got $n")
+    def posGrams(df: DataFrame, id: Column, text: Column): DataFrame =
+      df.select(id.as("__id"),
+          filter(split(trim(coalesce(text, lit(""))), "\\s+"),
+            w => length(w) > 0).as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("__id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), " +
+            s"i -> struct(CAST(i - 1 AS BIGINT) AS pos, " +
+            s"array_join(slice(w, CAST(i AS INT), $n), ' ') AS g))")).as("p"))
+        .select(col("__id"), col("p.pos"), col("p.g"))
+    val benchGrams = posGrams(benchmark, lit(0L), col(benchTextCol))
+      .select(col("g")).distinct()
+    val hits = posGrams(docs, col(idCol), col(textCol))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(wOrd))
+      .groupBy(col("__id"), col("grp"))
+      .agg(min(col("pos")).as("start_word"),
+        (max(col("pos")) + lit(n - 1).cast("long")).as("end_word"),
+        count(lit(1)).as("n_grams"))
+      .select(col("__id").as(idCol), col("start_word"), col("end_word"),
+        col("n_grams"))
+  }
+
   /** SEMANTIC decontamination — the embedding-level companion of the
     * n-gram/Bloom surface above: flag every corpus vector whose cosine to
     * ANY benchmark vector reaches `minCosine`. Lexical overlap checks miss

@@ -451,6 +451,25 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("silently clobbered"))
   }
 
+  test("contaminationSpans: exact span boundaries, adjacent hits merge, disjoint leaks split") {
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "x y alpha beta gamma delta z"),        // one leak mid-text
+      (11L, "nothing here at all five words"),      // clean
+      (12L, "alpha beta"),                          // shorter than n: out of scope
+      (13L, "alpha beta gamma q q q delta epsilon zeta") // two disjoint leaks
+    ).toDF("doc_id", "text")
+    val got = Contamination.contaminationSpans(docs, "doc_id", "text", bench, "text", n = 3)
+      .orderBy($"doc_id", $"start_word")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 10: gram hits at word positions 2 and 3 merge into words 2..5 —
+    // exactly the leaked "alpha beta gamma delta"
+    assert(got == Seq(
+      (10L, 2L, 5L, 2L),
+      (13L, 0L, 2L, 1L),
+      (13L, 6L, 8L, 1L)))
+  }
+
   test("semantic decontamination: paraphrase proximity flags, orthogonal noise survives") {
     val bench = Seq((0L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
     val corpus = Seq(
