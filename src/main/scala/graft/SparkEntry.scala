@@ -3358,7 +3358,7 @@ FROM labels JOIN sz USING (comp) WHERE id <> comp"""),
       """WITH sw AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> length(x) > 0) AS w FROM documents),
 trw AS (SELECT w FROM sw WHERE doc_id % 2 = 0),
 c1 AS (SELECT t, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM trw) GROUP BY t),
-tot AS (SELECT count(*) AS n FROM (SELECT unnest(w) AS t FROM trw)),
+tot AS (SELECT greatest(count(*), 1) AS n FROM (SELECT unnest(w) AS t FROM trw)),
 trbg AS (SELECT p[1] AS w1, p[2] AS w2 FROM (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM trw WHERE len(w) >= 2)),
 c2 AS (SELECT w1, w2, count(*) AS c2 FROM trbg GROUP BY w1, w2),
 sbg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM sw WHERE len(w) >= 2)),
@@ -3382,7 +3382,7 @@ FROM h"""),
       s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt FROM documents),
 h AS (SELECT source, length(txt) AS len,
   lower(trim(regexp_replace(txt, '\\s+', ' ', 'g'))) AS canon,
-  ${portableHash60Sql("doc_id || ':' || txt")} AS hv FROM m)
+  ${portableHash60Sql("coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) || txt")} AS hv FROM m)
 SELECT source, count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS n_chars,
   count(DISTINCT canon) AS n_distinct, CAST(bit_xor(hv) AS BIGINT) AS checksum
 FROM h GROUP BY source""",
@@ -3507,7 +3507,9 @@ pg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
   array_to_string(w[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS g
   FROM tk CROSS JOIN UNNEST(range(1, len(w) - 3)) AS r(i) WHERE len(w) >= 5),
 hits AS (SELECT doc_id, pos FROM pg JOIN bg USING (g)),
-isl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hits)
+nw AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 5
+  THEN 0 ELSE 1 END AS flag FROM hits),
+isl AS (SELECT doc_id, pos, SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM nw)
 SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
   CAST(max(pos) + 4 AS BIGINT) AS end_word, count(*) AS n_grams
 FROM isl GROUP BY doc_id, grp""",
@@ -3515,7 +3517,7 @@ FROM isl GROUP BY doc_id, grp""",
       s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt
   FROM documents WHERE doc_id % 100 < 20),
 h AS (SELECT source, length(txt) AS len,
-  ${portableHash60Sql("doc_id || ':' || txt")} AS hv FROM m)
+  ${portableHash60Sql("coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) || txt")} AS hv FROM m)
 SELECT source, count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS n_chars,
   CAST(bit_xor(hv) AS BIGINT) AS checksum
 FROM h GROUP BY source""",

@@ -119,9 +119,12 @@ object Contamination {
   }
 
   /** Contamination ATTRIBUTION — not just which documents overlap the
-    * benchmark but WHERE: maximal word-index spans of consecutive
+    * benchmark but WHERE: maximal word-index spans of overlapping
     * benchmark n-gram hits per document (doc_id, start_word, end_word,
-    * n_grams). The audit surface behind a decontamination decision — a
+    * n_grams). Hits whose word ranges share any word (position gap < n)
+    * merge into one span, so emitted spans are disjoint and a consumer may
+    * sum or excise them row-by-row without double-counting.
+    * The audit surface behind a decontamination decision — a
     * reviewer sees the leaked passage, distinguishes a quoted benchmark
     * question from an incidental idiom, and tunes n accordingly; it is
     * also what span-level excision (SpanDedup.removeDupSpans' policy)
@@ -133,8 +136,9 @@ object Contamination {
     *
     * Scale shape: benchmark grams broadcast (eval-set sized); the corpus
     * explodes to positional grams once, the hit set is candidate-sized,
-    * and the islands merge (pos − row_number) is one window partitioned
-    * by doc — per-group memory bounded by a doc's hit count.
+    * and the islands merge (lag + running sum of new-island flags) is two
+    * passes over one window partition keyed by doc — per-group memory
+    * bounded by a doc's hit count.
     */
   def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
@@ -156,7 +160,15 @@ object Contamination {
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("pos"))
-    hits.withColumn("grp", col("pos") - row_number().over(wOrd))
+    // Two hits belong to one island when their WORD RANGES overlap, i.e.
+    // the position gap is < n — not only when positions are consecutive.
+    // Otherwise hits at p and p+2 (n > 2) emit two rows sharing words, and
+    // a consumer that sums or excises per-row double-counts the overlap.
+    hits.withColumn("grp",
+        sum(when(col("pos") - lag(col("pos"), 1).over(wOrd) < n, lit(0))
+          .otherwise(lit(1)))
+          .over(wOrd.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)))
       .groupBy(col("__id"), col("grp"))
       .agg(min(col("pos")).as("start_word"),
         (max(col("pos")) + lit(n - 1).cast("long")).as("end_word"),

@@ -39,6 +39,15 @@ object Releases {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    // __old_fp/__new_fp/status are this operator's working columns — a
+    // snapshot already carrying one would either fail ambiguously or be
+    // silently shadowed in the output, so reject it loudly (the applyCdc
+    // reserved-name contract).
+    Seq("__old_fp", "__new_fp", "status").foreach { r =>
+      require(!oldDf.columns.contains(r) && !newDf.columns.contains(r),
+        s"snapshotDiff: input must not carry the reserved column '$r' — " +
+          "rename it first")
+    }
     val o = oldDf.select(keyCols.map(col) :+
       rowFingerprint(oldDf, compareCols).as("__old_fp"): _*)
     val n = newDf.select(keyCols.map(col) :+
@@ -115,8 +124,13 @@ object Releases {
   def manifest(df: DataFrame, groupCol: String, idCol: String,
                textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
+    // U+0001 join + U+0002 null sentinel — the rowFingerprint framing — so
+    // a ':' inside a string id cannot alias (id="a:b",text="c" vs
+    // id="a",text="b:c") and a null id hashes as the sentinel instead of
+    // being silently dropped by concat_ws.
     df.withColumn("__h",
-        Sampling.portableHash60(concat_ws(":", col(idCol), txt)))
+        Sampling.portableHash60(concat_ws("\u0001",
+          coalesce(col(idCol).cast(StringType), lit("\u0002")), txt)))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(txt)).as("n_chars"),

@@ -203,8 +203,11 @@ object Streams {
   def streamingManifest(rows: DataFrame, groupCol: String, idCol: String,
                         textCol: String): DataFrame = {
     val txt = coalesce(col(textCol), lit(""))
+    // U+0001 join + U+0002 null sentinel, matching Releases.manifest — see
+    // the aliasing note there (':' in a string id, null ids).
     rows.withColumn("__h",
-        graft.operators.Sampling.portableHash60(concat_ws(":", col(idCol), txt)))
+        graft.operators.Sampling.portableHash60(concat_ws("\u0001",
+          coalesce(col(idCol).cast("string"), lit("\u0002")), txt)))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), sum(length(txt)).as("n_chars"),
         expr("bit_xor(__h)").as("checksum"))

@@ -470,6 +470,27 @@ class CurationSpec extends SparkSpec {
       (13L, 6L, 8L, 1L)))
   }
 
+  test("contaminationSpans: hits with overlapping word ranges merge into one span") {
+    // bench grams (n=3): "alpha beta gamma" and "gamma delta epsilon";
+    // doc 20 hits at positions 0 and 2 — NOT consecutive, but their word
+    // ranges [0,2] and [2,4] share word 2, so one disjoint span must come
+    // out (two rows would double-count word 2 for an excising consumer)
+    val bench = Seq((0L, "alpha beta gamma"), (1L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (20L, "alpha beta gamma delta epsilon"),
+      // gap == n: ranges [0,2] and [3,5] touch but share no word -> split
+      (21L, "alpha beta gamma gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val got = Contamination.contaminationSpans(docs, "doc_id", "text", bench, "text", n = 3)
+      .orderBy($"doc_id", $"start_word")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (20L, 0L, 4L, 2L),
+      (21L, 0L, 2L, 1L),
+      (21L, 3L, 5L, 1L)))
+  }
+
   test("semantic decontamination: paraphrase proximity flags, orthogonal noise survives") {
     val bench = Seq((0L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
     val corpus = Seq(

@@ -170,4 +170,36 @@ class ReleaseOpsSpec extends SparkSpec {
       when(col("doc_id") === 3, lit("differenT")).otherwise(col("text"))))
     assert(tweaked.head._5 != base.head._5 && tweaked(1)._5 == base(1)._5)
   }
+
+  test("manifest checksum: separator-safe string ids and null ids hash distinctly") {
+    import spark.implicits._
+    def sum(rows: Seq[(Option[String], String)]) =
+      Releases.manifest(
+          rows.map { case (id, t) => (id, "s", t) }.toDF("doc_id", "source", "text"),
+          "source", "doc_id", "text")
+        .select(col("checksum")).as[Long].head()
+    // id="a:b",text="c" must not alias id="a",text="b:c" (a ':'-joined
+    // checksum input would make these identical corpora)
+    assert(sum(Seq((Some("a:b"), "c"))) != sum(Seq((Some("a"), "b:c"))))
+    // a null id contributes the sentinel, not a silently-dropped field:
+    // (null,"x") and ("x","") must differ, and two corpora differing only
+    // in a null-id row's text must differ
+    assert(sum(Seq((None, "x"))) != sum(Seq((Some("x"), ""))))
+    assert(sum(Seq((None, "x"))) != sum(Seq((None, "y"))))
+  }
+
+  test("snapshotDiff rejects inputs carrying its reserved working columns") {
+    val clean = Seq((1L, "a")).toDF("id", "s")
+    for (bad <- Seq("__old_fp", "__new_fp", "status")) {
+      val tainted = clean.withColumn(bad, lit("x"))
+      val e = intercept[IllegalArgumentException] {
+        Releases.snapshotDiff(tainted, clean, Seq("id"), Seq("s"))
+      }
+      assert(e.getMessage.contains(bad))
+      val e2 = intercept[IllegalArgumentException] {
+        Releases.snapshotDiff(clean, tainted, Seq("id"), Seq("s"))
+      }
+      assert(e2.getMessage.contains(bad))
+    }
+  }
 }
