@@ -107,6 +107,33 @@ object SparkEntry {
 
   // -- deterministic media fixtures for q73 (values chosen so the real
   //    parsers produce exact binary fractions: hist bin 0.5, RMS 0.5) --
+  /** 18×16 24-bit gradient BMP for the dHash queries: gray value = x·14
+    * (18 columns → 9 exact 2-px dHash cells, 16 rows → 8 exact 2-px rows),
+    * so cell means are strictly increasing in c and every dHash bit
+    * derives from the spec, not from running the code: base/brightness-
+    * shifted → all 64 bits set (-1), inverted → 0, `dip` zeroes pixels
+    * (x ∈ {8,9}, y ∈ {0,1}) = exactly grid cell (0,4), flipping only bit
+    * r=0,c=3 → -1 ^ 8 = -9.
+    */
+  private def fixtureGradientBmp(shift: Int = 0, invert: Boolean = false,
+                                 dip: Boolean = false): Array[Byte] = {
+    val w = 18; val h = 16
+    val stride = ((w * 3 + 3) / 4) * 4 // 54: no row padding at w=18
+    val out = new Array[Byte](54 + stride * h)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    out(0) = 'B'; out(1) = 'M'; le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h); le16(26, 1); le16(28, 24); le32(34, stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = if (invert) (17 - x) * 14 else x * 14
+      val v = if (dip && y < 2 && (x == 8 || x == 9)) 0
+              else math.min(255, math.max(0, base + shift))
+      val o = 54 + (h - 1 - y) * stride + x * 3
+      out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+    }
+    out
+  }
   private def fixtureBmp(): Array[Byte] = {
     val w = 8; val h = 8
     val stride = ((w * 3 + 3) / 4) * 4
@@ -2283,6 +2310,67 @@ object SparkEntry {
       graft.operators.Contamination.contaminationSpans(
         docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text", n = 5)
     }),
+    "q174_contamination_excise" -> ((s, d) => {
+      // span EXCISION: cut exactly the word ranges q173 attributes and keep
+      // the rest — the surgical alternative to q80's whole-document drop.
+      // Benchmark docs (0-4) self-attribute fully and come out empty; clean
+      // docs pass through rejoined with 0 removed. Disjoint spans (the
+      // round-9 merge fix) are what make the removed-word count exact.
+      val docs = t(s, d, "documents")
+      graft.operators.Contamination.exciseContaminatedSpans(
+        docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text", n = 5)
+    }),
+    "q175_winnow_fingerprints" -> ((s, d) =>
+      // winnowing (Schleimer et al. 2003, the MOSS fingerprinter): rightmost
+      // minimal 32-bit gram hash per 4-window over character 8-grams of the
+      // whitespace-stripped text — every selected (pos, fp) replays
+      // bit-exactly from the portable md5 fold, so the full local-
+      // fingerprinting pipeline is oracle-checked, not just counted
+      NearDedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+        k = 16, w = 8)),
+    "q176_winnow_pairs" -> ((s, d) =>
+      // substring-level near-dup candidates: pairs sharing >= 2 winnowing
+      // fingerprints. Deterministic recall floor: any shared verbatim
+      // canonical substring of length >= k + w - 1 = 23 chars shares a
+      // fingerprint — the quote/plagiarism signal MinHash's whole-document
+      // similarity dilutes away
+      NearDedup.winnowPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 16, w = 8, minShared = 2)),
+    "q177_image_dhash" -> ((s, d) => {
+      // perceptual image hashing over REAL decoded pixels: 64-bit dHash of
+      // by-construction gradient BMPs — base and brightness-shifted
+      // gradients hash to all-ones (-1: every cell brighter to the right),
+      // the inverted gradient to 0, and a single-cell dip flips exactly
+      // bit 3 (-9). Every expected value derives from the dHash spec.
+      val dir = tmpDir() + "/media_q177"
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.bmp"), fixtureGradientBmp())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.bmp"), fixtureGradientBmp(shift = 17))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.bmp"), fixtureGradientBmp(invert = true))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.bmp"), fixtureGradientBmp(dip = true))
+      graft.operators.Multimodal.imageDHashes(
+          graft.operators.Multimodal.readMedia(s, s"$dir/*"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("width"), col("height"), col("dhash"))
+    }),
+    "q178_image_neardup" -> ((s, d) => {
+      // image near-dup pairs within a Hamming-8 ball of dHash signatures:
+      // the brightness-shifted copy sits at distance 0 from its base, the
+      // one-cell dip at distance 1 from both, the inverted gradient (64
+      // bits away) pairs with nothing. Candidates come from the pigeonhole
+      // chunk scheme (hammingPairs64), never a cartesian.
+      val dir = tmpDir() + "/media_q178"
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.bmp"), fixtureGradientBmp())
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.bmp"), fixtureGradientBmp(shift = 17))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.bmp"), fixtureGradientBmp(invert = true))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.bmp"), fixtureGradientBmp(dip = true))
+      val hashes = graft.operators.Multimodal.imageDHashes(
+          graft.operators.Multimodal.readMedia(s, s"$dir/*"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("dhash"))
+      graft.operators.Multimodal.imageNearDupPairs(hashes, "file", "dhash", maxHamming = 8)
+        .select(col("id_a").as("file_a"), col("id_b").as("file_b"), col("hamming"))
+    }),
     "q170_manifest_stream" -> ((s, d) => {
       // batch-parity gate for the STREAMING manifest: the bounded document
       // sample replayed through a MemoryStream; Update-mode re-emission
@@ -3513,6 +3601,72 @@ isl AS (SELECT doc_id, pos, SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos ROW
 SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
   CAST(max(pos) + 4 AS BIGINT) AS end_word, count(*) AS n_grams
 FROM isl GROUP BY doc_id, grp""",
+    "q174_contamination_excise" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'), x -> length(x) > 0) AS w FROM documents),
+bg AS (SELECT DISTINCT array_to_string(w[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS g
+  FROM tk CROSS JOIN UNNEST(range(1, len(w) - 3)) AS r(i) WHERE doc_id < 5 AND len(w) >= 5),
+pg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+  array_to_string(w[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)], ' ') AS g
+  FROM tk CROSS JOIN UNNEST(range(1, len(w) - 3)) AS r(i) WHERE len(w) >= 5),
+hits AS (SELECT doc_id, pos FROM pg JOIN bg USING (g)),
+nw AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 5
+  THEN 0 ELSE 1 END AS flag FROM hits),
+isl AS (SELECT doc_id, pos, SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM nw),
+spans AS (SELECT doc_id, grp, min(pos) AS s, max(pos) + 4 AS e FROM isl GROUP BY doc_id, grp),
+wp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[CAST(i AS INTEGER)] AS word
+  FROM tk CROSS JOIN UNNEST(range(1, len(w) + 1)) AS r(i)),
+cov AS (SELECT DISTINCT wp.doc_id, wp.p FROM wp JOIN spans s
+  ON wp.doc_id = s.doc_id AND wp.p BETWEEN s.s AND s.e),
+kept AS (SELECT wp.doc_id, wp.p, wp.word FROM wp LEFT JOIN cov
+  ON wp.doc_id = cov.doc_id AND wp.p = cov.p WHERE cov.p IS NULL),
+agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS txt, count(*) AS nk FROM kept GROUP BY doc_id)
+SELECT tk.doc_id, coalesce(agg.txt, '') AS clean_text,
+  CAST(len(tk.w) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed_words
+FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""",
+    "q175_winnow_fingerprints" ->
+      s"""WITH c AS (SELECT doc_id, lower(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS c FROM documents),
+c2 AS (SELECT doc_id, c, CAST(length(c) - 15 AS BIGINT) AS ng FROM c WHERE length(c) >= 23),
+g AS (SELECT doc_id, ng, CAST(i - 1 AS BIGINT) AS pos, substr(c, CAST(i AS INTEGER), 16) AS g
+  FROM c2 CROSS JOIN UNNEST(range(1, ng + 1)) AS r(i)),
+hh AS (SELECT doc_id, ng, pos,
+  (${portableHash60Sql("g")} % CAST(4294967296 AS BIGINT)) * CAST(2147483648 AS BIGINT)
+    + (CAST(2147483647 AS BIGINT) - pos) AS code FROM g),
+wnd AS (SELECT doc_id, ng, pos, min(code) OVER (PARTITION BY doc_id ORDER BY pos
+  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m FROM hh)
+SELECT DISTINCT doc_id, CAST(2147483647 - (m % CAST(2147483648 AS BIGINT)) AS BIGINT) AS pos,
+  CAST(m // CAST(2147483648 AS BIGINT) AS BIGINT) AS fp
+FROM wnd WHERE pos <= ng - 8""",
+    "q176_winnow_pairs" ->
+      s"""WITH c AS (SELECT doc_id, lower(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS c FROM documents),
+c2 AS (SELECT doc_id, c, CAST(length(c) - 15 AS BIGINT) AS ng FROM c WHERE length(c) >= 23),
+g AS (SELECT doc_id, ng, CAST(i - 1 AS BIGINT) AS pos, substr(c, CAST(i AS INTEGER), 16) AS g
+  FROM c2 CROSS JOIN UNNEST(range(1, ng + 1)) AS r(i)),
+hh AS (SELECT doc_id, ng, pos,
+  (${portableHash60Sql("g")} % CAST(4294967296 AS BIGINT)) * CAST(2147483648 AS BIGINT)
+    + (CAST(2147483647 AS BIGINT) - pos) AS code FROM g),
+wnd AS (SELECT doc_id, ng, pos, min(code) OVER (PARTITION BY doc_id ORDER BY pos
+  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m FROM hh),
+sel AS (SELECT DISTINCT doc_id, CAST(m // CAST(2147483648 AS BIGINT) AS BIGINT) AS fp
+  FROM wnd WHERE pos <= ng - 8),
+dfc AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM sel GROUP BY fp) WHERE df <= 1000),
+kept AS (SELECT sel.doc_id, sel.fp FROM sel JOIN dfc USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2""",
+    "q177_image_dhash" ->
+      // spec-derived expectations (see fixtureGradientBmp): strict left-to-
+      // right gradient => every dHash bit set (-1), brightness shift is
+      // invariant, inversion clears all bits, the one-cell dip clears bit 3
+      """SELECT * FROM (VALUES
+  ('a.bmp', 18, 16, CAST(-1 AS BIGINT)),
+  ('b.bmp', 18, 16, CAST(-1 AS BIGINT)),
+  ('c.bmp', 18, 16, CAST(0 AS BIGINT)),
+  ('f.bmp', 18, 16, CAST(-9 AS BIGINT))) AS t(file, width, height, dhash)""",
+    "q178_image_neardup" ->
+      """SELECT * FROM (VALUES
+  ('a.bmp', 'b.bmp', 0),
+  ('a.bmp', 'f.bmp', 1),
+  ('b.bmp', 'f.bmp', 1)) AS t(file_a, file_b, hamming)""",
     "q170_manifest_stream" ->
       s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt
   FROM documents WHERE doc_id % 100 < 20),

@@ -177,6 +177,47 @@ object Contamination {
         col("n_grams"))
   }
 
+  /** Span EXCISION — the surgical alternative to dropping contaminated
+    * documents: cut exactly the leaked word ranges [[contaminationSpans]]
+    * attributes and keep the rest of the text. Dropping whole documents
+    * (the [[decontaminate]] policy) wastes every clean word around a
+    * quoted benchmark question; excision is what C4-style pipelines apply
+    * when the contamination is a passage, not the document. Returns one
+    * row per input document: (id, clean_text, n_removed_words) — clean
+    * documents pass through with their words rejoined and 0 removed.
+    *
+    * Correctness leans on the spans contract: spans are DISJOINT (overlap
+    * merged upstream), so removed-word accounting is a plain sum and no
+    * word is cut twice.
+    *
+    * Scale shape: one spans pass (benchmark grams broadcast, see
+    * [[contaminationSpans]]), spans fold to a per-doc array bounded by the
+    * doc's island count, and the excision itself is a doc-keyed LEFT join
+    * plus a per-row lambda over the word array — no extra corpus shuffle
+    * beyond the spans aggregation's.
+    */
+  def exciseContaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                              benchmark: DataFrame, benchTextCol: String,
+                              n: Int = 8): DataFrame = {
+    val spans = contaminationSpans(docs, idCol, textCol, benchmark, benchTextCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_word").as("s"), col("end_word").as("e")))
+        .as("__spans"))
+    docs
+      .select(col(idCol),
+        filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+          w => length(w) > 0).as("__w"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__sp",
+        coalesce(col("__spans"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("__kept", filter(col("__w"), (w, i) =>
+        !exists(col("__sp"), s =>
+          i.cast("long") >= s.getField("s") && i.cast("long") <= s.getField("e"))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_removed_words"))
+  }
+
   /** SEMANTIC decontamination — the embedding-level companion of the
     * n-gram/Bloom surface above: flag every corpus vector whose cosine to
     * ANY benchmark vector reaches `minCosine`. Lexical overlap checks miss

@@ -143,6 +143,79 @@ object MediaCodecs {
       bins
     }
 
+  /** Top-down RGB plane of a 24-bit BMP (BGR bottom-up on disk) — the same
+    * (w, h, rgb) contract as `pngDecode`/`jpegDecode`/`gifDecode`.
+    */
+  def bmpDecode(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    bmp24(b).map { m =>
+      val rgb = new Array[Byte](m.w * m.h * 3)
+      var y = 0
+      while (y < m.h) {
+        var x = 0
+        while (x < m.w) {
+          val o = pixelOffset(m, x, y)
+          val t = (y * m.w + x) * 3
+          rgb(t) = b(o + 2); rgb(t + 1) = b(o + 1); rgb(t + 2) = b(o)
+          x += 1
+        }
+        y += 1
+      }
+      (m.w, m.h, rgb)
+    }
+
+  /** Unified real-pixel decode across every lossless-capable format the
+    * repo parses (BMP, PNG, baseline/progressive JPEG, GIF): top-down RGB
+    * plane or None when the bytes are none of them.
+    */
+  def imageRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    bmpDecode(b).orElse(pngDecode(b)).orElse(jpegDecode(b)).orElse(gifDecode(b))
+
+  /** 64-bit difference hash (dHash) of an RGB plane: integer luminance
+    * (the 299/587/114 kernel shared with the histograms), box-mean
+    * downsample to a 9×8 grid, one bit per horizontally adjacent cell pair
+    * — bit (r·8+c) set iff cell (r, c+1) is strictly brighter than
+    * (r, c). Gradient-direction signatures survive brightness shifts,
+    * scaling, and recompression — the standard perceptual near-dup key
+    * (Krawetz's dHash). Comparisons cross-multiply exact integer sums, so
+    * the hash is bit-reproducible from the pixel spec with no float
+    * rounding. Images narrower than 9 or shorter than 8 have no 9×8 grid
+    * and return None. All-flat and monotone-per-row images collapse to
+    * hash 0 — a real collision class callers should expect.
+    */
+  def dHash64(w: Int, h: Int, rgb: Array[Byte]): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    // lumSum(r)(c) = Σ luminance over the cell box; area(r)(c) its pixel count
+    val sums = Array.ofDim[Long](8, 9)
+    val areas = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val r = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val c = math.min(x * 9 / w, 8)
+        val o = (y * w + x) * 3
+        val lum = ((rgb(o) & 0xFF) * 299 + (rgb(o + 1) & 0xFF) * 587 + (rgb(o + 2) & 0xFF) * 114) / 1000
+        sums(r)(c) += lum
+        areas(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        // mean(c+1) > mean(c) without division: cross-multiplied sums
+        if (sums(r)(c + 1) * areas(r)(c) > sums(r)(c) * areas(r)(c + 1))
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(bits)
+  }
+
   /** Nearest-neighbor resize of a 24-bit BMP to (newW, newH), emitted as a
     * new bottom-up BMP. A real image transform, no libraries.
     */

@@ -170,6 +170,49 @@ object Multimodal {
       }
   }
 
+  /** Perceptual hashes for image near-dup: decode real pixels (BMP / PNG /
+    * baseline+progressive JPEG / GIF via [[MediaCodecs.imageRgb]]) and emit
+    * (path, width, height, dhash) — the 64-bit difference hash
+    * ([[MediaCodecs.dHash64]]). Rows that do not decode, or are smaller
+    * than the 9×8 grid, are dropped (they have no perceptual signature —
+    * exact-byte dedup still covers them). Batched like `decode`; the raw
+    * bytes never leave the decode task, only 8-byte hashes shuffle.
+    */
+  def imageDHashes(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("dhash", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media.select("path", "content")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            for {
+              (w, h, rgb) <- MediaCodecs.imageRgb(r.getAs[Array[Byte]](1))
+              hash <- MediaCodecs.dHash64(w, h, rgb)
+            } yield Row(r.getString(0), w, h, hash)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup candidate pairs from dHash signatures: pairs of images
+    * within `maxHamming` gradient-sign flips of each other — recompressed,
+    * brightness-shifted, and rescaled copies land at distance ≈ 0. The
+    * candidate stage is [[NearDedup.hammingPairs64]]'s pigeonhole chunk
+    * scheme, so the pair space never goes quadratic even when a corpus is
+    * full of near-identical thumbnails; the all-flat hash-0 collision
+    * class is exactly the kind of degenerate bucket its cap bounds.
+    */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String = "path",
+                        hashCol: String = "dhash", maxHamming: Int = 8,
+                        maxBucketSize: Int = NearDedup.DefaultMaxBucketSize): DataFrame =
+    NearDedup.hammingPairs64(
+      hashes.select(col(idCol).as("id"), col(hashCol).as("sig")),
+      maxHamming, maxBucketSize)
+
   /** Frame sampling plan for video rows: every `stride`-th frame index up to
     * `maxFrames` — pure expression, no decode needed to PLAN the sample.
     */

@@ -278,17 +278,41 @@ object NearDedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")),
+      maxHamming, maxBucketSize)
+
+  /** Hamming-ball candidate pairs over ANY 64-bit signature relation
+    * (`id`, `sig`): the chunk trick generalized — the signature splits into
+    * `maxHamming + 1` (min 2, max 16) bit ranges, so by pigeonhole any
+    * pair within the distance budget agrees EXACTLY on at least one chunk;
+    * bucket on (chunk-index, chunk-value), verify bit_count(xor) on the
+    * survivors. With the default maxHamming = 3 this is precisely the
+    * 4×16-bit quarter scheme of Charikar/Manku SimHash dedup; image dHash
+    * callers pass a wider budget and get more, narrower chunks. Shuffle
+    * key cardinality stays linear in ids (chunks × n rows); candidates are
+    * id-only; oversized degenerate buckets (e.g. the all-flat hash-0
+    * image class) are capped and observable via `bucketedCandidates`.
+    */
+  def hammingPairs64(signatures: DataFrame, maxHamming: Int = 3,
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"hammingPairs64 supports maxHamming in [0, 15] (chunks cap at 16), got $maxHamming")
+    val chunks = math.max(maxHamming + 1, 2)
+    val bounds = (0 to chunks).map(i => i * 64 / chunks)
     // The signature relation is 16 bytes/row and is read three times
     // (chunking + both sides of the candidate rejoin): materialize it once
-    // instead of re-scanning the corpus and re-running the text kernel per
-    // use. (Contrast minhash, where the rejoin payload is the full shingle
-    // ARRAY — there re-scanning beats caching; 8-byte sigs are the opposite
-    // trade.) localCheckpoint storage is ContextCleaner-reclaimed.
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-      .localCheckpoint()
-    val chunked = sigs.withColumn("q", explode(array(Seq.tabulate(4) { q =>
-      struct(lit(q).as("qi"), shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qv"))
+    // instead of re-scanning the corpus and re-running the upstream kernel
+    // per use. (Contrast minhash, where the rejoin payload is the full
+    // shingle ARRAY — there re-scanning beats caching; 8-byte sigs are the
+    // opposite trade.) localCheckpoint storage is ContextCleaner-reclaimed.
+    val sigs = signatures.select(col("id"), col("sig")).localCheckpoint()
+    val chunked = sigs.withColumn("q", explode(array(Seq.tabulate(chunks) { q =>
+      val width = bounds(q + 1) - bounds(q)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(q).as("qi"),
+        shiftright(col("sig"), bounds(q)).bitwiseAND(mask).as("qv"))
     }: _*))).select("q", "id")
     val cand = bucketedCandidates(chunked, "q", maxBucketSize)
     val sA = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
@@ -399,6 +423,114 @@ object NearDedup {
       .filter(col("containment") >= threshold)
       .select(col("contained_id"), col("container_id"),
         round(col("containment"), 4).as("containment"))
+  }
+
+  // -----------------------------------------------------------------------
+  // Winnowing — Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms
+  // for Document Fingerprinting" (SIGMOD 2003), the MOSS algorithm. A
+  // LOCAL fingerprinting scheme: from the rolling hashes of all character
+  // k-grams, every window of w consecutive hashes contributes its minimum
+  // (rightmost on ties — "robust winnowing"), which GUARANTEES any shared
+  // substring of length ≥ k + w − 1 yields at least one shared fingerprint.
+  // MinHash/SimHash give whole-document similarity with probabilistic
+  // recall; winnowing gives deterministic substring-level recall at ~2/(w+1)
+  // sampling density — the right tool for quote/plagiarism-style overlap.
+  // -----------------------------------------------------------------------
+
+  /** Fingerprint-position bound for the (hash, position) packing below:
+    * positions must stay under 2^31 (≈2.1 G chars per document). */
+  private val WinnowPosCap: Long = 1L << 31
+
+  /** Selected winnowing fingerprints per document: (id, pos, fp) where
+    * `pos` is the 0-based character-gram position and `fp` the 32-bit gram
+    * hash (MOSS uses 32-bit hashes; collisions only merge fingerprints).
+    * Text is canonicalized MOSS-style first (lowercase, ALL whitespace
+    * removed) so formatting never moves a fingerprint. Documents shorter
+    * than k + w − 1 canonical chars have no full window and emit nothing.
+    *
+    * The per-window argmin is ONE bigint `min` over a sliding row frame:
+    * each gram packs to `h·2^31 + (2^31−1−pos)` (≤ 2^63−1, no overflow),
+    * so the frame minimum IS the (h asc, pos desc) lexicographic choice —
+    * rightmost minimal hash, the robust-winnowing rule — and the same
+    * packing replays bit-exactly in any ANSI engine. Scale shape: one
+    * narrow gram explode (rows ∝ corpus chars), one window partitioned by
+    * doc ordered by pos, then distinct — no join, no quadratic stage.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints needs k >= 1, w >= 1 (got k=$k, w=$w)")
+    // Gram count is a pure function of canonical length — computed BEFORE
+    // the explode, so no per-doc count window runs after it.
+    // Repartition by id BEFORE the gram explode: the exchange moves docs
+    // (narrow rows), not the ~chars× bigger gram relation, it spreads the
+    // explode+hash work even when the source is a single file, and it
+    // pre-satisfies the selection window's hash-partition requirement so
+    // the exploded grams never shuffle. Explicit partition count pins the
+    // layout against AQE coalescing the small doc shuffle back to one task.
+    val canon = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        lower(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", "")).as("__c"))
+      .filter(length(col("__c")) >= k + w - 1)
+      .withColumn("__ng", (length(col("__c")) - (k - 1)).cast(LongType))
+    val grams = canon.select(col(idCol), col("__ng"), expr(
+        s"explode(transform(sequence(1, length(__c) - ${k - 1}), " +
+          s"i -> struct(CAST(i - 1 AS BIGINT) AS pos, substring(__c, i, $k) AS g)))").as("p"))
+      .select(col(idCol), col("__ng"), col("p.pos").as("pos"), col("p.g").as("g"))
+    val coded = grams
+      .withColumn("__code",
+        pmod(Sampling.portableHash60(col("g")), lit(1L << 32)) * lit(WinnowPosCap) +
+          (lit(WinnowPosCap - 1) - col("pos")))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    // Adjacent windows re-select the same (hash, pos) pair, and a pair that
+    // leaves the frame can never re-enter — so consecutive-dedup (lag on
+    // the SAME sort, no extra exchange) is exact and replaces a distinct
+    // shuffle over the fingerprint set.
+    coded
+      .withColumn("__m", min(col("__code")).over(wSel))
+      .filter(col("pos") <= col("__ng") - w) // only full w-gram windows select
+      .withColumn("__prev", lag(col("__m"), 1).over(wOrd))
+      .filter(col("__prev").isNull || col("__m") =!= col("__prev"))
+      .select(col(idCol),
+        (lit(WinnowPosCap - 1) - pmod(col("__m"), lit(WinnowPosCap))).as("pos"),
+        expr(s"__m DIV $WinnowPosCap").as("fp"))
+  }
+
+  /** Candidate near-dup pairs by shared winnowing fingerprints: (id_a,
+    * id_b, shared) for every pair sharing ≥ `minShared` distinct
+    * fingerprint hashes. The guarantee direction: two documents sharing a
+    * verbatim canonical substring of length ≥ k + w − 1 ALWAYS share a
+    * fingerprint, so `minShared = 1` has no false negatives at that match
+    * length (modulo 32-bit hash collisions, which only ADD candidates).
+    *
+    * Scale shape: the inverted-fingerprint self-join of
+    * [[ngramJaccardPairs]] — postings are (fp, id) only, hot fingerprints
+    * (boilerplate shared by > maxDf docs) are df-capped with the dropped
+    * volume observable, and the pair space is bounded by Σ df² over kept
+    * fingerprints, never n².
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, w: Int = 8, minShared: Int = 2,
+                  maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"winnowPairs needs minShared >= 1, got $minShared")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val kept = if (maxDf <= 0) fps else {
+      val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .observe(s"winnow_dropped_fps_${dropSeq.incrementAndGet()}",
+          sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_fps"))
+        .filter(col("df") > maxDf).select(col("fp"))
+      fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
   }
 
   /** Exact dedup by canonical fingerprint: one representative (min id) per

@@ -491,6 +491,23 @@ class CurationSpec extends SparkSpec {
       (21L, 3L, 5L, 1L)))
   }
 
+  test("exciseContaminatedSpans cuts exactly the attributed words, clean docs pass through") {
+    val bench = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "x y alpha beta gamma z"),      // leak mid-text: words 2..4 go
+      (11L, "totally clean words here"),    // untouched
+      (12L, "alpha beta gamma"),            // full-doc leak: empties out
+      (13L, null.asInstanceOf[String])      // null text: empty, 0 removed
+    ).toDF("doc_id", "text")
+    val got = Contamination.exciseContaminatedSpans(docs, "doc_id", "text", bench, "text", n = 3)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, "x y z", 3L),
+      (11L, "totally clean words here", 0L),
+      (12L, "", 3L),
+      (13L, "", 0L)))
+  }
+
   test("semantic decontamination: paraphrase proximity flags, orthogonal noise survives") {
     val bench = Seq((0L, Array(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
     val corpus = Seq(

@@ -154,6 +154,42 @@ class LlmOpsSpec extends SparkSpec {
       shingleSize = 2, threshold = 0.9).count() == 0L)
   }
 
+  test("winnowing: every full window selects a fingerprint; identical text, identical prints") {
+    val text = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq((1L, text), (2L, text), (3L, "short")).toDF("id", "text")
+    val k = 5; val w = 4
+    val fps = NearDedup.winnowFingerprints(docs, "id", "text", k, w)
+      .as[(Long, Long, Long)].collect().toSeq
+    val canon = text.toLowerCase.replaceAll("\\s+", "")
+    val ng = canon.length - k + 1
+    val sel1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    // the winnowing guarantee: every window of w consecutive gram positions
+    // contains at least one selected fingerprint position
+    for (i <- 0 to ng - w)
+      assert((i until i + w).exists(p => sel1.contains(p.toLong)), s"window at $i selected nothing")
+    // density: far fewer fingerprints than grams (expected ~2/(w+1))
+    assert(sel1.size < ng / 2 && sel1.nonEmpty)
+    // determinism: the identical doc selects the identical (pos, fp) set
+    assert(fps.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet ==
+      fps.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet)
+    // no full window (canonical length 5 < k + w - 1 = 8): nothing emitted
+    assert(!fps.exists(_._1 == 3L))
+  }
+
+  test("winnowPairs: a shared >= k+w-1 substring is always caught, unrelated docs are not") {
+    // the local-fingerprinting guarantee: a verbatim canonical run of
+    // length >= k + w - 1 shares its windows' minimum hash in both docs,
+    // so minShared = 1 cannot miss it — whatever surrounds it
+    val shared = "abcdefghijklmnop" // 16 canonical chars >= 8 + 4 - 1
+    val docs = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"completely different framing $shared indeed"),
+      (3L, "nothing in common with those at all here")).toDF("id", "text")
+    val pairs = NearDedup.winnowPairs(docs, "id", "text", k = 8, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+  }
+
   test("jaccard hot-shingle df cap kills the boilerplate quadratic key") {
     // 60 docs share ONLY a boilerplate bigram (each otherwise unique):
     // uncapped, every pair qualifies at threshold 0.3 (jaccard 1/3) —

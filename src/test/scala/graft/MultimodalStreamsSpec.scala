@@ -217,6 +217,60 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(math.abs(smallHist(0) - 0.5f) < 1e-6 && math.abs(smallHist(7) - 0.5f) < 1e-6)
   }
 
+  test("dHash: spec-derived bits, brightness invariance, size guard, cross-format") {
+    import graft.operators.MediaCodecs
+    def gray(v: Int) = (v, v, v)
+    // 18x16 gradient: 9x8 grid of exact 2x2-px cells, means strictly
+    // increasing left-to-right -> every bit set
+    val grad = makeBmp(18, 16)((x, _) => gray(x * 14))
+    def hashOf(b: Array[Byte]): Long = {
+      val (w, h, rgb) = MediaCodecs.imageRgb(b).get
+      MediaCodecs.dHash64(w, h, rgb).get
+    }
+    assert(hashOf(grad) == -1L)
+    // brightness shift preserves every gradient sign -> identical hash
+    assert(hashOf(makeBmp(18, 16)((x, _) => gray(x * 14 + 17))) == -1L)
+    // inverted gradient: no cell is brighter to the right -> 0
+    assert(hashOf(makeBmp(18, 16)((x, _) => gray((17 - x) * 14))) == 0L)
+    // zeroing exactly grid cell (r=0, c=4) flips only bit r*8+c = 3
+    val dip = makeBmp(18, 16)((x, y) =>
+      if (y < 2 && (x == 8 || x == 9)) gray(0) else gray(x * 14))
+    assert(hashOf(dip) == (-1L ^ 8L))
+    // below the 9x8 grid there is no signature
+    val (w8, h8, rgb8) = MediaCodecs.imageRgb(makeBmp(8, 8)((x, _) => gray(x))).get
+    assert(MediaCodecs.dHash64(w8, h8, rgb8).isEmpty)
+    // the same pixels through the PNG decoder hash identically (format
+    // independence of the perceptual key)
+    val png = makePng(18, 16, 2, null)((x, _) => Array(x * 14, x * 14, x * 14))
+    assert(hashOf(png) == -1L)
+  }
+
+  test("imageDHashes + imageNearDupPairs: shifted copy pairs at 0, inverse never; hamming boundary") {
+    import graft.operators.{MediaCodecs, Multimodal, NearDedup}
+    val dir = tmp("dhash_media")
+    def gray(v: Int) = (v, v, v)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.bmp"),
+      makeBmp(18, 16)((x, _) => gray(x * 14)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.bmp"),
+      makeBmp(18, 16)((x, _) => gray(x * 14 + 17)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.bmp"),
+      makeBmp(18, 16)((x, _) => gray((17 - x) * 14)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/tiny.bmp"),
+      makeBmp(8, 8)((x, _) => gray(x))) // no 9x8 grid: silently dropped
+    val hashes = Multimodal.imageDHashes(Multimodal.readMedia(spark, s"$dir/*"))
+      .withColumn("file", regexp_extract(col("path"), "([^/]+)$", 1))
+    assert(hashes.count() == 3L)
+    val pairs = Multimodal.imageNearDupPairs(hashes, "file", "dhash", maxHamming = 8)
+      .as[(String, String, Int)].collect().toSeq.sorted
+    assert(pairs == Seq(("a.bmp", "b.bmp", 0)))
+    // hammingPairs64 budget boundary: distance exactly maxHamming passes,
+    // maxHamming + 1 does not (pigeonhole chunks guarantee the candidate)
+    val sigs = Seq((1L, 0L), (2L, 255L), (3L, 511L)).toDF("id", "sig")
+    val got = NearDedup.hammingPairs64(sigs, maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got == Seq((1L, 2L, 8), (2L, 3L, 1)))
+  }
+
   /** Encode a PNG at bit depth 8 for the given color type, one scanline
     * filter per row (cycling None/Sub/Up/Average/Paeth) so decode must
     * invert all five. `px(x)(y)` gives per-channel samples.
