@@ -292,6 +292,29 @@ object SparkEntry {
     out.toByteArray
   }
 
+  /** 16-bit PCM WAV whose samples are CONSTANT per 100-sample window, one
+    * window per entry of `amps` — window energy is 100·amp², so every
+    * audio-fingerprint bit derives from the amplitude sequence by
+    * construction (strictly ascending amps → all 64 bits set, descending
+    * → 0, a single zeroed window k flips exactly bit k−1).
+    */
+  private def fixtureEnvelopeWav(amps: Seq[Int]): Array[Byte] = {
+    val rate = 8000; val n = amps.length * 100
+    val out = new Array[Byte](44 + n * 2)
+    def tag(i: Int, s: String): Unit = (0 until 4).foreach(k => out(i + k) = s(k).toByte)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    tag(0, "RIFF"); le32(4, 36 + n * 2); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1); le32(24, rate)
+    le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, n * 2)
+    for (w <- amps.indices; s <- 0 until 100) {
+      val i = 44 + (w * 100 + s) * 2
+      out(i) = amps(w).toByte; out(i + 1) = (amps(w) >> 8).toByte
+    }
+    out
+  }
   private def fixtureWav(): Array[Byte] = {
     val rate = 8000; val n = 8000
     val out = new Array[Byte](44 + n * 2)
@@ -2371,6 +2394,40 @@ object SparkEntry {
       graft.operators.Multimodal.imageNearDupPairs(hashes, "file", "dhash", maxHamming = 8)
         .select(col("id_a").as("file_a"), col("id_b").as("file_b"), col("hamming"))
     }),
+    "q179_audio_fingerprint" -> ((s, d) => {
+      // the audio twin of q177: delta-sign energy fingerprints over REAL
+      // decoded PCM — ascending per-window amplitudes hash to all-ones
+      // (-1), a doubled-gain copy identically (loudness invariance), the
+      // descending ramp to 0, one muted window flips exactly bit 3 (-9)
+      val dir = tmpDir() + "/media_q179"
+      new java.io.File(dir).mkdirs()
+      val asc = (1 to 65).map(_ * 450)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.wav"), fixtureEnvelopeWav(asc))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.wav"), fixtureEnvelopeWav(asc.map(v => (v * 101) / 100)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.wav"), fixtureEnvelopeWav(asc.reverse))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.wav"), fixtureEnvelopeWav(asc.updated(4, 0)))
+      graft.operators.Multimodal.audioFingerprints(
+          graft.operators.Multimodal.readMedia(s, s"$dir/*"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("sample_rate"), col("afp"))
+    }),
+    "q180_audio_neardup" -> ((s, d) => {
+      // audio near-dup pairs within a Hamming-8 ball: the gain-shifted copy
+      // at distance 0, the one-window mute at distance 1 from both, the
+      // reversed envelope (64 bits away) pairs with nothing
+      val dir = tmpDir() + "/media_q180"
+      new java.io.File(dir).mkdirs()
+      val asc = (1 to 65).map(_ * 450)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.wav"), fixtureEnvelopeWav(asc))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.wav"), fixtureEnvelopeWav(asc.map(v => (v * 101) / 100)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.wav"), fixtureEnvelopeWav(asc.reverse))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.wav"), fixtureEnvelopeWav(asc.updated(4, 0)))
+      val fps = graft.operators.Multimodal.audioFingerprints(
+          graft.operators.Multimodal.readMedia(s, s"$dir/*"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("afp"))
+      graft.operators.Multimodal.audioNearDupPairs(fps, "file", "afp", maxHamming = 8)
+        .select(col("id_a").as("file_a"), col("id_b").as("file_b"), col("hamming"))
+    }),
     "q170_manifest_stream" -> ((s, d) => {
       // batch-parity gate for the STREAMING manifest: the bounded document
       // sample replayed through a MemoryStream; Update-mode re-emission
@@ -3667,6 +3724,20 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
   ('a.bmp', 'b.bmp', 0),
   ('a.bmp', 'f.bmp', 1),
   ('b.bmp', 'f.bmp', 1)) AS t(file_a, file_b, hamming)""",
+    "q179_audio_fingerprint" ->
+      // spec-derived (see fixtureEnvelopeWav): strictly ascending window
+      // energies => all 64 delta-sign bits set (-1), gain shift invariant,
+      // reversal clears all bits, muting window 4 flips exactly bit 3
+      """SELECT * FROM (VALUES
+  ('a.wav', 8000, CAST(-1 AS BIGINT)),
+  ('b.wav', 8000, CAST(-1 AS BIGINT)),
+  ('c.wav', 8000, CAST(0 AS BIGINT)),
+  ('f.wav', 8000, CAST(-9 AS BIGINT))) AS t(file, sample_rate, afp)""",
+    "q180_audio_neardup" ->
+      """SELECT * FROM (VALUES
+  ('a.wav', 'b.wav', 0),
+  ('a.wav', 'f.wav', 1),
+  ('b.wav', 'f.wav', 1)) AS t(file_a, file_b, hamming)""",
     "q170_manifest_stream" ->
       s"""WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt
   FROM documents WHERE doc_id % 100 < 20),

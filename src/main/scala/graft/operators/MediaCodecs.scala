@@ -1263,7 +1263,11 @@ object MediaCodecs {
     * μ-law/A-law (formats 7/6, expanded for real) also compute an
     * 8-segment RMS envelope (normalized to [0,1]) — a real audio feature.
     */
-  def wavInfo(b: Array[Byte]): Option[WavInfo] = {
+  /** RIFF/WAVE chunk walk shared by `wavInfo` and `wavSamples`: the fmt
+    * tuple (audioFormat, channels, rate, blockAlign, bits, samplesPerBlock)
+    * and the data chunk (offset, clamped length).
+    */
+  private def riffChunks(b: Array[Byte]): Option[((Int, Int, Int, Int, Int, Int), (Int, Int))] = {
     def tag(i: Int, t: String): Boolean =
       i + 4 <= b.length && b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
@@ -1288,7 +1292,56 @@ object MediaCodecs {
         if (next > b.length) corrupt = true else i = next.toInt
       }
     }
-    fmt.zip(data).flatMap { case ((af, ch, rate, blockAlign, bits, spb), (off, len)) =>
+    fmt.zip(data)
+  }
+
+  /** Decoded normalized samples of a WAV across every payload family the
+    * repo decodes (16-bit PCM, G.711 μ-law/A-law, IMA ADPCM): (rate,
+    * samples in [-1, 1]). The waveform-level accessor behind the audio
+    * fingerprint; `wavInfo` remains the metadata/envelope surface.
+    */
+  def wavSamples(b: Array[Byte]): Option[(Int, Array[Double])] =
+    riffChunks(b).flatMap { case ((af, ch, rate, blockAlign, bits, spb), (off, len)) =>
+      if (af == 1 && ch > 0 && rate > 0 && bits == 16)
+        Some((rate, Array.tabulate(len / 2)(s => le16(b, off + s * 2).toShort.toDouble / 32768.0)))
+      else if ((af == 6 || af == 7) && ch > 0 && rate > 0 && bits == 8) {
+        val dec: Int => Int = if (af == 7) ulawToPcm else alawToPcm
+        Some((rate, Array.tabulate(len)(s => dec(b(off + s) & 0xFF).toDouble / 32768.0)))
+      } else if (af == 0x11 && ch == 1 && rate > 0 && bits == 4 &&
+        blockAlign >= 8 && spb > 0 && spb <= (blockAlign - 4) * 2 + 1 && len >= blockAlign) {
+        val pcm = imaAdpcmDecode(b, off, len, blockAlign, spb)
+        Some((rate, pcm.map(_.toDouble / 32768.0)))
+      } else None
+    }
+
+  /** 64-bit audio energy fingerprint: the decoded waveform splits into 65
+    * near-equal windows, bit i set iff window i+1 carries strictly more
+    * energy (Σ sample²) than window i — the delta-sign scheme of
+    * Haitsma–Kalker audio fingerprinting collapsed to the energy band.
+    * Gain changes scale every window energy by the same factor, so the
+    * fingerprint is loudness-invariant; fewer than 65 samples → None.
+    */
+  def audioFingerprint64(samples: Array[Double]): Option[Long] = {
+    val n = samples.length
+    if (n < 65) return None
+    val e = new Array[Double](65)
+    var s = 0
+    while (s < n) {
+      val w = math.min(s.toLong * 65 / n, 64).toInt
+      e(w) += samples(s) * samples(s)
+      s += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) bits |= 1L << i
+      i += 1
+    }
+    Some(bits)
+  }
+
+  def wavInfo(b: Array[Byte]): Option[WavInfo] = {
+    riffChunks(b).flatMap { case ((af, ch, rate, blockAlign, bits, spb), (off, len)) =>
       if (af == 1 && ch > 0 && rate > 0 && bits > 0) {
         val bytesPerSec = rate.toLong * ch * bits / 8
         val durationMs = if (bytesPerSec > 0) len * 1000L / bytesPerSec else 0L

@@ -213,6 +213,45 @@ object Multimodal {
       hashes.select(col(idCol).as("id"), col(hashCol).as("sig")),
       maxHamming, maxBucketSize)
 
+  /** Audio energy fingerprints for near-dup: decode real waveforms (16-bit
+    * PCM / G.711 / IMA-ADPCM WAV via [[MediaCodecs.wavSamples]]) and emit
+    * (path, sample_rate, afp) — the 64-bit delta-sign energy fingerprint
+    * ([[MediaCodecs.audioFingerprint64]]). Rows that do not decode, or are
+    * shorter than the 65-window grid, are dropped. The audio twin of
+    * [[imageDHashes]]: raw bytes stay in the decode task, 8-byte
+    * fingerprints shuffle.
+    */
+  def audioFingerprints(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("afp", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    media.select("path", "content")
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            for {
+              (rate, samples) <- MediaCodecs.wavSamples(r.getAs[Array[Byte]](1))
+              fp <- MediaCodecs.audioFingerprint64(samples)
+            } yield Row(r.getString(0), rate, fp)
+          }
+        }
+      }
+  }
+
+  /** Audio near-dup candidate pairs from energy fingerprints — gain-shifted
+    * or re-encoded (PCM vs G.711) copies of the same recording land within
+    * a small Hamming ball. Same pigeonhole candidate machinery as images
+    * ([[NearDedup.hammingPairs64]]).
+    */
+  def audioNearDupPairs(fingerprints: DataFrame, idCol: String = "path",
+                        fpCol: String = "afp", maxHamming: Int = 8,
+                        maxBucketSize: Int = NearDedup.DefaultMaxBucketSize): DataFrame =
+    NearDedup.hammingPairs64(
+      fingerprints.select(col(idCol).as("id"), col(fpCol).as("sig")),
+      maxHamming, maxBucketSize)
+
   /** Frame sampling plan for video rows: every `stride`-th frame index up to
     * `maxFrames` — pure expression, no decode needed to PLAN the sample.
     */

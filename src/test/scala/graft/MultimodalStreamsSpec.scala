@@ -271,6 +271,41 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 8), (2L, 3L, 1)))
   }
 
+  test("audio fingerprint: delta-sign bits from real PCM, gain invariance, size guard") {
+    import graft.operators.{MediaCodecs, Multimodal}
+    def envelope(amps: Seq[Int]): Array[Short] =
+      amps.flatMap(a => Seq.fill(100)(a.toShort)).toArray
+    val asc = (1 to 65).map(_ * 450)
+    def fpOf(samples: Array[Short]): Long = {
+      val (rate, decoded) = MediaCodecs.wavSamples(makeWav(8000, samples)).get
+      assert(rate == 8000)
+      MediaCodecs.audioFingerprint64(decoded).get
+    }
+    // strictly ascending window energies -> every delta-sign bit set
+    assert(fpOf(envelope(asc)) == -1L)
+    // a uniform gain change scales every window energy equally
+    assert(fpOf(envelope(asc.map(_ / 2))) == -1L)
+    // reversed envelope: no window louder than its predecessor
+    assert(fpOf(envelope(asc.reverse)) == 0L)
+    // muting window 4 clears exactly bit 3 (e4 > e3 becomes false)
+    assert(fpOf(envelope(asc.updated(4, 0))) == (-1L ^ 8L))
+    // below 65 samples there is no fingerprint
+    assert(MediaCodecs.audioFingerprint64(Array.fill(64)(0.5)).isEmpty)
+    // end-to-end: the G.711-style distinct copies pair, the reversal never
+    val dir = tmp("afp_media")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.wav"),
+      makeWav(8000, envelope(asc)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/half.wav"),
+      makeWav(8000, envelope(asc.map(_ / 2))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/rev.wav"),
+      makeWav(8000, envelope(asc.reverse)))
+    val fps = Multimodal.audioFingerprints(Multimodal.readMedia(spark, s"$dir/*"))
+      .withColumn("file", regexp_extract(col("path"), "([^/]+)$", 1))
+    val pairs = Multimodal.audioNearDupPairs(fps, "file", "afp", maxHamming = 2)
+      .as[(String, String, Int)].collect().toSeq.sorted
+    assert(pairs == Seq(("a.wav", "half.wav", 0)))
+  }
+
   /** Encode a PNG at bit depth 8 for the given color type, one scanline
     * filter per row (cycling None/Sub/Up/Average/Paeth) so decode must
     * invert all five. `px(x)(y)` gives per-channel samples.

@@ -243,4 +243,24 @@ class PlanShapeSpec extends SparkSpec {
     // the thresholded levenshtein runs as a codegen'd post-join filter
     assert(p.contains("levenshtein"), s"distance filter missing from:\n$p")
   }
+
+  test("q176 winnowing pairs: fingerprint postings equi-join, df cap, no cartesian") {
+    val p = planOf("q176_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join in:\n$p")
+    // hot fingerprints (boilerplate) are anti-joined away before the
+    // postings self-join can square them
+    assert(p.contains("LeftAnti"), s"no hot-fingerprint cap in:\n$p")
+  }
+
+  test("q178/q180 perceptual near-dup: chunk-bucketed candidates, never cartesian") {
+    for (q <- Seq("q178_image_neardup", "q180_audio_neardup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      // candidates meet on (chunk-index, chunk-value) — an equi-join whose
+      // key cardinality is linear in inputs (hammingPairs64's pigeonhole)
+      assert(p.contains("LeftAnti") || p.contains("SortMergeJoin") ||
+        p.contains("BroadcastHashJoin"), s"no bucket equi-join in $q:\n$p")
+    }
+  }
 }
