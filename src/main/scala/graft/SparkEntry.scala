@@ -2394,6 +2394,41 @@ object SparkEntry {
       graft.operators.Multimodal.imageNearDupPairs(hashes, "file", "dhash", maxHamming = 8)
         .select(col("id_a").as("file_a"), col("id_b").as("file_b"), col("hamming"))
     }),
+    "q181_cluster_balance" -> ((s, d) =>
+      // semantic topic balancing (the DataComp/Dolma curation step): assign
+      // embeddings to their k-means cell (the q103/q104 Lloyd core), keep
+      // at most 10 per cell in portable-hash order — over-represented
+      // regions capped, rare topics survive whole
+      graft.functions.VectorFunctions.clusterBalancedSample(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
+        trainEvery = 5)),
+    "q183_pii_audit" -> ((s, d) => {
+      // PII audit BEFORE redaction: per-type hit counts, injected
+      // deterministically so the three classes vary per doc (the q67
+      // injection pattern, varied by doc_id residues) — the drop-vs-redact
+      // decision input (a doc that is mostly PII is a directory dump)
+      val docs = t(s, d, "documents")
+      val injected = concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 7 === 0, lit(" mail a@b.co and c@d.org")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" from 10.0.0.1")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" call +15551234567")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+          graft.functions.TextFunctions.piiCounts(injected).as("p"))
+        .select(col("doc_id"), col("p.n_emails"), col("p.n_ips"), col("p.n_phones"),
+          (col("p.n_emails") + col("p.n_ips") + col("p.n_phones")).as("pii_total"))
+    }),
+    "q182_winnow_snapshot" -> ((s, d) => {
+      // incremental substring-level contamination check: fresh docs (ids
+      // >= 400) winnow-fingerprinted against the released corpus (ids
+      // < 400) — a fresh doc embedding >= 23 canonical chars of released
+      // text ALWAYS surfaces, the local-match case whole-document MinHash
+      // similarity dilutes away
+      val docs = t(s, d, "documents")
+      NearDedup.winnowAgainstSnapshot(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text", k = 16, w = 8, minShared = 2)
+    }),
     "q179_audio_fingerprint" -> ((s, d) => {
       // the audio twin of q177: delta-sign energy fingerprints over REAL
       // decoded PCM — ascending per-window amplitudes hash to all-ones
@@ -3724,6 +3759,44 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
   ('a.bmp', 'b.bmp', 0),
   ('a.bmp', 'f.bmp', 1),
   ('b.bmp', 'f.bmp', 1)) AS t(file_a, file_b, hamming)""",
+    "q183_pii_audit" ->
+      """WITH inj AS (SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 7 = 0 THEN ' mail a@b.co and c@d.org' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.1' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call +15551234567' ELSE '' END AS t FROM documents),
+st AS (SELECT doc_id, t,
+  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM inj),
+st2 AS (SELECT doc_id, t, t1,
+  regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM st),
+c AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '\+[0-9]{7,15}\b')) AS BIGINT) AS n_phones
+FROM st2)
+SELECT doc_id, n_emails, n_ips, n_phones,
+  n_emails + n_ips + n_phones AS pii_total FROM c""",
+    "q181_cluster_balance" -> (lloydCtesSql(withInjectedCopies = false) +
+      s"""r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+  ORDER BY ${portableHash60Sql("vec_id")}, vec_id) AS rk FROM a1)
+SELECT vec_id, cid AS cell, CAST(rk AS BIGINT) AS cell_rank, rk <= 10 AS kept FROM r"""),
+    "q182_winnow_snapshot" ->
+      s"""WITH c AS (SELECT doc_id, lower(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS c FROM documents),
+c2 AS (SELECT doc_id, c, CAST(length(c) - 15 AS BIGINT) AS ng FROM c WHERE length(c) >= 23),
+g AS (SELECT doc_id, ng, CAST(i - 1 AS BIGINT) AS pos, substr(c, CAST(i AS INTEGER), 16) AS g
+  FROM c2 CROSS JOIN UNNEST(range(1, ng + 1)) AS r(i)),
+hh AS (SELECT doc_id, ng, pos,
+  (${portableHash60Sql("g")} % CAST(4294967296 AS BIGINT)) * CAST(2147483648 AS BIGINT)
+    + (CAST(2147483647 AS BIGINT) - pos) AS code FROM g),
+wnd AS (SELECT doc_id, ng, pos, min(code) OVER (PARTITION BY doc_id ORDER BY pos
+  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m FROM hh),
+sel AS (SELECT DISTINCT doc_id, CAST(m // CAST(2147483648 AS BIGINT) AS BIGINT) AS fp
+  FROM wnd WHERE pos <= ng - 8),
+f AS (SELECT doc_id AS fresh_id, fp FROM sel WHERE doc_id >= 400),
+p0 AS (SELECT doc_id AS prior_id, fp FROM sel WHERE doc_id < 400),
+pdf AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM p0 GROUP BY fp) WHERE df <= 1000),
+p AS (SELECT p0.prior_id, p0.fp FROM p0 JOIN pdf USING (fp))
+SELECT f.fresh_id, p.prior_id, count(*) AS shared
+FROM f JOIN p USING (fp) GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q179_audio_fingerprint" ->
       // spec-derived (see fixtureEnvelopeWav): strictly ascending window
       // energies => all 64 delta-sign bits set (-1), gain shift invariant,

@@ -209,16 +209,37 @@ object TextFunctions {
   def repetitionStats(text: Column, n: Int): Column =
     graft.expressions.GraftFunctions.repetitionStats(text, n)
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe = "\\+[0-9]{7,15}\\b"
+
   /** Redact common PII shapes — emails, IPv4 addresses, international-format
     * phone numbers — with typed placeholders. Patterns are deliberately
     * RE2-compatible (no lookarounds) so external engines can reproduce them.
     */
   def redactPii(text: Column): Column = {
-    val email = regexp_replace(text,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    val ip = regexp_replace(email,
-      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+[0-9]{7,15}\\b", "<PHONE>")
+    val email = regexp_replace(text, EmailRe, "<EMAIL>")
+    val ip = regexp_replace(email, Ipv4Re, "<IP>")
+    regexp_replace(ip, PhoneRe, "<PHONE>")
+  }
+
+  /** Per-type PII hit counts — the AUDIT companion of [[redactPii]]: the
+    * decision input BEFORE redaction (a document that is mostly email
+    * addresses is a directory dump to drop whole; one stray address is
+    * redactable in place). Counts follow redaction's exact composition —
+    * emails on the raw text, IPs on the email-redacted text, phones after
+    * both — so `n_emails + n_ips + n_phones` equals the number of
+    * placeholders [[redactPii]] would emit, and the same three RE2 passes
+    * replay in any engine. Returns a struct (n_emails, n_ips, n_phones).
+    */
+  def piiCounts(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    struct(
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
   }
 
   /** Corpus-statistical quality score, the CCNet-style perplexity-proxy

@@ -604,6 +604,38 @@ object VectorFunctions {
         col("__dropped").isNull.as("kept"))
   }
 
+  /** Cluster-BALANCED corpus subset — the semantic topic-balancing step of
+    * DataComp/Dolma-style curation: assign every embedding to its
+    * quantized-Lloyd cell, then keep at most `perCellCap` vectors per cell
+    * in portable-hash order. Over-represented semantic regions (boilerplate
+    * clusters, SEO farms, near-identical product pages) are capped while
+    * rare topics survive whole — the embedding-space analogue of
+    * `Sampling.capPerGroup`'s per-domain quota. Output: one row per input
+    * vector — (idCol, cell, cell_rank, kept); rank is the hash order
+    * within the cell, so re-running with a different cap re-derives the
+    * same nested subsets (cap 10 ⊂ cap 20).
+    *
+    * Deterministic and externally replayable bit-for-bit (shared
+    * [[semDedupPortable]] Lloyd core + the md5-hash ranking). Scale shape:
+    * assignment is corpus × k with broadcast centroids; the cap is one
+    * window on the cell key — nothing pairwise anywhere.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            perCellCap: Int, centroidEvery: Int = 25,
+                            rounds: Int = 1, quantScale: Double = 65536.0,
+                            trainEvery: Int = 1): DataFrame = {
+    require(perCellCap >= 1, s"perCellCap must be positive, got $perCellCap")
+    val (assigned, _) =
+      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale, trainEvery)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(graft.operators.Sampling.portableHash60(col("id")), col("id"))
+    assigned
+      .withColumn("cell_rank", row_number().over(w).cast(LongType))
+      .select(col("id").as(idCol), col("cid").as("cell"),
+        col("cell_rank"), (col("cell_rank") <= perCellCap).as("kept"))
+  }
+
   /** Shared deterministic k-means core for [[semDedupPortable]] and
     * [[prototypePrune]]: quantize components to integers, seed centroids
     * systematically (id % centroidEvery == 0), run `rounds` unrolled Lloyd

@@ -533,6 +533,45 @@ object NearDedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Incremental winnowing check against a released corpus — the
+    * SUBSTRING-level companion of [[nearDedupAgainstSnapshotMinhash]]:
+    * (fresh_id, prior_id, shared) for every fresh document sharing ≥
+    * `minShared` winnowing fingerprints with a prior document. Because
+    * winnowing is local, this catches a fresh document that merely EMBEDS
+    * a released passage (a quote, a mirrored section, a templated page)
+    * at guaranteed recall for matches ≥ k + w − 1 canonical chars — the
+    * case whole-document MinHash similarity dilutes below any threshold.
+    * Compose with a left_anti on fresh_id for the drop policy.
+    *
+    * Scale shape: the prior side's (id, fp) relation is the persisted
+    * release artifact (Memoize it once per release; fingerprints are
+    * ~2/(w+1) of its chars); fresh docs fingerprint independently and the
+    * sides meet on an fp equi-join. Release-side boilerplate fingerprints
+    * (df > maxDf in the PRIOR corpus — dropping them from that side alone
+    * kills the hot join keys) are anti-joined away broadcast-side.
+    */
+  def winnowAgainstSnapshot(fresh: DataFrame, prior: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 16, w: Int = 8, minShared: Int = 2,
+                            maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"winnowAgainstSnapshot needs minShared >= 1, got $minShared")
+    val ffps = winnowFingerprints(fresh, idCol, textCol, k, w)
+      .select(col(idCol).as("fresh_id"), col("fp")).distinct()
+    val pfps0 = winnowFingerprints(prior, idCol, textCol, k, w)
+      .select(col(idCol).as("prior_id"), col("fp")).distinct()
+    val pfps = if (maxDf <= 0) pfps0 else {
+      val hot = pfps0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .observe(s"winnow_snapshot_dropped_fps_${dropSeq.incrementAndGet()}",
+          sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_fps"))
+        .filter(col("df") > maxDf).select(col("fp"))
+      pfps0.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+    ffps.join(pfps, Seq("fp"))
+      .groupBy(col("fresh_id"), col("prior_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact dedup by canonical fingerprint: one representative (min id) per
     * identical-content group. groupBy on a 64-bit hash — minimal shuffle
     * width at any scale.

@@ -190,6 +190,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
   }
 
+  test("piiCounts: per-type counts match redaction's composition, no double counting") {
+    val rows = Seq(
+      (1L, "mail a@b.co or c@d.org from 10.0.0.1 call +12025550123"),
+      (2L, "the address 1.2.3.4@example.com is an email, not an ip"),
+      (3L, "no pii whatsoever in here"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = rows.select(col("id"), TextFunctions.piiCounts(col("text")).as("p"))
+      .select(col("id"), col("p.n_emails"), col("p.n_ips"), col("p.n_phones"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 2L, 1L, 1L),
+      // the ip-shaped local part is consumed by the EMAIL pass first —
+      // counting follows redaction's composition, so it is not an IP hit
+      (2L, 1L, 0L, 0L),
+      (3L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+    // the total equals the placeholder count redactPii emits
+    val total = rows.select(TextFunctions.redactPii(coalesce(col("text"), lit(""))).as("c"))
+      .select(size(regexp_extract_all(col("c"), lit("<(EMAIL|IP|PHONE)>"), lit(0))).as("n"))
+      .as[Int].collect().sum
+    assert(total == got.map(t => t._2 + t._3 + t._4).sum)
+  }
+
+  test("winnowAgainstSnapshot flags a fresh doc embedding released text, MinHash misses it") {
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 canonical chars
+    val prior = Seq(
+      (1L, s"released doc containing $shared and nothing else notable"),
+      (2L, "another release page with its own content entirely")).toDF("id", "text")
+    val fresh = Seq(
+      // a long fresh page EMBEDDING the released passage: whole-doc
+      // jaccard is tiny, but the local fingerprints must match
+      (100L, s"totally new framing wraps $shared inside a much longer and quite different page body with many extra words"),
+      (101L, "fresh and genuinely novel content with no overlap at all")).toDF("id", "text")
+    val hits = NearDedup.winnowAgainstSnapshot(fresh, prior, "id", "text",
+        k = 8, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) == Seq((100L, 1L)))
+    // the whole-document minhash snapshot check at a typical threshold
+    // does NOT flag it — the embedded passage is diluted
+    val kept = NearDedup.nearDedupAgainstSnapshotMinhash(fresh, prior, "id", "text",
+      threshold = 0.5).select("id").as[Long].collect().toSet
+    assert(kept == Set(100L, 101L))
+  }
+
   test("jaccard hot-shingle df cap kills the boilerplate quadratic key") {
     // 60 docs share ONLY a boilerplate bigram (each otherwise unique):
     // uncapped, every pair qualifies at threshold 0.3 (jaccard 1/3) —

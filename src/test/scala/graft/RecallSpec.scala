@@ -215,6 +215,27 @@ class RecallSpec extends SparkSpec {
     assert(run() == out) // bit-identical rerun: quantized sums are exact
   }
 
+  test("clusterBalancedSample caps big cells, keeps small cells whole, nests by cap") {
+    def run(cap: Int) = VectorFunctions.clusterBalancedSample(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", perCellCap = cap, centroidEvery = 25)
+      .select("vec_id", "cell", "cell_rank", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val out = run(3)
+    assert(out.size == emb.count()) // every vector classified, none silently dropped
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      // kept = min(cap, cell size); ranks are a 1..n permutation per cell
+      assert(rows.count(_._4) == math.min(3, rows.size), s"cell $cell")
+      assert(rows.map(_._3).sorted == (1L to rows.size.toLong))
+      assert(rows.filter(_._4).map(_._3).forall(_ <= 3L))
+    }
+    // nested subsets: the cap-3 keep set is contained in the cap-5 one
+    // (the hash ranking is cap-independent)
+    val kept3 = out.filter(_._4).map(_._1).toSet
+    val kept5 = run(5).filter(_._4).map(_._1).toSet
+    assert(kept3.subsetOf(kept5))
+  }
+
   test("prototypePrune keeps exactly ceil(keepPct·n/100) hardest per cell") {
     val out = VectorFunctions.prototypePrune(
       emb.select(col("vec_id"), col("embedding")),
