@@ -353,4 +353,82 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("winnowing laws: every full window covered, positions valid, deterministic") {
+    import graft.operators.NearDedup
+    val k = 4; val w = 3
+    val textGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "ab", "xyz"))
+      .map(_.mkString(" "))
+    forAll(textGen, n = 12) { text =>
+      val canon = text.toLowerCase.replaceAll("\\s+", "")
+      val ng = canon.length - k + 1
+      val fps = NearDedup.winnowFingerprints(
+          Seq((1L, text)).toDF("id", "text"), "id", "text", k, w)
+        .as[(Long, Long, Long)].collect().toSeq
+      if (ng < w) assert(fps.isEmpty)
+      else {
+        val sel = fps.map(_._2).toSet
+        // the winnowing guarantee: every window of w gram positions holds
+        // at least one selected fingerprint; positions are in range
+        for (i <- 0 to ng - w)
+          assert((i until i + w).exists(p => sel.contains(p.toLong)),
+            s"uncovered window at $i in '$canon'")
+        assert(sel.forall(p => p >= 0 && p < ng))
+      }
+    }
+  }
+
+  test("hammingPairs64 equals brute force within the budget (pigeonhole completeness)") {
+    import graft.operators.NearDedup
+    val sigGen = Gen.listOfN(10, Gen.choose(Long.MinValue, Long.MaxValue))
+      .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    // mix in clustered signatures (few flipped bits) so pairs exist
+    val clustered = Gen.choose(Long.MinValue, Long.MaxValue).flatMap { base =>
+      Gen.listOfN(8, Gen.choose(0, 63)).map { flips =>
+        flips.zipWithIndex.map { case (f, i) => (i.toLong, base ^ (1L << f)) }
+      }
+    }
+    forAll(Gen.oneOf(sigGen, clustered), n = 10) { sigs =>
+      for (budget <- Seq(0, 3, 8)) {
+        val got = NearDedup.hammingPairs64(sigs.toDF("id", "sig"), maxHamming = budget)
+          .as[(Long, Long, Int)].collect().toSet
+        val want = (for {
+          (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+          d = java.lang.Long.bitCount(sa ^ sb) if d <= budget
+        } yield (ia, ib, d)).toSet
+        assert(got == want, s"budget $budget: got $got want $want")
+      }
+    }
+  }
+
+  test("excision conserves words: kept + removed = total, removed = span mass") {
+    import graft.operators.Contamination
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.listOfN(6, Gen.listOfN(9, wordGen).map(_.mkString(" ")))
+    forAll(docGen, n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bench = docs.filter(col("doc_id") === 0)
+      val spans = Contamination.contaminationSpans(docs, "doc_id", "text", bench, "text", n = 3)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // spans are disjoint per doc, so their word mass is a plain sum
+      val spanWords = spans.groupBy(_._1).view
+        .mapValues(_.map(s => s._3 - s._2 + 1).sum).toMap
+      val out = Contamination.exciseContaminatedSpans(docs, "doc_id", "text", bench, "text", n = 3)
+        .as[(Long, String, Long)].collect().toSeq
+      assert(out.size == texts.size)
+      out.foreach { case (id, clean, removed) =>
+        val total = texts(id.toInt).split("\\s+").count(_.nonEmpty)
+        val kept = clean.split("\\s+").count(_.nonEmpty)
+        assert(kept + removed == total, s"doc $id: $kept + $removed != $total")
+        assert(removed == spanWords.getOrElse(id, 0L), s"doc $id removed != span mass")
+      }
+      // spans never overlap within a doc (the round-9 merge contract)
+      spans.groupBy(_._1).values.foreach { ss =>
+        val sorted = ss.sortBy(_._2)
+        sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+          assert(a._3 < b._2, s"overlapping spans $a / $b")
+        }
+      }
+    }
+  }
 }
