@@ -2403,6 +2403,41 @@ object SparkEntry {
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
         trainEvery = 5)),
+    "q186_dedup_keep_best" -> ((s, d) => {
+      // quality-aware cluster dedup: q75's near-dup clusters, but the
+      // SURVIVOR is the longest member (coalesced n_chars, id tie-break)
+      // instead of the arbitrary min id — what production pipelines keep
+      // (the other copies are truncations and boilerplate-wrapped mirrors)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 600)
+      val pairs = NearDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      graft.operators.Clustering.dedupByComponentsBest(
+          docs, "doc_id", coalesce(col("n_chars"), lit(-1L)), pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+    "q185_pr_curve" -> ((s, d) => {
+      // threshold tuning for the model-based filter: the exact PR curve of
+      // "keep iff classifier score >= t" against the lang=='en' ground
+      // truth — integer confusion counts, one division each for P/R, the
+      // operating-point table a CCNet/FineWeb-style pipeline reads off
+      val docs = t(s, d, "documents")
+      val scored = graft.functions.Classifier.scoreDocsPortable(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("label")), Seq("doc_id"))
+      graft.functions.Classifier.prCurve(scored, "score", "label")
+    }),
+    "q184_sft_transcripts" -> ((s, d) => {
+      // interaction logs -> SFT training examples: per-user chat-format
+      // transcript with the assistant lines' char ranges as the loss mask
+      // (gradients flow only through assistant spans); ordering pinned by
+      // (ts, event_id), offsets exact-integer so the example replays
+      val ev = t(s, d, "events").filter(col("user_id") % 10 === 0)
+      val turns = ev.select(col("user_id"), tsUs(ev).as("t"), col("event_id"),
+        when(col("event_type").isin("view", "click", "signup"), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("event_type").as("txt"))
+      graft.operators.Transcripts.assemble(turns, Seq("user_id"),
+        Seq(col("t"), col("event_id")), "role", "txt")
+    }),
     "q183_pii_audit" -> ((s, d) => {
       // PII audit BEFORE redaction: per-type hit counts, injected
       // deterministically so the three classes vary per doc (the q67
@@ -3759,6 +3794,44 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
   ('a.bmp', 'b.bmp', 0),
   ('a.bmp', 'f.bmp', 1),
   ('b.bmp', 'f.bmp', 1)) AS t(file_a, file_b, hamming)""",
+    "q186_dedup_keep_best" ->
+      (ccLabelsSql + """,
+lq AS (SELECT l.id, l.comp, coalesce(d.n_chars, -1) AS q FROM labels l
+  JOIN documents d ON l.id = d.doc_id),
+win AS (SELECT id FROM (SELECT id,
+  row_number() OVER (PARTITION BY comp ORDER BY q DESC, id ASC) AS rn FROM lq) WHERE rn = 1)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id < 600 AND (doc_id NOT IN (SELECT id FROM labels)
+  OR doc_id IN (SELECT id FROM win))"""),
+    "q185_pr_curve" ->
+      s"""WITH tok AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS t FROM documents) x WHERE len(t) > 0),
+w AS (SELECT doc_id, ((${portableHash60Sql("t")} % 32768) * 2654435761 % 1001) - 500 AS wt FROM tok),
+sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w GROUP BY doc_id),
+lab AS (SELECT d.doc_id, COALESCE(sc.score, 0) AS score, d.lang = 'en' AS label
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+bys AS (SELECT score AS threshold, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np FROM lab GROUP BY score),
+tot AS (SELECT CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS t FROM lab),
+cum AS (SELECT threshold,
+  CAST(SUM(n) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred,
+  CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp FROM bys)
+SELECT threshold, tp, pred - tp AS fp, (SELECT t FROM tot) - tp AS fn,
+  CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE) AS precision,
+  CASE WHEN (SELECT t FROM tot) = 0 THEN 0.0
+       ELSE CAST(tp AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) END AS recall
+FROM cum""",
+    "q184_sft_transcripts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+  CASE WHEN event_type IN ('view', 'click', 'signup') THEN 'user' ELSE 'assistant' END AS role,
+  event_type AS txt FROM events WHERE user_id % 10 = 0),
+l AS (SELECT user_id, t, event_id, role, role || ': ' || txt AS line FROM e),
+w AS (SELECT *, CAST(length(line) AS BIGINT) AS len,
+  CAST(coalesce(SUM(length(line) + 1) OVER (PARTITION BY user_id ORDER BY t, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM l)
+SELECT user_id, string_agg(line, chr(10) ORDER BY t, event_id) AS transcript,
+  count(*) AS n_turns,
+  coalesce(string_agg(CASE WHEN role = 'assistant' THEN s || '-' || (s + len) END, ';' ORDER BY t, event_id), '') AS mask
+FROM w GROUP BY user_id""",
     "q183_pii_audit" ->
       """WITH inj AS (SELECT doc_id, coalesce(text, '')
     || CASE WHEN doc_id % 7 = 0 THEN ' mail a@b.co and c@d.org' ELSE '' END

@@ -81,4 +81,42 @@ object Classifier {
                         nBuckets: Int = 1 << 15): DataFrame =
     scoreDocs(docs, idCol, textCol, nBuckets,
       tokenHash = graft.operators.Sampling.portableHash60)
+
+  /** Exact precision/recall curve of the rule "keep iff score ≥ t" — the
+    * threshold-tuning surface behind every model-based filter (CCNet /
+    * FineWeb-Edu keep the top band of a quality classifier; the operating
+    * point IS a row of this table). One row per DISTINCT observed score:
+    * (threshold, tp, fp, fn, precision, recall). Counts are exact
+    * integers; precision/recall are each ONE division of those integers,
+    * so the curve replays bit-for-bit in any IEEE engine.
+    *
+    * Scale shape: one count aggregation keyed on score collapses the
+    * corpus to the distinct-score table, and the cumulative window runs
+    * over THAT table only — the q148 quantile-threshold contract
+    * (aggregate before the single-partition window; never a corpus sort).
+    * Scores of real classifiers are low-cardinality (integer sums /
+    * quantized); for continuous scores bucket first.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = scored
+      .groupBy(col(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = scored.agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("__tot"))
+    byScore
+      .withColumn("__pred", sum(col("__n")).over(w))
+      .withColumn("tp", sum(col("__np")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("tp"),
+        (col("__pred") - col("tp")).as("fp"),
+        (col("__tot") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("__pred").cast("double")).as("precision"),
+        when(col("__tot") === 0L, lit(0.0d))
+          .otherwise(col("tp").cast("double") / col("__tot").cast("double")).as("recall"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a candidate-pair relation — the clustering step
@@ -88,6 +88,34 @@ object Clustering {
     val losers = connectedComponents(pairs, aCol, bCol, maxIter)
       .filter(col("comp") =!= col("id"))
       .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware cluster dedup: keep the BEST member of every near-dup
+    * cluster instead of the arbitrary min-id one. Production pipelines
+    * keep the longest / highest-quality-scored copy of a duplicated page
+    * (the other members are truncations, boilerplate-wrapped mirrors, or
+    * lower-quality scrapes); min-id survivor selection silently prefers
+    * whichever copy was crawled first. Ties break on the lower id, so
+    * selection stays deterministic and replayable. Rows outside any
+    * cluster survive untouched.
+    *
+    * Scale shape: the CC label relation is pair-bounded (docs that HAVE a
+    * duplicate); quality rides a doc-keyed join onto it and the argmax is
+    * one aggregation on the component key — the corpus itself joins once,
+    * id-keyed, to learn survivor status.
+    */
+  def dedupByComponentsBest(df: DataFrame, idCol: String, qualityCol: Column,
+                            pairs: DataFrame, aCol: String = "id_a",
+                            bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol, maxIter)
+    val q = df.select(col(idCol).as("id"), qualityCol.as("__q"))
+    val winners = labels.join(q, Seq("id"))
+      .groupBy(col("comp"))
+      .agg(max_by(col("id"), struct(col("__q"), -col("id"))).as("id"))
+      .select(col("id").as(idCol))
+    val losers = labels.select(col("id").as(idCol))
+      .join(winners, Seq(idCol), "left_anti")
     df.join(losers, Seq(idCol), "left_anti")
   }
 

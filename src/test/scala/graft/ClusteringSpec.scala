@@ -35,6 +35,21 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 7L, 10L))
   }
 
+  test("dedupByComponentsBest keeps the highest-quality member, min id only on ties") {
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), // cluster {1,2,3,4}: best q=9, tie -> id 2
+      (7L, 1L),                               // singleton: untouched
+      (10L, 3L), (11L, 8L)                    // cluster {10,11}: best is 11
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val kept = Clustering.dedupByComponentsBest(docs, "doc_id", col("q"), pairs)
+      .orderBy("doc_id").select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(2L, 7L, 11L))
+    // same cluster structure as min-id dedup: one survivor per cluster
+    assert(Clustering.dedupByComponents(docs, "doc_id", pairs).count() == kept.length)
+  }
+
   test("long chain converges under the DEFAULT maxIter (pointer doubling)") {
     // a 60-node path needs ~59 rounds of plain neighbor propagation; the
     // label-of-label shortcut must collapse it in O(log n) rounds, well

@@ -374,4 +374,28 @@ class PipelineOpsSpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("op must be I|U|D")))
     } finally qb.stop()
   }
+
+  test("transcript assembly: exact text, mask ranges cut the assistant lines, empty mask") {
+    import graft.operators.Transcripts
+    val turns = Seq(
+      (1L, 1L, "user", "hello there"),
+      (1L, 2L, "assistant", "hi"),
+      (1L, 3L, "user", "bye"),
+      (1L, 4L, "assistant", "see you"),
+      (2L, 1L, "user", "alone"),
+      (3L, 1L, "assistant", null.asInstanceOf[String])
+    ).toDF("uid", "ord", "role", "txt")
+    val got = Transcripts.assemble(turns, Seq("uid"), Seq(col("ord")), "role", "txt")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    val t1 = "user: hello there\nassistant: hi\nuser: bye\nassistant: see you"
+    assert(got(0) == (1L, t1, 4L, "18-31;42-60"))
+    // the ranges substring to exactly the assistant lines
+    for (r <- got(0)._4.split(";")) {
+      val Array(s, e) = r.split("-").map(_.toInt)
+      assert(t1.substring(s, e).startsWith("assistant: "))
+    }
+    assert(t1.substring(18, 31) == "assistant: hi")
+    assert(got(1) == (2L, "user: alone", 1L, "")) // no assistant -> empty mask
+    assert(got(2) == (3L, "assistant: ", 1L, "0-11")) // null text -> empty payload
+  }
 }

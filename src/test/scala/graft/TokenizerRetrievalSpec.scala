@@ -96,6 +96,28 @@ class TokenizerRetrievalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("prCurve: hand-checked confusion counts, monotone recall, P=1 at the top") {
+    // scores 30,20,20,10 with labels T,T,F,F: thresholds 30/20/10 give
+    // (tp,fp) = (1,0), (2,1), (2,2)
+    val scored = Seq((30L, true), (20L, true), (20L, false), (10L, false))
+      .toDF("score", "label")
+    val got = Classifier.prCurve(scored, "score", "label")
+      .orderBy(col("threshold").desc)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (30L, 1L, 0L, 1L, 1.0, 0.5),
+      (20L, 2L, 1L, 0L, 2.0 / 3.0, 1.0),
+      (10L, 2L, 2L, 0L, 0.5, 1.0)))
+    // laws: recall never decreases as the threshold drops; tp+fn constant
+    got.sliding(2).foreach { case Seq(hi, lo) => assert(lo._6 >= hi._6) case _ => }
+    assert(got.map(r => r._2 + r._4).distinct == Seq(2L))
+    // all-negative labels: recall pinned to 0, no division blow-up
+    val neg = Classifier.prCurve(
+        Seq((5L, false), (1L, false)).toDF("score", "label"), "score", "label")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(neg.forall(r => r._2 == 0L && r._6 == 0.0))
+  }
+
   test("removeDupLines keeps first global occurrence, blanks survive") {
     val docs = Seq(
       (1L, "unique one\nshared boilerplate\n\nclosing line"),
