@@ -2403,6 +2403,29 @@ object SparkEntry {
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
         trainEvery = 5)),
+    "q187_robots_filter" -> ((s, d) => {
+      // crawl compliance (RFC 9309): parse robots.txt bodies into agent
+      // rule groups, classify URLs by longest-matching prefix. The
+      // expectations are hand-derived from the RFC: the exact-agent group
+      // overrides '*' entirely, Allow beats a shorter Disallow,
+      // consecutive User-agent lines share one group, no match = allowed
+      import s.implicits._
+      val robots = Seq(
+        ("hosta.example", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/\n# comment\nUser-agent: *\nDisallow: /"),
+        ("hostb.example", "User-agent: otherbot\nUser-agent: graftbot\nDisallow: /tmp/\nDisallow:")
+      ).toDF("host", "content")
+      val urls = Seq(
+        "http://hosta.example/private/secret",
+        "http://hosta.example/private/pub/x",
+        "http://hosta.example/open",
+        "http://hosta.example",
+        "http://hostb.example/tmp/x",
+        "http://hostb.example/",
+        "http://hostc.example/anything").toDF("url")
+      val rules = graft.functions.UrlFunctions.parseRobots(
+        robots, "host", "content", "graftbot")
+      graft.functions.UrlFunctions.robotsFilter(urls, "url", rules)
+    }),
     "q186_dedup_keep_best" -> ((s, d) => {
       // quality-aware cluster dedup: q75's near-dup clusters, but the
       // SURVIVOR is the longest member (coalesced n_chars, id tie-break)
@@ -3794,6 +3817,20 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
   ('a.bmp', 'b.bmp', 0),
   ('a.bmp', 'f.bmp', 1),
   ('b.bmp', 'f.bmp', 1)) AS t(file_a, file_b, hamming)""",
+    "q187_robots_filter" ->
+      // hand-derived from RFC 9309: exact-agent group governs hosta (the
+      // '*' Disallow / is ignored), /private/pub/ outranks /private/ by
+      // length, hostb's multi-UA group disallows /tmp/ (the empty
+      // "Disallow:" contributes nothing), hostc has no rules
+      """SELECT * FROM (VALUES
+  ('http://hosta.example/private/secret', false, '/private/'),
+  ('http://hosta.example/private/pub/x', true, '/private/pub/'),
+  ('http://hosta.example/open', true, CAST(NULL AS VARCHAR)),
+  ('http://hosta.example', true, CAST(NULL AS VARCHAR)),
+  ('http://hostb.example/tmp/x', false, '/tmp/'),
+  ('http://hostb.example/', true, CAST(NULL AS VARCHAR)),
+  ('http://hostc.example/anything', true, CAST(NULL AS VARCHAR))
+) AS t(url, allowed, matched_prefix)""",
     "q186_dedup_keep_best" ->
       (ccLabelsSql + """,
 lq AS (SELECT l.id, l.comp, coalesce(d.n_chars, -1) AS q FROM labels l

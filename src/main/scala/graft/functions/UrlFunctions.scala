@@ -93,6 +93,92 @@ object UrlFunctions {
     * scale list would broadcast-anti-join instead) — a pure per-row filter
     * that composes unchanged with Structured Streaming.
     */
+  // -----------------------------------------------------------------------
+  // robots.txt compliance (RFC 9309, the Robots Exclusion Protocol) — the
+  // crawl-legality filter a compliant corpus pipeline applies before any
+  // content lands: parse each host's robots.txt into per-agent rule groups,
+  // classify every URL by the longest matching path prefix. Both steps are
+  // declarative plans (line explode + windows for grouping; an equi-join on
+  // host + one argmax for matching), so compliance can be re-audited from
+  // the stored rules at any time.
+  // -----------------------------------------------------------------------
+
+  /** Parse raw robots.txt bodies into the rule relation [[robotsFilter]]
+    * consumes: (host, prefix, allow) — the Allow/Disallow lines of the
+    * group(s) governing `userAgent`. RFC 9309 semantics on the happy path:
+    * `#` comments stripped; groups are runs of consecutive `User-agent`
+    * lines followed by their rules; the crawler obeys the exact-agent
+    * group(s) when the host has any, else the `*` group(s); rules outside
+    * any group are ignored; empty-value rules ("Disallow:" = no
+    * restriction) contribute nothing. Percent-encoding equivalence and
+    * `$`/`*` wildcards are out of scope (documented — prefixes match
+    * literally).
+    *
+    * Scale shape: one line explode (rows ∝ robots bytes — tiny next to a
+    * crawl), two windows partitioned by host for grouping, and
+    * group-membership semi-joins on (host, grp) — all host-keyed.
+    */
+  def parseRobots(robots: DataFrame, hostCol: String, contentCol: String,
+                  userAgent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ua = userAgent.toLowerCase
+    val lines = robots
+      .select(lower(col(hostCol)).as("host"),
+        posexplode(split(coalesce(col(contentCol), lit("")), "\n")).as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(col("line") =!= "")
+      .withColumn("dir", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("v", trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("dir").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("st", when(col("dir") === "user-agent" &&
+        coalesce(lag(col("dir"), 1).over(w) =!= "user-agent", lit(true)), 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum(col("st"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agents = grouped.filter(col("dir") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("v")).as("agent"))
+    val exactGroups = agents.filter(col("agent") === ua)
+      .select("host", "grp").distinct()
+    val starGroups = agents.filter(col("agent") === "*")
+      .select("host", "grp").distinct()
+    val chosen = exactGroups.unionByName(
+      starGroups.join(exactGroups.select("host").distinct(), Seq("host"), "left_anti"))
+    grouped
+      .filter(col("dir").isin("allow", "disallow") && col("v") =!= "" && col("grp") > 0)
+      .join(chosen, Seq("host", "grp"), "left_semi")
+      .select(col("host"), col("v").as("prefix"), (col("dir") === "allow").as("allow"))
+      .distinct()
+  }
+
+  /** Classify every URL against a parsed rule relation (host, prefix,
+    * allow): RFC 9309 §2.2.2 — the LONGEST matching prefix governs; an
+    * allow and disallow of equal length tie toward allow; no matching rule
+    * (or no rules for the host) means allowed. Output: (urlCol, allowed,
+    * matched_prefix) with matched_prefix NULL on default-allow.
+    *
+    * Scale shape: one host equi-join (rules are hosts-sized — broadcast
+    * when small, AQE decides), then one argmax aggregation keyed on the
+    * URL; per-URL cost is its host's rule count, never the global table.
+    */
+  def robotsFilter(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val parts = urls.select(col(urlCol),
+        urlHost(col(urlCol)).as("host"),
+        coalesce(nullif(regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1), lit("")), lit("/"))
+          .as("__path"))
+    parts.join(rules.select(col("host"), col("prefix"), col("allow")), Seq("host"), "left")
+      .withColumn("__m", col("prefix").isNotNull && col("__path").startsWith(col("prefix")))
+      .groupBy(col(urlCol))
+      .agg(max(when(col("__m"),
+        struct(length(col("prefix")).as("l"),
+          col("allow").cast("int").as("a"), col("prefix").as("p")))).as("__w"))
+      .select(col(urlCol),
+        coalesce(col("__w.a") === 1, lit(true)).as("allowed"),
+        col("__w.p").as("matched_prefix"))
+  }
+
   def blockByDomain(df: DataFrame, urlCol: Column,
                     blocked: Seq[String]): DataFrame =
     df.filter(!registeredDomain(urlHost(urlCol)).isin(blocked.map(_.toLowerCase): _*))

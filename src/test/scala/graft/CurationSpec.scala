@@ -491,6 +491,30 @@ class CurationSpec extends SparkSpec {
       (21L, 3L, 5L, 1L)))
   }
 
+  test("robots: exact-agent group overrides '*', longest prefix wins, allow breaks ties") {
+    import graft.functions.UrlFunctions
+    val robots = Seq(
+      ("a.example", "User-agent: bot\nDisallow: /x/\nAllow: /x/ok/\nUser-agent: *\nDisallow: /"),
+      // '*'-only host; tie length between allow and disallow -> allow
+      ("b.example", "User-agent: *\nDisallow: /p/\nAllow: /q/\nAllow: /p/\n"),
+      // rules BEFORE any group header are ignored (RFC: no governing agent)
+      ("c.example", "Disallow: /\nUser-agent: unrelated\nDisallow: /also/")
+    ).toDF("host", "content")
+    val rules = UrlFunctions.parseRobots(robots, "host", "content", "bot")
+    val got = UrlFunctions.robotsFilter(
+        Seq("http://a.example/x/secret", "http://a.example/x/ok/1",
+          "http://a.example/y", "http://b.example/p/z",
+          "http://c.example/anything").toDF("url"),
+        "url", rules)
+      .as[(String, Boolean, String)].collect()
+      .map { case (u, a, p) => u -> ((a, Option(p))) }.toMap
+    assert(got("http://a.example/x/secret") == (false, Some("/x/")))
+    assert(got("http://a.example/x/ok/1") == (true, Some("/x/ok/")))
+    assert(got("http://a.example/y") == (true, None)) // '*' group ignored: exact exists
+    assert(got("http://b.example/p/z") == (true, Some("/p/"))) // equal-length tie -> allow
+    assert(got("http://c.example/anything") == (true, None)) // headerless rules ignored
+  }
+
   test("exciseContaminatedSpans cuts exactly the attributed words, clean docs pass through") {
     val bench = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
     val docs = Seq(
