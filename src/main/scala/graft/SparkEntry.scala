@@ -2403,6 +2403,36 @@ object SparkEntry {
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
         trainEvery = 5)),
+    "q189_image_hash_stream" -> ((s, d) => {
+      // batch-parity gate for STREAMING perceptual dedup: the q177
+      // gradient fixtures (plus their brightness-shifted duplicates) fed
+      // through a MemoryStream, dHash computed by the SAME mapPartitions
+      // decode stage inside the streaming query, then an Update-mode
+      // count per hash — the dedup signal (-1 carries the duplicate pair)
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Array[Byte])]
+      mem.addData(
+        ("a.bmp", fixtureGradientBmp()),
+        ("b.bmp", fixtureGradientBmp(shift = 17)),
+        ("c.bmp", fixtureGradientBmp(invert = true)),
+        ("f.bmp", fixtureGradientBmp(dip = true)))
+      val qn = s"q189_imghash_${memSeq.incrementAndGet()}"
+      val q = graft.operators.Multimodal.imageDHashes(
+          mem.toDF().toDF("path", "content"))
+        .groupBy(col("dhash")).agg(count(lit(1)).as("n_images"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    }),
+    "q188_datasheet" -> ((s, d) =>
+      // the release data card (Datasheets for Datasets accounting): one
+      // exact-integer row per source — volume, language makeup with the
+      // deterministic dominant language, exact-dup copies, PII exposure —
+      // co-signable by any engine reading the same parquet
+      graft.operators.Profile.datasheet(
+        t(s, d, "documents"), "source", "doc_id", "text", "lang")),
     "q187_robots_filter" -> ((s, d) => {
       // crawl compliance (RFC 9309): parse robots.txt bodies into agent
       // rule groups, classify URLs by longest-matching prefix. The
@@ -3817,6 +3847,34 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
   ('a.bmp', 'b.bmp', 0),
   ('a.bmp', 'f.bmp', 1),
   ('b.bmp', 'f.bmp', 1)) AS t(file_a, file_b, hamming)""",
+    "q189_image_hash_stream" ->
+      // the spec-derived q177 hashes aggregated: the gradient and its
+      // brightness-shifted duplicate share -1, inversion and dip are alone
+      """SELECT * FROM (VALUES
+  (CAST(-1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(-9 AS BIGINT), CAST(1 AS BIGINT))) AS t(dhash, n_images)""",
+    "q188_datasheet" ->
+      """WITH m AS (SELECT source, doc_id, coalesce(text, '') AS txt, coalesce(lang, '') AS lang FROM documents),
+pii AS (SELECT source, lang, length(txt) AS len,
+  lower(trim(regexp_replace(txt, '\s+', ' ', 'g'))) AS canon,
+  len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+  len(regexp_extract_all(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i,
+  len(regexp_extract_all(regexp_replace(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'), '\+[0-9]{7,15}\b')) AS p
+FROM m),
+base AS (SELECT source, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars,
+  count(*) - count(DISTINCT canon) AS dup_docs,
+  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs
+FROM pii GROUP BY source),
+pl AS (SELECT source, lang, count(*) AS n FROM pii GROUP BY source, lang),
+tl AS (SELECT source, count(*) AS n_langs FROM pl GROUP BY source),
+top AS (SELECT source, lang AS top_lang, CAST(n AS BIGINT) AS top_lang_docs FROM
+  (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk FROM pl) WHERE rk = 1)
+SELECT b.source, b.n_docs, b.n_chars, b.dup_docs, b.pii_docs,
+  tl.n_langs, top.top_lang, top.top_lang_docs
+FROM base b JOIN tl USING (source) JOIN top USING (source)""",
     "q187_robots_filter" ->
       // hand-derived from RFC 9309: exact-agent group governs hosta (the
       // '*' Disallow / is ignored), /private/pub/ outranks /private/ by

@@ -168,4 +168,43 @@ object Profile {
         when(col("bucket") < 0, lit(0L))
           .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")))
   }
+
+  /** Per-source dataset DATASHEET — the data-card table shipped with a
+    * release (Gebru et al. 2021's "Datasheets for Datasets" accounting,
+    * collapsed to the per-source row a curation review reads): volume
+    * (docs, chars), language makeup (distinct langs + the dominant one
+    * with its share numerator), duplication (exact-dup docs = rows minus
+    * distinct canonical fingerprints), and PII exposure (documents
+    * carrying any email/IP/phone hit). One pass, one aggregation keyed on
+    * the source column; every figure is an exact integer so the datasheet
+    * replays bit-for-bit and two engines can co-sign a release.
+    *
+    * The dominant language resolves by (count desc, lang asc) — max_by on
+    * an exact struct, deterministic under ties. `dup_docs` counts the
+    * EXTRA copies (a source with no duplicates reports 0).
+    */
+  def datasheet(docs: DataFrame, sourceCol: String, idCol: String,
+                textCol: String, langCol: String): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val pii = graft.functions.TextFunctions.piiCounts(col(textCol))
+    val perLang = docs
+      .groupBy(col(sourceCol), coalesce(col(langCol), lit("")).as("__lang"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_langs"),
+        min_by(struct(col("__lang").as("l"), col("__n").as("n")),
+          struct((lit(0L) - col("__n")).as("neg"), col("__lang").as("l"))).as("__ml"))
+      .select(col(sourceCol), col("n_langs"),
+        col("__ml.l").as("top_lang"), col("__ml.n").as("top_lang_docs"))
+    val base = docs.select(col(sourceCol), col(idCol), txt.as("__t"),
+        graft.functions.TextFunctions.fingerprint(txt).as("__fp"),
+        pii.as("__pii"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("__t"))).as("n_chars"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("dup_docs"),
+        sum(when(col("__pii.n_emails") + col("__pii.n_ips") +
+          col("__pii.n_phones") > 0, 1L).otherwise(0L)).as("pii_docs"))
+    base.join(perLang, Seq(sourceCol))
+  }
 }

@@ -491,6 +491,26 @@ class CurationSpec extends SparkSpec {
       (21L, 3L, 5L, 1L)))
   }
 
+  test("datasheet: volume, dup copies, PII exposure, deterministic dominant language") {
+    import graft.operators.Profile
+    val docs = Seq(
+      (1L, "s1", "en", "hello world"),
+      (2L, "s1", "en", "hello  WORLD"),            // same canonical form: 1 dup copy
+      (3L, "s1", "fr", "bonjour"),
+      (4L, "s1", "de", "contact a@b.co today"),    // 1 PII doc
+      (5L, "s2", "fr", "un"),
+      (6L, "s2", "en", "two"),                     // s2: three langs tie at 1 -> '' (lang asc)
+      (7L, "s2", null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = Profile.datasheet(docs, "source", "doc_id", "text", "lang")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, String, Long)].collect().toSeq
+    // (source, n_docs, n_chars, dup_docs, pii_docs, n_langs, top_lang, top_lang_docs)
+    assert(got == Seq(
+      ("s1", 4L, 11L + 12L + 7L + 20L, 1L, 1L, 3L, "en", 2L),
+      ("s2", 3L, 2L + 3L + 0L, 0L, 0L, 3L, "", 1L)))
+  }
+
   test("robots: exact-agent group overrides '*', longest prefix wins, allow breaks ties") {
     import graft.functions.UrlFunctions
     val robots = Seq(
