@@ -2403,6 +2403,19 @@ object SparkEntry {
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
         trainEvery = 5)),
+    "q190_bloom_roundtrip" -> ((s, d) => {
+      // point-lookup layout: documents re-written with a doc_id bloom
+      // filter, then probed with an IN filter — the row groups that
+      // survive come from bloom skipping, and the rows must equal the
+      // plain-scan answer (false positives cost IO, never correctness)
+      val dir = tmpDir() + "/bloom_q190"
+      graft.sinks.Bucketing.writeWithBloomFilters(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        dir, Seq("doc_id"), ndv = 100000L)
+      s.read.parquet(dir)
+        .filter(col("doc_id").isin(3L, 97L, 205L, 444L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
     "q189_image_hash_stream" -> ((s, d) => {
       // batch-parity gate for STREAMING perceptual dedup: the q177
       // gradient fixtures (plus their brightness-shifted duplicates) fed
@@ -3847,6 +3860,9 @@ GROUP BY 1, 2 HAVING count(*) >= 2""",
   ('a.bmp', 'b.bmp', 0),
   ('a.bmp', 'f.bmp', 1),
   ('b.bmp', 'f.bmp', 1)) AS t(file_a, file_b, hamming)""",
+    "q190_bloom_roundtrip" ->
+      """SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id IN (3, 97, 205, 444)""",
     "q189_image_hash_stream" ->
       // the spec-derived q177 hashes aggregated: the gradient and its
       // brightness-shifted duplicate share -1, inversion and dip are alone

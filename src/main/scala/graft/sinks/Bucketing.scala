@@ -32,4 +32,24 @@ object Bucketing {
                    leftTable: String, rightTable: String,
                    key: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key, joinType)
+
+  /** Write parquet with per-column BLOOM FILTERS (plus the usual min/max
+    * stats) for the given columns — the point-lookup layout for 100 TB
+    * lakes: `id = x` probes skip every row group whose filter rules the
+    * key out, which min/max stats cannot do for high-cardinality unsorted
+    * ids. `ndv` sizes each filter (expected distinct values per row
+    * group). The reader needs nothing special: Spark's vectorized parquet
+    * reader consumes the filters under the existing
+    * `spark.sql.parquet.filterPushdown` flag.
+    */
+  def writeWithBloomFilters(df: DataFrame, path: String, bloomCols: Seq[String],
+                            ndv: Long = 100000L,
+                            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    var w = df.write.mode(mode)
+    for (c <- bloomCols) {
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
 }

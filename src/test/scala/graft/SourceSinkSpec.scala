@@ -298,4 +298,37 @@ class SourceSinkSpec extends SparkSpec {
       ("https://a/3", 200, "image/png"),
       ("https://a/4", 200, "text/html")))
   }
+
+  test("bloom-filter parquet writes: filter present in the footer, membership exact-ish") {
+    import graft.sinks.Bucketing
+    val dir = tmp("bloomwrite")
+    val df = spark.range(0, 5000).coalesce(1)
+      .selectExpr("id", "CAST(id % 7 AS STRING) AS tag")
+    Bucketing.writeWithBloomFilters(df, s"$dir/t", Seq("id"), ndv = 5000L)
+    // footer-level proof: the id column chunk carries a bloom filter, the
+    // non-requested column does not
+    val conf = spark.sparkContext.hadoopConfiguration
+    val part = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf))
+    try {
+      val cols = reader.getRowGroups.get(0).getColumns
+      val byName = (0 until cols.size()).map(i => cols.get(i))
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("id").getBloomFilterOffset >= 0, "no bloom filter on id")
+      assert(byName("tag").getBloomFilterOffset < 0, "unexpected bloom filter on tag")
+      // the filter answers membership: every written id hits, absent keys
+      // mostly miss (false positives allowed by contract, negatives never)
+      val bf = reader.getBloomFilterDataReader(reader.getRowGroups.get(0))
+        .readBloomFilter(byName("id"))
+      def mightContain(v: Long): Boolean = bf.findHash(bf.hash(v))
+      assert((0L until 5000L by 500L).forall(mightContain))
+      val misses = (100000L until 100100L).count(!mightContain(_))
+      assert(misses > 90, s"implausible false-positive rate: ${100 - misses}%")
+    } finally reader.close()
+    // and the data reads back intact through the normal scan
+    assert(spark.read.parquet(s"$dir/t").count() == 5000L)
+  }
 }
