@@ -2420,8 +2420,9 @@ object SparkEntry {
       // batch-parity gate for STREAMING perceptual dedup: the q177
       // gradient fixtures (plus their brightness-shifted duplicates) fed
       // through a MemoryStream, dHash computed by the SAME mapPartitions
-      // decode stage inside the streaming query, then an Update-mode
-      // count per hash — the dedup signal (-1 carries the duplicate pair)
+      // decode stage inside the streaming query, then a complete-mode
+      // count per hash — the dedup signal (hash -1 carries the duplicate
+      // pair at n_images=2)
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime

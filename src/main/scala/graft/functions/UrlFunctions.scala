@@ -155,20 +155,25 @@ object UrlFunctions {
   /** Classify every URL against a parsed rule relation (host, prefix,
     * allow): RFC 9309 §2.2.2 — the LONGEST matching prefix governs; an
     * allow and disallow of equal length tie toward allow; no matching rule
-    * (or no rules for the host) means allowed. Output: (urlCol, allowed,
-    * matched_prefix) with matched_prefix NULL on default-allow.
+    * (or no rules for the host) means allowed. Output: every INPUT column
+    * plus (allowed, matched_prefix), matched_prefix NULL on default-allow
+    * — one output row per input row (duplicate URLs keep their
+    * multiplicity; a frontier DataFrame's other columns ride through).
     *
-    * Scale shape: one host equi-join (rules are hosts-sized — broadcast
-    * when small, AQE decides), then one argmax aggregation keyed on the
-    * URL; per-URL cost is its host's rule count, never the global table.
+    * Scale shape: verdicts are computed once per DISTINCT url — one host
+    * equi-join (rules are hosts-sized — broadcast when small, AQE
+    * decides), one argmax aggregation keyed on the url — then a single
+    * equi-join fans the verdict back onto the input; per-URL cost is its
+    * host's rule count, never the global table.
     */
   def robotsFilter(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
-    val parts = urls.select(col(urlCol),
+    val parts = urls.select(col(urlCol)).distinct().select(col(urlCol),
         urlHost(col(urlCol)).as("host"),
         coalesce(nullif(regexp_extract(col(urlCol),
           "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1), lit("")), lit("/"))
           .as("__path"))
-    parts.join(rules.select(col("host"), col("prefix"), col("allow")), Seq("host"), "left")
+    val verdicts = parts
+      .join(rules.select(col("host"), col("prefix"), col("allow")), Seq("host"), "left")
       .withColumn("__m", col("prefix").isNotNull && col("__path").startsWith(col("prefix")))
       .groupBy(col(urlCol))
       .agg(max(when(col("__m"),
@@ -177,6 +182,7 @@ object UrlFunctions {
       .select(col(urlCol),
         coalesce(col("__w.a") === 1, lit(true)).as("allowed"),
         col("__w.p").as("matched_prefix"))
+    urls.join(verdicts, Seq(urlCol), "left")
   }
 
   def blockByDomain(df: DataFrame, urlCol: Column,

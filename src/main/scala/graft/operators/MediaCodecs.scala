@@ -1299,14 +1299,29 @@ object MediaCodecs {
     * repo decodes (16-bit PCM, G.711 μ-law/A-law, IMA ADPCM): (rate,
     * samples in [-1, 1]). The waveform-level accessor behind the audio
     * fingerprint; `wavInfo` remains the metadata/envelope surface.
+    *
+    * Multi-channel PCM/G.711 payloads DOWNMIX to mono (per-frame channel
+    * mean) — fingerprint windows must never straddle interleaved
+    * channels, and a mono mixdown of the same audio lands near its
+    * stereo original.
     */
   def wavSamples(b: Array[Byte]): Option[(Int, Array[Double])] =
     riffChunks(b).flatMap { case ((af, ch, rate, blockAlign, bits, spb), (off, len)) =>
       if (af == 1 && ch > 0 && rate > 0 && bits == 16)
-        Some((rate, Array.tabulate(len / 2)(s => le16(b, off + s * 2).toShort.toDouble / 32768.0)))
+        Some((rate, Array.tabulate(len / (2 * ch)) { f =>
+          var acc = 0.0
+          var c = 0
+          while (c < ch) { acc += le16(b, off + (f * ch + c) * 2).toShort; c += 1 }
+          acc / (32768.0 * ch)
+        }))
       else if ((af == 6 || af == 7) && ch > 0 && rate > 0 && bits == 8) {
         val dec: Int => Int = if (af == 7) ulawToPcm else alawToPcm
-        Some((rate, Array.tabulate(len)(s => dec(b(off + s) & 0xFF).toDouble / 32768.0)))
+        Some((rate, Array.tabulate(len / ch) { f =>
+          var acc = 0.0
+          var c = 0
+          while (c < ch) { acc += dec(b(off + f * ch + c) & 0xFF); c += 1 }
+          acc / (32768.0 * ch)
+        }))
       } else if (af == 0x11 && ch == 1 && rate > 0 && bits == 4 &&
         blockAlign >= 8 && spb > 0 && spb <= (blockAlign - 4) * 2 + 1 && len >= blockAlign) {
         val pcm = imaAdpcmDecode(b, off, len, blockAlign, spb)

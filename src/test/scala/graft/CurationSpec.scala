@@ -533,6 +533,19 @@ class CurationSpec extends SparkSpec {
     assert(got("http://a.example/y") == (true, None)) // '*' group ignored: exact exists
     assert(got("http://b.example/p/z") == (true, Some("/p/"))) // equal-length tie -> allow
     assert(got("http://c.example/anything") == (true, None)) // headerless rules ignored
+
+    // cardinality + column contract: duplicate URLs keep their
+    // multiplicity and the frontier's other columns ride through
+    val frontier = Seq(
+      ("http://a.example/x/secret", 1), ("http://a.example/x/secret", 2),
+      ("http://a.example/y", 3)).toDF("url", "crawl_id")
+    val kept = UrlFunctions.robotsFilter(frontier, "url", rules)
+      .as[(String, Int, Boolean, String)].collect()
+      .map { case (u, cid, a, p) => (u, cid, a, Option(p)) }.toSet
+    assert(kept == Set(
+      ("http://a.example/x/secret", 1, false, Some("/x/")),
+      ("http://a.example/x/secret", 2, false, Some("/x/")),
+      ("http://a.example/y", 3, true, None)))
   }
 
   test("exciseContaminatedSpans cuts exactly the attributed words, clean docs pass through") {

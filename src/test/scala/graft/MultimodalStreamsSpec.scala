@@ -73,6 +73,23 @@ class MultimodalStreamsSpec extends SparkSpec {
     out
   }
 
+  /** Interleaved stereo 16-bit PCM WAV; `frames` holds (left, right). */
+  private def makeStereoWav(rate: Int, frames: Array[(Short, Short)]): Array[Byte] = {
+    val dataLen = frames.length * 4
+    val out = new Array[Byte](44 + dataLen)
+    def tag(i: Int, s: String): Unit = (0 until 4).foreach(k => out(i + k) = s(k).toByte)
+    def le32(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte }
+    def le16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 2); le32(24, rate)
+    le32(28, rate * 4); le16(32, 4); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    frames.zipWithIndex.foreach { case ((l, r), i) =>
+      le16(44 + i * 4, l & 0xFFFF); le16(46 + i * 4, r & 0xFFFF) }
+    out
+  }
+
   /** Minimal MP4: moov > trak > [mdia > hdlr(vide), minf > stbl > stts]. */
   private def makeMp4(frameCounts: Seq[Int]): Array[Byte] = {
     def be32(v: Int): Array[Byte] =
@@ -291,6 +308,17 @@ class MultimodalStreamsSpec extends SparkSpec {
     assert(fpOf(envelope(asc.updated(4, 0))) == (-1L ^ 8L))
     // below 65 samples there is no fingerprint
     assert(MediaCodecs.audioFingerprint64(Array.fill(64)(0.5)).isEmpty)
+    // stereo downmix: an L==R stereo copy decodes to the mono waveform
+    // (frame count, not interleaved-sample count), and a one-sided mix
+    // (R muted) is a uniform gain change — same fingerprint as the mono
+    val monoSamples = envelope(asc)
+    val (srate, stereoDec) = MediaCodecs.wavSamples(
+      makeStereoWav(8000, monoSamples.map(s => (s, s)))).get
+    assert(srate == 8000 && stereoDec.length == monoSamples.length)
+    assert(stereoDec.sameElements(monoSamples.map(_.toDouble / 32768.0)))
+    val (_, oneSided) = MediaCodecs.wavSamples(
+      makeStereoWav(8000, monoSamples.map(s => (s, 0.toShort)))).get
+    assert(MediaCodecs.audioFingerprint64(oneSided).get == fpOf(monoSamples))
     // end-to-end: the G.711-style distinct copies pair, the reversal never
     val dir = tmp("afp_media")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.wav"),
