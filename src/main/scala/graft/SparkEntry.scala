@@ -1388,6 +1388,21 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.99, centroidEvery = 25,
         trainEvery = 5)
     }),
+    "q191_semdedup_capped" -> ((s, d) => {
+      // q103's SemDeDup with the degenerate-cell guard ON (maxCell=25, the
+      // mean cell size): cells above the cap are excluded from pair
+      // generation behind an observed dropped-cells metric — the bucket-cap
+      // contract every other pair generator in the repo already carries,
+      // here proven oracle-exact (the cap is plain SQL: cells sized by a
+      // count, oversized ones anti-joined out of the pairing)
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val withCopies = emb.unionByName(
+        emb.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 10001L).as("vec_id"), col("embedding")))
+      graft.functions.VectorFunctions.semDedupPortable(withCopies,
+        "vec_id", "embedding", threshold = 0.99, centroidEvery = 25,
+        trainEvery = 5, maxCell = 25)
+    }),
     "q104_prototype_prune" -> ((s, d) =>
       // Sorscher et al. 2022 data pruning: rank by cosine-to-centroid
       // within each k-means cell, keep the hardest (least prototypical)
@@ -3182,6 +3197,7 @@ SELECT t.doc_id,
 FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
 GROUP BY t.doc_id""",
     "q103_semdedup" -> semDedupOracleSql,
+    "q191_semdedup_capped" -> semDedupCappedOracleSql,
     "q104_prototype_prune" -> prototypePruneOracleSql,
     "q105_epoch_shuffle" ->
       s"""WITH e AS (SELECT doc_id, CAST(ep AS INTEGER) AS epoch
@@ -4201,6 +4217,20 @@ WHERE rank <= 5"""
   private lazy val semDedupOracleSql: String =
     lloydCtesSql(withInjectedCopies = true) +
       "dropped AS (SELECT DISTINCT b.vec_id AS id FROM a1 a JOIN a1 b " +
+      "ON a.cid = b.cid AND a.vec_id < b.vec_id WHERE " +
+      portableCosSql("a.v", "b.v") + " >= 0.99) " +
+      "SELECT a1.vec_id, a1.cid AS cell, d.id IS NULL AS kept " +
+      "FROM a1 LEFT JOIN dropped d ON a1.vec_id = d.id"
+
+  /** DuckDB replay of q103's SemDeDup with the maxCell=25 degenerate-cell
+    * guard: cells sized by a count, oversized ones excluded from the
+    * pairing (their members stay kept), everything else identical.
+    */
+  private lazy val semDedupCappedOracleSql: String =
+    lloydCtesSql(withInjectedCopies = true) +
+      "sizes AS (SELECT cid, count(*) AS n FROM a1 GROUP BY cid), " +
+      "elig AS (SELECT a1.* FROM a1 JOIN sizes USING (cid) WHERE n <= 25), " +
+      "dropped AS (SELECT DISTINCT b.vec_id AS id FROM elig a JOIN elig b " +
       "ON a.cid = b.cid AND a.vec_id < b.vec_id WHERE " +
       portableCosSql("a.v", "b.v") + " >= 0.99) " +
       "SELECT a1.vec_id, a1.cid AS cell, d.id IS NULL AS kept " +

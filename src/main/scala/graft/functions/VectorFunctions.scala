@@ -23,6 +23,10 @@ import org.apache.spark.sql.types._
   */
 object VectorFunctions {
 
+  // Unique per-action observe names (Spark rejects duplicate observation
+  // names within one query) — same rationale as NearDedup.dropSeq.
+  private val cellDropSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
@@ -577,7 +581,10 @@ object VectorFunctions {
     * Scale shape: assignment is corpus × k with the centroid table
     * broadcast; the update is one posexplode + two aggregations sharing the
     * cell key (linear in corpus × dim); the dedup self-join is within-cell
-    * only. Cells inherit the skew bound of the seed spacing — at 100 TB the
+    * only, and `maxCell` bounds it against degenerate cells (oversized
+    * cells are excluded from pair generation behind an observed
+    * dropped-cells/rows metric — the minhash bucket-cap contract). Cells
+    * inherit the skew bound of the seed spacing — at 100 TB the
     * seed would come from a hash-spread sample (ivfTopK's) and `rounds`
     * Lloyd passes tighten cells without any new shuffle shape. Like
     * ivfTopKPortable vs ivfTopK, this is the externally-replayable
@@ -588,12 +595,29 @@ object VectorFunctions {
   def semDedupPortable(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, centroidEvery: Int = 25,
                        rounds: Int = 1, quantScale: Double = 65536.0,
-                       trainEvery: Int = 1): DataFrame = {
+                       trainEvery: Int = 1, maxCell: Int = 0): DataFrame = {
     val (assigned, _) =
       quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
         trainEvery)
-    val a = assigned.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = assigned.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
+    // maxCell > 0 bounds the within-cell pairwise join — the same contract
+    // as minhashPairs' bucket cap (NearDedup.bucketedCandidates): a
+    // degenerate cell (zero-ish embeddings, one boilerplate topic swallowing
+    // the corpus) would make the self-join quadratic in ITS size, so cells
+    // larger than the cap are excluded from pair generation (their members
+    // stay kept=true, uncompared) and the dropped volume is surfaced via an
+    // observed metric — count-only aggregate + broadcast anti-join, the
+    // oversized cell never materializes as a joined pair block. Default 0 =
+    // uncapped (exact SemDeDup semantics for bounded corpora).
+    val eligible = if (maxCell <= 0) assigned else {
+      val sized = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        .observe(s"semdedup_dropped_cells_${cellDropSeq.incrementAndGet()}",
+          sum(when(col("n") > maxCell, lit(1L)).otherwise(lit(0L))).as("dropped_cells"),
+          sum(when(col("n") > maxCell, col("n")).otherwise(lit(0L))).as("dropped_rows"))
+      val hot = sized.filter(col("n") > maxCell).select(col("cid"))
+      assigned.join(broadcast(hot), Seq("cid"), "left_anti")
+    }
+    val a = eligible.select(col("cid"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = eligible.select(col("cid"), col("id").as("id_b"), col("__v").as("__vb"))
     val dropped = a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("__va"), col("__vb")) >= threshold)

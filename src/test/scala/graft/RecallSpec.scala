@@ -215,6 +215,45 @@ class RecallSpec extends SparkSpec {
     assert(run() == out) // bit-identical rerun: quantized sums are exact
   }
 
+  test("semDedup maxCell: oversized cells skip pairing behind an observed metric") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // two seeded cells (ids 0 and 25 under centroidEvery=25): a degenerate
+    // 10-member cell of identical vectors and a 2-member near-dup cell
+    val corpus = ((0L to 9L).map(i => (i, Seq(1.0, 0.0, 0.0))) ++
+      Seq((25L, Seq(0.0, 1.0, 0.0)), (26L, Seq(0.0, 1.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    def keptOf(maxCell: Int): Set[Long] =
+      VectorFunctions.semDedupPortable(corpus, "vec_id", "embedding",
+        threshold = 0.99, centroidEvery = 25, maxCell = maxCell)
+        .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    // law: a cap no cell exceeds is EXACTLY the uncapped operator
+    assert(keptOf(100) == keptOf(0))
+    assert(keptOf(0) == Set(0L, 25L))
+    @volatile var droppedCells = -1L
+    @volatile var droppedRows = -1L
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("semdedup_dropped_cells_")) {
+            droppedCells = row.getAs[Long]("dropped_cells")
+            droppedRows = row.getAs[Long]("dropped_rows")
+          }
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // cap 5: the 10-member cell is excluded from pairing (members stay
+      // kept, uncompared); the small cell still dedups
+      assert(keptOf(5) == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 25L))
+      val deadline = System.currentTimeMillis() + 10000
+      while (droppedCells < 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(droppedCells == 1L, "dropped-cell metric never observed or wrong")
+      assert(droppedRows == 10L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("clusterBalancedSample caps big cells, keeps small cells whole, nests by cap") {
     def run(cap: Int) = VectorFunctions.clusterBalancedSample(
         emb.select(col("vec_id"), col("embedding")),
