@@ -2626,6 +2626,24 @@ object SparkEntry {
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
 
+  /** The rows-only ↔ oracle-green twin pairing, machine-readable: each
+    * key is a registered query with NO DuckDB oracle (a native LSH/IVF
+    * surface whose non-portable hashing the oracle cannot replay); its
+    * value is the registered PORTABLE twin — the same pipeline on an
+    * engine-neutral basis — that IS oracle-checked bit-for-bit. Verify
+    * dumps this as rows_only_twins.json next to oracle_sql.json so
+    * correctness consumers can verify the pairing automatically instead
+    * of trusting COVERAGE.md prose. A spec pins the invariants: every
+    * no-oracle query has a twin, every twin has an oracle.
+    */
+  val rowsOnlyTwins: Map[String, String] = Map(
+    "q47_minhash_pairs" -> "q93_minhash_portable",
+    "q48_minhash_dedup" -> "q154_minhash_dedup_portable",
+    "q49_simhash_pairs" -> "q94_simhash_portable",
+    "q51_lsh_topk" -> "q95_lsh_portable",
+    "q52_ivf_topk" -> "q96_ivf_portable",
+    "q53_cosine_neardup" -> "q146_cosine_dup_portable")
+
   /** q147 Misra-Gries parity constants — the ONLY definition; the oracle
     * SQL interpolates them so capacity/shard changes cannot desync the two
     * sides. Capacity is deliberately generous: exactness needs

@@ -16,6 +16,20 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("rows-only twin registry: every no-oracle query has an oracle-green twin") {
+    val registered = SparkEntry.queries.keySet
+    val withOracle = SparkEntry.oracleSql.keySet
+    val noOracle = registered -- withOracle
+    // the pairing covers EXACTLY the no-oracle set — a new rows-only query
+    // cannot land without declaring its portable twin
+    assert(SparkEntry.rowsOnlyTwins.keySet == noOracle,
+      s"twin keys ${SparkEntry.rowsOnlyTwins.keySet} != no-oracle set $noOracle")
+    SparkEntry.rowsOnlyTwins.foreach { case (k, twin) =>
+      assert(registered.contains(twin), s"$k twin $twin is not a registered query")
+      assert(withOracle.contains(twin), s"$k twin $twin has no oracle SQL")
+    }
+  }
+
   test("q46 exact jaccard plans no cartesian / nested-loop join, df cap present") {
     val p = planOf("q46_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")

@@ -66,4 +66,20 @@ for qdir in sorted(glob.glob(f"{out_dir}/q*")):
     print(f"ok   {name} ({len(a)} rows){note}")
     ok += 1
 
+twin_notes = []
+try:
+    twins = json.load(open(f"{out_dir}/rows_only_twins.json"))
+except Exception:
+    twins = {}
+for name, nrows in rows_only:
+    twin = twins.get(name)
+    if twin is None:
+        twin_notes.append(f"{name}: NO TWIN declared")
+    elif twin not in oracle:
+        twin_notes.append(f"{name}: twin {twin} has no oracle")
+    else:
+        twin_notes.append(f"{name}: twin {twin} oracle-checked above")
+
 print(f"\n{ok} ok, {fail} fail; rows-only (no oracle): {rows_only}")
+if twin_notes:
+    print("rows-only twin pairing: " + "; ".join(twin_notes))
