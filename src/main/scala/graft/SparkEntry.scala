@@ -1403,6 +1403,59 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.99, centroidEvery = 25,
         trainEvery = 5, maxCell = 25)
     }),
+    "q193_winnow_stream" -> ((s, d) => {
+      // STREAMING intake gated against the released corpus: q182's
+      // substring-contamination check with the fresh side arriving through
+      // a MemoryStream. The release's winnow index (winnowSnapshotIndex,
+      // the persistable (prior_id, fp) relation) joins STREAM-STATIC, the
+      // per-doc fingerprint selection runs as the per-row HOF formulation
+      // (winnowFpSets — no window functions, so streaming accepts it), and
+      // one complete-mode count per (fresh_id, prior_id) yields `shared`.
+      // Feed = the deterministic bounded sample doc_id % 5 == 0 of the
+      // fresh half, so driver memory is O(sample) at any sf. Oracle: the
+      // q182 replay restricted to the same sample — batch parity IS the
+      // check.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val priorIdx = NearDedup.winnowSnapshotIndex(
+        docs.filter(col("doc_id") < 400), "doc_id", "text", k = 16, w = 8)
+      val sample = docs
+        .filter(col("doc_id") >= 400 && col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      mem.addData(sample: _*)
+      val fresh = mem.toDF().toDF("doc_id", "text")
+      val hits = NearDedup.winnowFpSets(fresh, "doc_id", "text", k = 16, w = 8)
+        .select(col("doc_id").as("fresh_id"), explode(col("fps")).as("fp"))
+        .join(priorIdx, Seq("fp"))
+        .groupBy(col("fresh_id"), col("prior_id"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      val qn = s"q193_winnow_${memSeq.incrementAndGet()}"
+      val q = hits.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    }),
+    "q192_jdbc_sharded" -> ((s, d) => {
+      // SHARDED pull_sql: the same embedded-Derby engine as q88, but the
+      // read comes back through FOUR partitioned executor connections
+      // (partitionColumn range predicates) — the shape a 1000-executor
+      // JDBC ingest needs, since an unsharded JDBC read is one connection
+      // regardless of cluster size. Oracle = the unsharded parquet truth;
+      // a PlanShapeSpec row asserts the 4-partition scan.
+      val base = tmpDir() + s"/q192_derby_${derbySeq.incrementAndGet()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val url = s"jdbc:derby:$base/db;create=true"
+      val nation = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.sources.Jdbc.pushSql(nation, url, "nation192")
+      graft.sources.Jdbc.pullSql(s, url, "nation192",
+        partitionColumn = Some("n_nationkey"), lowerBound = 0L,
+        upperBound = 25L, numPartitions = 4)
+    }),
     "q104_prototype_prune" -> ((s, d) =>
       // Sorscher et al. 2022 data pruning: rank by cosine-to-centroid
       // within each k-means cell, keep the hardest (least prototypical)
@@ -3216,6 +3269,29 @@ FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
 GROUP BY t.doc_id""",
     "q103_semdedup" -> semDedupOracleSql,
     "q191_semdedup_capped" -> semDedupCappedOracleSql,
+    "q192_jdbc_sharded" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q193_winnow_stream" ->
+      // q182's replay with the fresh side restricted to the streamed
+      // sample (doc_id % 5 == 0) — the batch-parity gate for streaming
+      // winnow-vs-release contamination checking
+      s"""WITH c AS (SELECT doc_id, lower(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS c FROM documents),
+c2 AS (SELECT doc_id, c, CAST(length(c) - 15 AS BIGINT) AS ng FROM c WHERE length(c) >= 23),
+g AS (SELECT doc_id, ng, CAST(i - 1 AS BIGINT) AS pos, substr(c, CAST(i AS INTEGER), 16) AS g
+  FROM c2 CROSS JOIN UNNEST(range(1, ng + 1)) AS r(i)),
+hh AS (SELECT doc_id, ng, pos,
+  (${portableHash60Sql("g")} % CAST(4294967296 AS BIGINT)) * CAST(2147483648 AS BIGINT)
+    + (CAST(2147483647 AS BIGINT) - pos) AS code FROM g),
+wnd AS (SELECT doc_id, ng, pos, min(code) OVER (PARTITION BY doc_id ORDER BY pos
+  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m FROM hh),
+sel AS (SELECT DISTINCT doc_id, CAST(m // CAST(2147483648 AS BIGINT) AS BIGINT) AS fp
+  FROM wnd WHERE pos <= ng - 8),
+f AS (SELECT doc_id AS fresh_id, fp FROM sel WHERE doc_id >= 400 AND doc_id % 5 = 0),
+p0 AS (SELECT doc_id AS prior_id, fp FROM sel WHERE doc_id < 400),
+pdf AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM p0 GROUP BY fp) WHERE df <= 1000),
+p AS (SELECT p0.prior_id, p0.fp FROM p0 JOIN pdf USING (fp))
+SELECT f.fresh_id, p.prior_id, count(*) AS shared
+FROM f JOIN p USING (fp) GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q104_prototype_prune" -> prototypePruneOracleSql,
     "q105_epoch_shuffle" ->
       s"""WITH e AS (SELECT doc_id, CAST(ep AS INTEGER) AS epoch

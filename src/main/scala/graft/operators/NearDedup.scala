@@ -557,19 +557,66 @@ object NearDedup {
     require(minShared >= 1, s"winnowAgainstSnapshot needs minShared >= 1, got $minShared")
     val ffps = winnowFingerprints(fresh, idCol, textCol, k, w)
       .select(col(idCol).as("fresh_id"), col("fp")).distinct()
+    ffps.join(winnowSnapshotIndex(prior, idCol, textCol, k, w, maxDf), Seq("fp"))
+      .groupBy(col("fresh_id"), col("prior_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** The released-corpus side of [[winnowAgainstSnapshot]] as a standalone
+    * relation: distinct (prior_id, fp) winnow postings with hot
+    * fingerprints (df > maxDf, boilerplate) anti-joined away behind an
+    * observed metric. This IS the persistable substring-contamination
+    * index of a release — batch increments join against it (q182) and a
+    * STREAMING intake joins it stream-static (q193), so fresh documents
+    * are gated without rescanning released text in either mode.
+    */
+  def winnowSnapshotIndex(prior: DataFrame, idCol: String, textCol: String,
+                          k: Int = 16, w: Int = 8,
+                          maxDf: Int = 1000): DataFrame = {
     val pfps0 = winnowFingerprints(prior, idCol, textCol, k, w)
       .select(col(idCol).as("prior_id"), col("fp")).distinct()
-    val pfps = if (maxDf <= 0) pfps0 else {
+    if (maxDf <= 0) pfps0 else {
       val hot = pfps0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .observe(s"winnow_snapshot_dropped_fps_${dropSeq.incrementAndGet()}",
           sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_fps"))
         .filter(col("df") > maxDf).select(col("fp"))
       pfps0.join(broadcast(hot), Seq("fp"), "left_anti")
     }
-    ffps.join(pfps, Seq("fp"))
-      .groupBy(col("fresh_id"), col("prior_id"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+  }
+
+  /** Per-document winnow fingerprint SETS as one array column — the
+    * STREAMING-safe formulation of [[winnowFingerprints]]' selection: the
+    * whole select-min-over-w-windows pass runs inside per-row higher-order
+    * functions (no window functions, which Structured Streaming rejects),
+    * so it composes into `readStream` pipelines. Returns (idCol, fps:
+    * array<bigint>) with fps = the DISTINCT selected fingerprint hashes —
+    * exactly `winnowFingerprints(...).select(id, fp).distinct()` grouped
+    * per id (a spec law pins the equivalence). Documents shorter than
+    * k+w-1 canonical chars are filtered out, as in the batch path.
+    *
+    * Cost note: the sliding min is recomputed per window (O(chars·w) vs
+    * the batch window's O(chars)) — right for per-event streaming intake,
+    * while bulk jobs should keep the batch operator.
+    */
+  def winnowFpSets(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFpSets needs k >= 1, w >= 1 (got k=$k, w=$w)")
+    // Each HOF input is projected to a column FIRST (Catalyst does not CSE
+    // across lambda boundaries — an inline __codes would re-derive the
+    // whole code array per slice element).
+    df.select(col(idCol),
+        lower(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", "")).as("__c"))
+      .filter(length(col("__c")) >= k + w - 1)
+      .withColumn("__codes", transform(
+        sequence(lit(1), (length(col("__c")) - (k - 1)).cast("int")),
+        i => pmod(Sampling.portableHash60(col("__c").substr(i, lit(k))), lit(1L << 32)) *
+          lit(WinnowPosCap) + (lit(WinnowPosCap - 1) - (i - 1).cast(LongType))))
+      .withColumn("__mins", transform(
+        sequence(lit(1), (size(col("__codes")) - (w - 1)).cast("int")),
+        p => array_min(slice(col("__codes"), p, lit(w)))))
+      .select(col(idCol),
+        array_distinct(expr(s"transform(__mins, m -> m DIV $WinnowPosCap)")).as("fps"))
   }
 
   /** Exact dedup by canonical fingerprint: one representative (min id) per

@@ -30,6 +30,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q192 sharded JDBC pull scans through 4 partitioned connections") {
+    val df = SparkEntry.queries("q192_jdbc_sharded")(spark, sf)
+    // partitionColumn sharding is the point: the scan must carry one task
+    // per range predicate, not a single JDBC connection
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC partitions, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 25L)
+  }
+
   test("q46 exact jaccard plans no cartesian / nested-loop join, df cap present") {
     val p = planOf("q46_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")

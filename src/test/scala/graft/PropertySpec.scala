@@ -378,6 +378,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowFpSets equals the batch winnow selection's distinct fp set per doc") {
+    import graft.operators.NearDedup
+    val k = 4; val w = 3
+    val textGen = Gen.listOfN(6, Gen.oneOf(
+      Gen.listOfN(40, Gen.oneOf("a", "b", "c", "ab", "xyz")).map(_.mkString(" ")),
+      Gen.const(""), Gen.const(null: String)))
+    forAll(textGen, n = 10) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val batch = NearDedup.winnowFingerprints(docs, "id", "text", k, w)
+        .select("id", "fp").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val streamed = NearDedup.winnowFpSets(docs, "id", "text", k, w)
+        .as[(Long, Seq[Long])].collect().map { case (i, f) => i -> f.toSet }.toMap
+      assert(streamed == batch,
+        s"per-row winnow set diverged from the batch window formulation")
+      // sets are genuinely distinct within a row (array_distinct applied)
+      NearDedup.winnowFpSets(docs, "id", "text", k, w)
+        .as[(Long, Seq[Long])].collect()
+        .foreach { case (_, f) => assert(f.distinct == f) }
+    }
+  }
+
   test("hammingPairs64 equals brute force within the budget (pigeonhole completeness)") {
     import graft.operators.NearDedup
     val sigGen = Gen.listOfN(10, Gen.choose(Long.MinValue, Long.MaxValue))
