@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * gets a per-copy suffix and embeddings a tiny deterministic perturbation
   * so near-dup/ANN queries don't degenerate into pure planted-copy mode.
   *
-  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [copies=10]
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> [copies=10] [tables]
+  * `tables` (comma-separated, default all) restricts the output — the
+  * sf10 decade for the dedup/ANN family needs only documents,embeddings
+  * and skipping the 60M-row lineitem write keeps the upscale cheap.
   * Output stays under the repo (target/) — /root/testdata is read-only.
   */
 object GenScale {
@@ -19,6 +22,11 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val wanted: String => Boolean = args.lift(3)
+      .map(_.split(",").toSet.filter(_.nonEmpty)) match {
+        case Some(ts) if ts.nonEmpty => ts.contains _
+        case _ => _ => true
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,8 +55,11 @@ object GenScale {
     val supplier = read("supplier"); val events = read("events")
     val documents = read("documents"); val embeddings = read("embeddings")
 
-    val oS = stride(orders, "o_orderkey"); val cS = stride(customer, "c_custkey")
-    val pS = stride(part, "p_partkey"); val sS = stride(supplier, "s_suppkey")
+    // lazy + by-name `write` below: a table-restricted run (e.g. the sf10
+    // documents,embeddings decade) never scans the skipped fact tables for
+    // their strides
+    lazy val oS = stride(orders, "o_orderkey"); lazy val cS = stride(customer, "c_custkey")
+    lazy val pS = stride(part, "p_partkey"); lazy val sS = stride(supplier, "s_suppkey")
 
     new java.io.File(out).mkdirs()
     // A real `copies`× dataset has ~`copies`× the files: round-robin into
@@ -56,8 +67,9 @@ object GenScale {
     // driver's sf dirs are one file per table — leaving the upscale as one
     // file would single-thread every scan and measure the LAYOUT, not the
     // plans, across the decade).
-    def write(df: DataFrame, name: String): Unit =
-      df.repartition(copies).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    def write(df: => DataFrame, name: String): Unit =
+      if (wanted(name))
+        df.repartition(copies).write.mode("overwrite").parquet(s"$out/$name.parquet")
 
     // region/nation are true dimensions — unchanged at any sf
     write(read("region"), "region")
@@ -69,9 +81,9 @@ object GenScale {
     write(replicate(lineitem, Map(
       "l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS)), "lineitem")
     // one agg job per table for the stride maxes (not one per column)
-    val Array(eIdS, eUidS) = {
+    lazy val (eIdS, eUidS) = {
       val r = events.agg(max(col("event_id")), max(col("user_id"))).head()
-      Array(r.getLong(0) + 1, r.getLong(1) + 1)
+      (r.getLong(0) + 1, r.getLong(1) + 1)
     }
     write(replicate(events, Map("event_id" -> eIdS, "user_id" -> eUidS)), "events")
     // per-copy text suffix: copies are NEAR-dups (high jaccard), not exact,
@@ -95,8 +107,9 @@ object GenScale {
               .cast("float") / lit(1000.0f)).cast("float")))
           .otherwise(col("embedding"))), "embeddings")
 
-    println(s"""{"generated":"$out","copies":$copies,"lineitem_rows":${
-      spark.read.parquet(s"$out/lineitem.parquet").count()}}""")
+    val probeTable = if (wanted("lineitem")) "lineitem" else "documents"
+    println(s"""{"generated":"$out","copies":$copies,"${probeTable}_rows":${
+      spark.read.parquet(s"$out/$probeTable.parquet").count()}}""")
     spark.stop()
   }
 }
