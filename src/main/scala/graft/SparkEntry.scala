@@ -1408,13 +1408,16 @@ object SparkEntry {
       // substring-contamination check with the fresh side arriving through
       // a MemoryStream. The release's winnow index (winnowSnapshotIndex,
       // the persistable (prior_id, fp) relation) joins STREAM-STATIC, the
-      // per-doc fingerprint selection runs as the per-row HOF formulation
-      // (winnowFpSets — no window functions, so streaming accepts it), and
-      // one complete-mode count per (fresh_id, prior_id) yields `shared`.
-      // Feed = the deterministic bounded sample doc_id % 5 == 0 of the
-      // fresh half, so driver memory is O(sample) at any sf. Oracle: the
-      // q182 replay restricted to the same sample — batch parity IS the
-      // check.
+      // per-doc fingerprint selection runs as winnowFpSets' typed
+      // mapPartitions kernel (streaming accepts typed maps; it only rejects
+      // window functions), and one complete-mode count per
+      // (fresh_id, prior_id) yields `shared`. Feed = the deterministic
+      // sample doc_id % 5 == 0 of the fresh half, collected into a
+      // MemoryStream — a TEST-HARNESS boundary: the collect grows linearly
+      // with sf (920 rows at sf0.1, ~9.2k at sf1), acceptable at benched
+      // scales; a production intake replaces MemoryStream with a Kafka/file
+      // source and no driver collect exists. Oracle: the q182 replay
+      // restricted to the same sample — batch parity IS the check.
       import s.implicits._
       val docs = t(s, d, "documents")
       val priorIdx = NearDedup.winnowSnapshotIndex(
@@ -1427,15 +1430,25 @@ object SparkEntry {
         .MemoryStream[(Long, String)]
       mem.addData(sample: _*)
       val fresh = mem.toDF().toDF("doc_id", "text")
+      // broadcast: the release index is the SMALL side by design (distinct
+      // fps of the released corpus, df-capped) — broadcasting it removes
+      // the fp-key exchange from every microbatch.
       val hits = NearDedup.winnowFpSets(fresh, "doc_id", "text", k = 16, w = 8)
         .select(col("doc_id").as("fresh_id"), explode(col("fps")).as("fp"))
-        .join(priorIdx, Seq("fp"))
+        .join(broadcast(priorIdx), Seq("fp"))
         .groupBy(col("fresh_id"), col("prior_id"))
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
       val qn = s"q193_winnow_${memSeq.incrementAndGet()}"
-      val q = hits.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
+      // Streaming aggs pin one state store per shuffle partition for the
+      // query's life; 32 stores for a complete-mode gate is pure init
+      // overhead. 8 is plenty for the (fresh_id, prior_id) state width.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try hits.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.processAllAvailable() finally q.stop()
       s.table(qn)
     }),
