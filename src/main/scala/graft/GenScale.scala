@@ -67,9 +67,12 @@ object GenScale {
     // driver's sf dirs are one file per table — leaving the upscale as one
     // file would single-thread every scan and measure the LAYOUT, not the
     // plans, across the decade).
+    val written = scala.collection.mutable.ArrayBuffer[String]()
     def write(df: => DataFrame, name: String): Unit =
-      if (wanted(name))
+      if (wanted(name)) {
         df.repartition(copies).write.mode("overwrite").parquet(s"$out/$name.parquet")
+        written += name
+      }
 
     // region/nation are true dimensions — unchanged at any sf
     write(read("region"), "region")
@@ -107,9 +110,19 @@ object GenScale {
               .cast("float") / lit(1000.0f)).cast("float")))
           .otherwise(col("embedding"))), "embeddings")
 
-    val probeTable = if (wanted("lineitem")) "lineitem" else "documents"
-    println(s"""{"generated":"$out","copies":$copies,"${probeTable}_rows":${
-      spark.read.parquet(s"$out/$probeTable.parquet").count()}}""")
+    // Probe a table that was actually WRITTEN this run (a restriction like
+    // `embeddings` used to crash here probing the never-written documents):
+    // prefer the big fact tables for a meaningful row count, else any
+    // written table, else skip the probe.
+    val probeTable = Seq("lineitem", "documents").find(written.contains)
+      .orElse(written.headOption)
+    probeTable match {
+      case Some(tbl) =>
+        println(s"""{"generated":"$out","copies":$copies,"${tbl}_rows":${
+          spark.read.parquet(s"$out/$tbl.parquet").count()}}""")
+      case None =>
+        println(s"""{"generated":"$out","copies":$copies,"written":[]}""")
+    }
     spark.stop()
   }
 }

@@ -167,6 +167,10 @@ object UrlFunctions {
     * host's rule count, never the global table.
     */
   def robotsFilter(urls: DataFrame, urlCol: String, rules: DataFrame): DataFrame = {
+    val reserved = Seq("allowed", "matched_prefix").filter(urls.columns.contains)
+    require(reserved.isEmpty,
+      s"robotsFilter appends (allowed, matched_prefix); rename input column(s) " +
+        s"${reserved.mkString(", ")} first or the output would be ambiguous")
     val parts = urls.select(col(urlCol)).distinct().select(col(urlCol),
         urlHost(col(urlCol)).as("host"),
         coalesce(nullif(regexp_extract(col(urlCol),
@@ -182,7 +186,11 @@ object UrlFunctions {
       .select(col(urlCol),
         coalesce(col("__w.a") === 1, lit(true)).as("allowed"),
         col("__w.p").as("matched_prefix"))
+    // NULL urls never match the fan-back equi-join (null keys don't join):
+    // coalesce restores the default-allow contract for them instead of
+    // leaking allowed=NULL.
     urls.join(verdicts, Seq(urlCol), "left")
+      .withColumn("allowed", coalesce(col("allowed"), lit(true)))
   }
 
   def blockByDomain(df: DataFrame, urlCol: Column,

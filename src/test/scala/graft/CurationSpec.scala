@@ -546,6 +546,20 @@ class CurationSpec extends SparkSpec {
       ("http://a.example/x/secret", 1, false, Some("/x/")),
       ("http://a.example/x/secret", 2, false, Some("/x/")),
       ("http://a.example/y", 3, true, None)))
+
+    // NULL urls keep the default-allow contract: null keys never match the
+    // fan-back equi-join, so allowed must be coalesced back to true
+    val nulls = Seq((null.asInstanceOf[String], 9)).toDF("url", "crawl_id")
+    val nv = UrlFunctions.robotsFilter(nulls, "url", rules)
+      .select("crawl_id", "allowed", "matched_prefix")
+      .as[(Int, Boolean, Option[String])].collect().toSeq
+    assert(nv == Seq((9, true, None)))
+
+    // the appended output columns are guarded against input collisions
+    intercept[IllegalArgumentException] {
+      UrlFunctions.robotsFilter(
+        Seq(("http://a.example/", true)).toDF("url", "allowed"), "url", rules)
+    }
   }
 
   test("exciseContaminatedSpans cuts exactly the attributed words, clean docs pass through") {
