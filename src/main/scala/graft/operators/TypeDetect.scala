@@ -85,14 +85,24 @@ object TypeDetect {
     // prove the parse redundant for strict-ISO values — the common case —
     // so try_to_timestamp runs only on shape-matching values the kernel
     // could not certify (Or/And short-circuit).
+    // The lazy parse arms are wrapped in CaseWhen OTHERWISE branches, not
+    // Or/And right-hand sides: isDate's tree is referenced twice (its own
+    // flag and inside isTs), and codegen subexpression elimination hoists
+    // subtrees that occur under Or/And to EAGER per-row evaluation —
+    // try_to_timestamp ran on every row of every column and cost q29 ~0.9 s
+    // at sf0.1. CaseWhen branches are conditional positions: CSE leaves
+    // them lazy, so the formatter runs only on shape-matching values the
+    // compiled probe could not certify, as intended.
     val flagCols = stringCols.flatMap { n =>
       val c = col(n)
       val probe = graft.expressions.GraftFunctions.typeProbe(c)
       val isInt = probe.bitwiseAND(1) =!= 0
-      val isDate = (probe.bitwiseAND(4) =!= 0) &&
-        ((probe.bitwiseAND(16) =!= 0) || parseDateCol(c).isNotNull)
-      val isTs = isDate || ((probe.bitwiseAND(8) =!= 0) &&
-        ((probe.bitwiseAND(32) =!= 0) || parseDateTimeCol(c).isNotNull))
+      val isDate = when(probe.bitwiseAND(4) === 0, lit(false))
+        .when(probe.bitwiseAND(16) =!= 0, lit(true))
+        .otherwise(parseDateCol(c).isNotNull)
+      val isTs = isDate || when(probe.bitwiseAND(8) === 0, lit(false))
+        .when(probe.bitwiseAND(32) =!= 0, lit(true))
+        .otherwise(parseDateTimeCol(c).isNotNull)
       Seq(
         c.isNotNull.as(s"__nn_$n"),
         isInt.as(s"__int_$n"),
