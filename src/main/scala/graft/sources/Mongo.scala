@@ -84,4 +84,78 @@ object Mongo {
       }
     withId.write.mode("overwrite").json(path)
   }
+
+  // ------------------------------------------------------- live wire pulls --
+
+  /** Live `pull_mongo` over a `mongodb://host[:port]/db.collection` URI:
+    * drain the collection through [[MongoWire.Client.findAll]] (OP_MSG
+    * find/getMore), render each document as an extended-JSON line, and
+    * normalize through the SAME dump path as `pullMongoDump` — wire and
+    * dump pulls share one unwrap/flatten/keynormalize surface. Driver-side
+    * protocol client, dimension-sized collections (the reference iterates
+    * a pymongo cursor the same way, mongo.py:44-53).
+    */
+  def pullMongoWire(spark: SparkSession, uri: String,
+                    fields: Seq[String] = Nil): DataFrame = {
+    val (host, port, db, coll) = MongoWire.parseUri(uri)
+    val client = new MongoWire.Client(host, port)
+    val lines =
+      try client.findAll(db, coll).map(MongoWire.toExtJson)
+      finally client.close()
+    import spark.implicits._
+    pullMongoDumpLines(spark.createDataset(lines), fields)
+  }
+
+  /** Live `push_mongo`: rows become BSON documents (driver-side iterator —
+    * the reference's row loop, mongo.py:17-27), `_id` auto-created from the
+    * primary key when absent, inserted in batches of 1000. Returns the
+    * server-acknowledged count.
+    */
+  def pushMongoWire(df: DataFrame, uri: String,
+                    primaryKey: Option[String] = None): Long = {
+    val (host, port, db, coll) = MongoWire.parseUri(uri)
+    val withId =
+      if (df.columns.contains("_id")) df
+      else primaryKey match {
+        case Some(pk) => df.withColumn("_id", col(pk).cast(StringType))
+        case None     => df.withColumn("_id", monotonically_increasing_id().cast(StringType))
+      }
+    val names = withId.columns
+    val client = new MongoWire.Client(host, port)
+    try {
+      var n = 0L
+      val it = withId.toLocalIterator()
+      val batch = scala.collection.mutable.ArrayBuffer[MongoWire.Doc]()
+      def flush(): Unit = if (batch.nonEmpty) {
+        n += client.insert(db, coll, batch.toSeq); batch.clear()
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        batch += names.indices.map(i => names(i) -> toBson(row.get(i))).toVector
+        if (batch.size >= 1000) flush()
+      }
+      flush()
+      n
+    } finally client.close()
+  }
+
+  private def toBson(v: Any): Any = v match {
+    case null => null
+    case t: java.sql.Timestamp => MongoWire.UtcDate(t.getTime)
+    case i: java.time.Instant => MongoWire.UtcDate(i.toEpochMilli)
+    case d: java.sql.Date => MongoWire.UtcDate(d.getTime)
+    case d: java.time.LocalDate =>
+      MongoWire.UtcDate(d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+    case b: java.math.BigDecimal => b.doubleValue
+    case b: BigDecimal => b.doubleValue
+    case f: Float => f.toDouble
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.toVector.zip(r.toSeq.map(toBson))
+    case xs: Seq[_] => xs.map(toBson).toList
+    case m: Map[_, _] => m.toVector.map { case (k, x) => k.toString -> toBson(x) }
+    case x @ (_: Int | _: Long | _: Double | _: String | _: Boolean) => x
+    case other => other.toString
+  }
 }

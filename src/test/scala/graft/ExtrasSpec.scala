@@ -152,6 +152,96 @@ class ExtrasSpec extends SparkSpec {
     assert(back.select("_id").as[String].collect().sorted.toSeq == Seq("1", "2"))
   }
 
+  test("mongo wire pull/push round-trip via a loopback OP_MSG stub (mongo.py:7-53 live path)") {
+    import graft.sources.{Mongo, MongoWire}
+    import java.nio.{ByteBuffer, ByteOrder}
+    // BSON codec pinned against the spec's canonical example bytes first
+    // (bsonspec.org §Example: {"hello": "world"}), independent of the stub
+    val golden = Array[Int](0x16, 0, 0, 0, 0x02, 'h', 'e', 'l', 'l', 'o', 0,
+      6, 0, 0, 0, 'w', 'o', 'r', 'l', 'd', 0, 0).map(_.toByte)
+    assert(MongoWire.encodeDoc(Vector("hello" -> "world")).toSeq == golden.toSeq)
+    assert(MongoWire.decodeDoc(
+      ByteBuffer.wrap(golden).order(ByteOrder.LITTLE_ENDIAN)) ==
+      Vector("hello" -> "world"))
+
+    val server = new java.net.ServerSocket(0, 2, java.net.InetAddress.getLoopbackAddress)
+    val store = scala.collection.mutable.ArrayBuffer[MongoWire.Doc]()
+    var pending = Vector.empty[MongoWire.Doc]
+    val t = new Thread(() => {
+      try while (true) {
+        val s = server.accept()
+        try {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(s.getInputStream))
+          val out = new java.io.BufferedOutputStream(s.getOutputStream)
+          var open = true
+          while (open) {
+            val lenB = new Array[Byte](4)
+            try in.readFully(lenB)
+            catch { case _: java.io.IOException => open = false }
+            if (open) {
+              val len = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getInt
+              val rest = new Array[Byte](len - 4)
+              in.readFully(rest)
+              val buf = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+              val reqId = buf.getInt; buf.getInt
+              assert(buf.getInt == 2013, "stub: client must speak OP_MSG")
+              buf.getInt; buf.get() // flagBits, kind-0
+              val cmd = MongoWire.decodeDoc(buf)
+              def reply(doc: MongoWire.Doc): Unit = {
+                val body = MongoWire.encodeDoc(doc)
+                val m = ByteBuffer.allocate(16 + 4 + 1 + body.length)
+                  .order(ByteOrder.LITTLE_ENDIAN)
+                m.putInt(16 + 4 + 1 + body.length).putInt(99).putInt(reqId)
+                  .putInt(2013).putInt(0).put(0.toByte).put(body)
+                out.write(m.array()); out.flush()
+              }
+              cmd.head._1 match {
+                case "hello" => reply(Vector("ok" -> 1.0))
+                case "insert" =>
+                  val docs = MongoWire.get(cmd, "documents").get
+                    .asInstanceOf[Seq[Any]].map(_.asInstanceOf[MongoWire.Doc])
+                  store ++= docs
+                  reply(Vector("n" -> docs.size, "ok" -> 1.0))
+                case "find" =>
+                  // page size 2 regardless of batchSize: forces the client
+                  // through the getMore leg of the cursor protocol
+                  val (first, rest2) = store.toVector.splitAt(2)
+                  pending = rest2
+                  reply(Vector("cursor" -> Vector(
+                    "firstBatch" -> first.toList,
+                    "id" -> (if (rest2.nonEmpty) 77L else 0L),
+                    "ns" -> "db.coll"), "ok" -> 1.0))
+                case "getMore" =>
+                  assert(MongoWire.get(cmd, "getMore").contains(77L))
+                  reply(Vector("cursor" -> Vector(
+                    "nextBatch" -> pending.toList, "id" -> 0L,
+                    "ns" -> "db.coll"), "ok" -> 1.0))
+                case other => reply(Vector("ok" -> 0.0, "errmsg" -> s"stub: $other?"))
+              }
+            }
+          }
+        } finally s.close()
+      } catch { case _: Throwable => () } // server.close() ends the loop
+    })
+    t.start()
+    try {
+      val uri = s"mongodb://127.0.0.1:${server.getLocalPort}/graftdb.coll"
+      val ts = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+      val df = Seq((1L, 4.5, "coucou", ts), (2L, 2.5, "salut", ts),
+        (3L, 9.5, "Hé hé", ts)).toDF("rown", "f", "Some Name", "at")
+      assert(Mongo.pushMongoWire(df, uri, primaryKey = Some("rown")) == 3L)
+      val back = Mongo.pullMongoWire(spark, uri)
+      // dump-path semantics ride through: keynormalized + sorted columns
+      assert(back.columns.toSeq == Seq("Some_Name", "_id", "at", "f", "rown"))
+      val got = back.orderBy("rown")
+        .select("rown", "f", "Some_Name", "at", "_id")
+        .as[(Long, Double, String, java.sql.Timestamp, String)].collect().toSeq
+      assert(got == Seq((1L, 4.5, "coucou", ts, "1"),
+        (2L, 2.5, "salut", ts, "2"), (3L, 9.5, "Hé hé", ts, "3")))
+    } finally { server.close(); t.join(2000) }
+  }
+
   test("query-string event parse with Catalyst built-ins (kontagent.py:99-204)") {
     val df = Seq("s=123&st=1346806200&n=hello%20world").toDF("line")
     val parsed = df.select(EventLogs.parseQueryStringDecoded(col("line")).as("m"))
