@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** The cached RDD behind an (eagerly) `localCheckpoint`ed Dataset, if the
+    * plan is the LogicalRDD a checkpoint produces. Iterative loops use it to
+    * free each superseded round's blocks immediately: without the explicit
+    * unpersist every round's checkpoint stays in the block manager until a
+    * driver GC lets ContextCleaner find it, and a long-lived session running
+    * many iterative queries accumulates dead blocks in the storage pool —
+    * harmless on a 128 GiB laptop heap, eviction pressure on a busy
+    * executor.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  private def dropCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
   /** Label every node of the (aCol, bCol) edge relation with the minimum id
     * reachable from it. Returns (id, comp); `comp == id` marks the
     * component representative. Nodes not present in any edge are absent —
@@ -68,6 +86,9 @@ object Clustering {
         .localCheckpoint()
       changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") < col("prev")).count()
+      // `next` is already materialized, so the previous round's blocks are
+      // dead — free them now rather than waiting for a driver GC.
+      dropCheckpoint(labels)
       labels = next
       iter += 1
     }
@@ -75,6 +96,9 @@ object Clustering {
       System.err.println(s"[connectedComponents] labels still changing after " +
         s"maxIter=$maxIter rounds ($changed updates in the last round) — " +
         "components spanning longer chains are split; raise maxIter")
+    // The final labels relation is a materialized checkpoint independent of
+    // the edge blocks; only `labels` itself stays persisted for the caller.
+    dropCheckpoint(e)
     labels
   }
 
@@ -192,16 +216,23 @@ object Clustering {
       .union(ew.select(col("dst").as("n"))).distinct().localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ew
         .join(ranks.select(col("n").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("n"), expr("r div deg").as("c"))
         .groupBy("n").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("n"), "left")
+      val next = nodes.join(contrib, Seq("n"), "left")
         .select(col("n"),
           (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")).as("r"))
         .localCheckpoint()
+      // iteration 1's `ranks` is the un-checkpointed seed (dropCheckpoint
+      // no-ops on it); every later round frees its predecessor's blocks
+      if (i > 1) dropCheckpoint(ranks)
+      ranks = next
     }
+    // the returned relation is materialized; the edge/node blocks are dead
+    dropCheckpoint(ew)
+    dropCheckpoint(nodes)
     ranks
   }
 }

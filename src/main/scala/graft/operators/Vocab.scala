@@ -180,10 +180,25 @@ object Vocab {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        tbl = tbl.withColumn("syms", applyMerge(col("syms"), a, b))
+        val next = tbl.withColumn("syms", applyMerge(col("syms"), a, b))
           .localCheckpoint()
+        // the merged table is materialized — free the superseded round's
+        // blocks now instead of leaving nMerges dead checkpoints for the
+        // ContextCleaner (same hygiene as Clustering's loops)
+        tbl.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        tbl = next
       }
       round += 1
+    }
+    // the model is the merge list; the last word table is dead too
+    tbl.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
     }
     merges.result()
   }
