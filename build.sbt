@@ -28,8 +28,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default heap (was 8g): local[32] runs 32 concurrent tasks in ONE JVM,
+// so 8g gave each task ~250 MB — an under-provisioned harness artifact, not
+// a representative executor config (a production 32-core node carries
+// 32-64 GB). The round-11 bench bimodality (q154 16-87 s with 5.7 s GC
+// pauses in some sessions vs 1.6-2.1 s in others; q176 first-run spikes)
+// was session-state GC thrash near that 8g ceiling: the round-12 A/B run
+// (BENCH_ab_sf0.1.json) shows the SAME code flat across the watchlist in a
+// healthy JVM, so the heap — the only uncontrolled variable — is what
+// differed. The host has 125 GiB; 24g keeps allocation-heavy dedup queries
+// (gram explodes, md5 per shingle) out of the GC cliff at sf0.1-sf1.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

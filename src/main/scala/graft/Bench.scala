@@ -109,6 +109,14 @@ object Bench {
     }
   }
 
+  /** Snapshot file suffix for a run's guard state: a guard-clean run owns
+    * the canonical `.json` names; a red run is quarantined to
+    * `.rejected.json` so the committed snapshot can never carry a non-empty
+    * `slow_unremarked` (round 11 closed exactly that way despite rc=2).
+    */
+  private[graft] def snapshotSuffix(slow: Seq[_]): String =
+    if (slow.isEmpty) ".json" else ".rejected.json"
+
   /** qNN-prefix keys when unambiguous, full names otherwise — shared by the
     * normal snapshot and the A/B artifact (two queries sharing a q-number
     * prefix must not silently shadow each other in the JSON).
@@ -229,6 +237,7 @@ object Bench {
         try src.mkString finally src.close()
       } catch { case _: Throwable => "" }
     val slow = if (only.isEmpty) slowUnremarked(timed, slowLimit, plansText) else Nil
+    val suffix = snapshotSuffix(slow)
     val slowJson = slow.map { case (n, t, lim) =>
       "{\"q\":\"" + n + "\",\"sec\":" + fmt(t, 2) + ",\"limit\":" + fmt(lim, 2) + "}"
     }.mkString("[", ",", "]")
@@ -238,8 +247,14 @@ object Bench {
     // not clobber the committed full-suite snapshots. BENCH_detail carries
     // the attribution evidence: every run, every run's GC delta, the min's
     // index, and the median — stdout keeps the compact driver contract.
+    //
+    // A red slow-query guard REFUSES the snapshot (round 12, after round
+    // 11 closed with slow_unremarked non-empty in the committed artifact):
+    // the run's evidence goes to BENCH_*_<sf>.rejected.json instead, so the
+    // canonical snapshot names can only ever hold guard-clean runs and
+    // "commit the red artifact anyway" stops being possible.
     if (only.isEmpty) {
-      writeFile(s"BENCH_local_$sfName.json", json)
+      writeFile(s"BENCH_local_$sfName$suffix", json)
       val det = details.map { case (name, (ts, gs)) =>
         val key = keyOf.getOrElse(name, name)
         val sorted = ts.sorted
@@ -250,7 +265,7 @@ object Bench {
           ",\"t\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" +
           ",\"gc_ms\":[" + gs.mkString(",") + "]}"
       }.mkString("{", ",", "}")
-      writeFile(s"BENCH_detail_$sfName.json",
+      writeFile(s"BENCH_detail_$sfName$suffix",
         s"""{"sf":"$sfDir","base_runs":$runs,"detail":$det}""")
     }
     println(json)
@@ -262,6 +277,9 @@ object Bench {
           s"line — add `slow-budget: $n <sec>` with a justification section " +
           s"or fix the query.")
       }
+      System.err.println(s"[bench] snapshot REFUSED: evidence quarantined " +
+        s"to BENCH_*_$sfName.rejected.json; the canonical snapshots were " +
+        s"not touched.")
       sys.exit(2)
     }
   }

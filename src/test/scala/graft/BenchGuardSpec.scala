@@ -47,6 +47,14 @@ class BenchGuardSpec extends AnyFunSuite {
       Seq(("q01_x", 6.0, 5.0)))
   }
 
+  test("a red guard quarantines the snapshot instead of owning the canonical name") {
+    // round 12: a run with a non-empty slow_unremarked must never write
+    // BENCH_local_<sf>.json — it gets the .rejected.json quarantine suffix
+    assert(Bench.snapshotSuffix(Nil) == ".json")
+    assert(Bench.snapshotSuffix(Seq(("q154_minhash_dedup_portable", 16.32, 5.0))) ==
+      ".rejected.json")
+  }
+
   test("shortKeys shortens to the q-number prefix only when unambiguous") {
     val ok = Bench.shortKeys(Seq("q01_filter", "q02_rename"))
     assert(ok == Map("q01_filter" -> "q01", "q02_rename" -> "q02"))
