@@ -2167,9 +2167,11 @@ object SparkEntry {
             col("p_brand")))
       val reps = parts.groupBy(col("p_name"), col("p_brand"))
         .agg(min(col("p_partkey")).as("rep_id"))
-      // cap-free like every oracle-replayed path (minhashPairsPortable
-      // convention): the DuckDB side joins all blocks, so the production
-      // block cap must not be able to silently diverge the two
+      // cap disabled here (unlike the portable minhash/simhash paths,
+      // whose whole-bucket HAVING cap the oracle replays): this oracle's
+      // SQL joins all blocks, so the production block cap must not be
+      // able to silently diverge the two — safe because the blocked
+      // relation is the pre-grouped reps table, not the raw corpus
       NearDedup.editDistancePairs(reps, "rep_id", "p_name",
         concat_ws("|", col("p_brand"), element_at(split(col("p_name"), " "), 1)),
         maxDist = 2, maxBlockSize = Int.MaxValue)
@@ -4429,9 +4431,14 @@ WHERE rank <= 5"""
     * Spark plan, so both engines compute identical signatures/band keys.
     */
   /** Shared CTE chain of the portable-minhash DuckDB replay (hashing,
-    * permutations, banding, candidate join, jaccard) — the ONLY definition;
-    * q93 selects the pair relation from it and q154 closes the pairs into
-    * components, so the two oracles cannot drift apart.
+    * permutations, banding, hot-bucket exclusion, candidate join,
+    * jaccard) — the ONLY definition; q93 selects the pair relation from
+    * it, q154 closes the pairs into components, and q166 filters the
+    * cross fresh/prior pairs, so the oracles cannot drift apart. The
+    * keptbk CTE replays minhashPairsPortable's whole-bucket
+    * maxBucketSize=10000 window-count exclusion (and q166's combined-count
+    * variant — counting per bucket over ALL documents is the same rule
+    * when fresh/prior partition the corpus).
     */
   private lazy val minhashPortableCtes: String = {
     val (as, bs) = graft.operators.NearDedup.portablePerms(32)
@@ -4451,8 +4458,11 @@ sig AS (SELECT doc_id, p.i, min((hm * p.a + p.b) % 2147483647) AS sig
   FROM hx CROSS JOIN perms p GROUP BY doc_id, p.i),
 bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)) AS bk
   FROM sig GROUP BY doc_id, i // 4),
+keptbk AS (SELECT doc_id, band, bk FROM (
+  SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS n FROM bk)
+  WHERE n <= 10000),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+  FROM keptbk a JOIN keptbk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
 j AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb
   FROM cand JOIN sh sa ON sa.doc_id = cand.id_a JOIN sh sb ON sb.doc_id = cand.id_b)"""
   }

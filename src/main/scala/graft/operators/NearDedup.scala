@@ -180,15 +180,38 @@ object NearDedup {
     * exists so the WHOLE LSH pipeline (hashing, banding, candidate join,
     * exact-jaccard verify) can be replayed and checked bit-for-bit by an
     * external SQL engine.
+    *
+    * Degenerate band buckets (a boilerplate corpus collapsing thousands of
+    * docs onto one (band, bk) value) are dropped WHOLE when larger than
+    * `maxBucketSize`, before the self-join — the same deterministic
+    * whole-bucket rule as the native [[minhashPairs]] cap and the portable
+    * [[simhashPairsPortable]], so the oracle SQL replays it exactly.
+    * Without it this band self-join was the one uncapped quadratic in the
+    * library: a bucket of n identical docs costs n²/2 candidate rows.
+    * Mechanically the cap is a count-over-(band, bk) window filter, NOT
+    * the native path's aggregate + broadcast anti-join: an anti-join's
+    * bucket-size branch recomputes the md5-signature pipeline a second
+    * time (measured +33% on q93 at sf0.1), while the window rides the
+    * exchange+sort the candidate self-join needs anyway and both join
+    * sides reuse ONE signature pass (ReusedExchange). The trade: a hot
+    * bucket's rows buffer in one window task — (id, band, bk) rows only,
+    * spill-bounded and linear, acceptable for the non-production twin
+    * (the native path keeps the map-side-combined aggregate, which never
+    * concentrates a bucket).
     */
   def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            shingleSize: Int = 3, numPerms: Int = 32,
                            bands: Int = 8, threshold: Double = 0.7,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L,
+                           maxBucketSize: Int = 10000): DataFrame = {
     val sh = portableShingles(df, idCol, textCol, shingleSize)
     val banded = portableBands(sh, numPerms, bands, seed)
-    val aSide = banded.select(col("band"), col("bk"), col("id").as("id_a"))
-    val bSide = banded.select(col("band"), col("bk"), col("id").as("id_b"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bk"))
+    val kept = banded.withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val aSide = kept.select(col("band"), col("bk"), col("id").as("id_a"))
+    val bSide = kept.select(col("band"), col("bk"), col("id").as("id_b"))
     val cand = aSide.join(bSide, Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -738,17 +761,37 @@ object NearDedup {
     * [[minhashPairsPortable]], so the WHOLE incremental decision replays
     * in external SQL. In-batch near-dedup of the survivors composes via
     * [[minhashDedupCC]].
+    *
+    * Degenerate buckets are dropped WHOLE when their COMBINED fresh+prior
+    * membership exceeds `maxBucketSize` — the same deterministic
+    * whole-bucket rule as [[minhashPairsPortable]] (a hot bucket with F
+    * fresh and P prior members costs F·P candidate rows, the
+    * cross-relation version of the self-join quadratic). Counting across
+    * both sides keeps the rule identical to the oracle's, which counts the
+    * whole corpus per bucket — and mechanically it is the same one-pass
+    * window count: both sides union (tagged), the count rides the
+    * (band, bk) exchange the candidate join needs anyway, and the two
+    * filtered branches reuse ONE signature pass per side.
     */
   def nearDedupAgainstSnapshotMinhash(fresh: DataFrame, prior: DataFrame,
                                       idCol: String, textCol: String,
                                       shingleSize: Int = 3, numPerms: Int = 32,
                                       bands: Int = 8, threshold: Double = 0.7,
-                                      seed: Long = 42L): DataFrame = {
+                                      seed: Long = 42L,
+                                      maxBucketSize: Int = 10000): DataFrame = {
     val fsh = portableShingles(fresh, idCol, textCol, shingleSize)
     val psh = portableShingles(prior, idCol, textCol, shingleSize)
-    val fb = portableBands(fsh, numPerms, bands, seed)
+    val tagged = portableBands(fsh, numPerms, bands, seed)
+      .select(col("band"), col("bk"), col("id"), lit(true).as("__fresh"))
+      .unionAll(portableBands(psh, numPerms, bands, seed)
+        .select(col("band"), col("bk"), col("id"), lit(false).as("__fresh")))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bk"))
+    val kept = tagged.withColumn("__n", count(lit(1)).over(wB))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val fb = kept.filter(col("__fresh"))
       .select(col("band"), col("bk"), col("id").as("fresh_id"))
-    val pb = portableBands(psh, numPerms, bands, seed)
+    val pb = kept.filter(!col("__fresh"))
       .select(col("band"), col("bk"), col("id").as("prior_id"))
     val cand = fb.join(pb, Seq("band", "bk"))
       .select(col("fresh_id"), col("prior_id")).distinct()

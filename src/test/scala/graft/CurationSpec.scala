@@ -139,6 +139,34 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(11L, 13L))
   }
 
+  test("portable minhash hot-bucket cap drops a degenerate identical-docs bucket whole") {
+    import graft.operators.NearDedup
+    // 40 byte-identical docs collapse onto ONE (band, bk) bucket per band:
+    // before the round-12 cap this band self-join squared (40·39/2 pairs
+    // per band); with maxBucketSize below the bucket size the bucket is
+    // excluded WHOLE and the degenerate corpus yields zero candidates
+    val clones = (1L to 40L).map(i => (i, "the same boilerplate sentence repeated verbatim"))
+    val docs = clones.toDF("doc_id", "text")
+    val capped = NearDedup.minhashPairsPortable(docs, "doc_id", "text",
+      maxBucketSize = 10)
+    assert(capped.count() == 0L, "hot bucket not excluded whole")
+    // with the cap above the bucket size the full clique comes back —
+    // the rule is whole-bucket, deterministic, and threshold-exact
+    val uncapped = NearDedup.minhashPairsPortable(docs, "doc_id", "text",
+      maxBucketSize = 40)
+    assert(uncapped.count() == 40L * 39 / 2)
+    // a mixed corpus: the degenerate cluster is dropped, an honest dup
+    // pair elsewhere still surfaces (the cap is per-bucket, not global —
+    // identical texts guarantee every band collides, bucket size 2 ≤ 10)
+    val mixed = docs.unionByName(Seq(
+      (100L, "an entirely distinct document about topographic map making"),
+      (101L, "an entirely distinct document about topographic map making")).toDF("doc_id", "text"))
+    val pairs = NearDedup.minhashPairsPortable(mixed, "doc_id", "text",
+      maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)), s"expected only the honest pair, got $pairs")
+  }
+
   test("topKPerGroup keeps exactly k under a deterministic order") {
     val df = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
       ("b", 5L, 1L)).toDF("g", "id", "score")

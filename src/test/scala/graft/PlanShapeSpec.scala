@@ -276,6 +276,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"no hot-fingerprint cap in:\n$p")
   }
 
+  test("q93 portable minhash: windowed hot-bucket cap guards the band self-join") {
+    val p = planOf("q93_minhash_portable")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join in:\n$p")
+    // the round-12 cap: oversized (band, bk) buckets are dropped whole by
+    // a count-over-(band, bk) window filter BEFORE the candidate self-join
+    // — previously the one uncapped quadratic in the library (native
+    // minhashPairs and portable simhash both already had a cap). The
+    // window form is one signature pass: the bucket count rides the same
+    // exchange the self-join needs.
+    assert(p.contains("Window"), s"no window-count cap in:\n$p")
+    // the window filter must sit UNDER the candidate join (guarding it),
+    // not above: the plan line order proves the cap runs pre-join. (At
+    // sf0.001 AQE broadcasts the small join side so exchange reuse is not
+    // visible here; at shuffle scale both sides reuse one signature pass.)
+    val wIdx = p.indexOf("Window")
+    val jIdx = p.indexOf("Join")
+    assert(wIdx > jIdx && jIdx >= 0, s"window cap not below the join in:\n$p")
+  }
+
   test("q178/q180 perceptual near-dup: chunk-bucketed candidates, never cartesian") {
     for (q <- Seq("q178_image_neardup", "q180_audio_neardup")) {
       val p = planOf(q)
