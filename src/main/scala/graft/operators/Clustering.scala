@@ -29,23 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** The cached RDD behind an (eagerly) `localCheckpoint`ed Dataset, if the
-    * plan is the LogicalRDD a checkpoint produces. Iterative loops use it to
-    * free each superseded round's blocks immediately: without the explicit
-    * unpersist every round's checkpoint stays in the block manager until a
-    * driver GC lets ContextCleaner find it, and a long-lived session running
-    * many iterative queries accumulates dead blocks in the storage pool —
-    * harmless on a 128 GiB laptop heap, eviction pressure on a busy
-    * executor.
-    */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-      case _ => None
-    }
-
-  private def dropCheckpoint(df: DataFrame): Unit =
-    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+  import Checkpoints.dropCheckpoint
 
   /** Label every node of the (aCol, bCol) edge relation with the minimum id
     * reachable from it. Returns (id, comp); `comp == id` marks the

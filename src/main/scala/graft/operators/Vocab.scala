@@ -185,21 +185,13 @@ object Vocab {
         // the merged table is materialized — free the superseded round's
         // blocks now instead of leaving nMerges dead checkpoints for the
         // ContextCleaner (same hygiene as Clustering's loops)
-        tbl.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ => ()
-        }
+        Checkpoints.dropCheckpoint(tbl)
         tbl = next
       }
       round += 1
     }
     // the model is the merge list; the last word table is dead too
-    tbl.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Checkpoints.dropCheckpoint(tbl)
     merges.result()
   }
 

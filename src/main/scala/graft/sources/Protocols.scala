@@ -89,11 +89,15 @@ object Protocols {
   }
 
   /** Universal protocol-aware pull: distributed URLs scan in place; http/ftp
-    * spool then scan. Format dispatch is `Pull`'s.
+    * spool then scan; `mongodb://host[:port]/db.collection` drains the
+    * collection through the live OP_MSG wire client (same normalization
+    * surface as the dump pull). Format dispatch is `Pull`'s.
     */
   def pull(spark: SparkSession, url: String,
            format: Option[String] = None,
            fields: Seq[String] = Nil): DataFrame = {
+    if (url.startsWith("mongodb://"))
+      return Mongo.pullMongoWire(spark, url, fields)
     val path =
       if (url.startsWith("http://") || url.startsWith("https://") || url.startsWith("ftp://"))
         spool(url)

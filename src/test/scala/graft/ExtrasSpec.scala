@@ -239,6 +239,13 @@ class ExtrasSpec extends SparkSpec {
         .as[(Long, Double, String, java.sql.Timestamp, String)].collect().toSeq
       assert(got == Seq((1L, 4.5, "coucou", ts, "1"),
         (2L, 2.5, "salut", ts, "2"), (3L, 9.5, "Hé hé", ts, "3")))
+      // the universal pull covers the wire client end-to-end: a mongodb://
+      // URL dispatches to pullMongoWire from Protocols.pull itself
+      val viaPull = Protocols.pull(spark, uri)
+      assert(viaPull.columns.toSeq == back.columns.toSeq)
+      assert(viaPull.orderBy("rown").select("rown", "_id")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "1"), (2L, "2"), (3L, "3")))
     } finally { server.close(); t.join(2000) }
   }
 
