@@ -2486,6 +2486,18 @@ object SparkEntry {
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
         trainEvery = 5)),
+    "q194_lloyd_budget" -> ((s, d) =>
+      // q181 with the FIXED centroid budget (maxCentroids=64): the bare
+      // systematic seed grows k with the corpus, so brute assignment is
+      // n·k = n²/25 — measured ×58 across the sf1→sf10 decade. Bounding
+      // the seed to the 64 smallest ids restores linear assignment (the
+      // fixed-k k-means/IVF regime). 64 < the 80 sf0.01 seeds, so the
+      // budget BINDS at oracle scale and the LIMIT rule is replay-checked,
+      // not dormant.
+      graft.functions.VectorFunctions.clusterBalancedSample(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
+        trainEvery = 5, maxCentroids = 64)),
     "q190_bloom_roundtrip" -> ((s, d) => {
       // point-lookup layout: documents re-written with a doc_id bloom
       // filter, then probed with an IN filter — the row groups that
@@ -4089,6 +4101,10 @@ SELECT doc_id, n_emails, n_ips, n_phones,
       s"""r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
   ORDER BY ${portableHash60Sql("vec_id")}, vec_id) AS rk FROM a1)
 SELECT vec_id, cid AS cell, CAST(rk AS BIGINT) AS cell_rank, rk <= 10 AS kept FROM r"""),
+    "q194_lloyd_budget" -> (lloydCtesSql(withInjectedCopies = false, maxCentroids = 64) +
+      s"""r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
+  ORDER BY ${portableHash60Sql("vec_id")}, vec_id) AS rk FROM a1)
+SELECT vec_id, cid AS cell, CAST(rk AS BIGINT) AS cell_rank, rk <= 10 AS kept FROM r"""),
     "q182_winnow_snapshot" ->
       s"""WITH c AS (SELECT doc_id, lower(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS c FROM documents),
 c2 AS (SELECT doc_id, c, CAST(length(c) - 15 AS BIGINT) AS ng FROM c WHERE length(c) >= 23),
@@ -4293,17 +4309,22 @@ WHERE rank <= 5"""
     * filter mirrors the Scala side). Ends with `a1` = final FULL-corpus
     * assignment and `c1` = final centroids.
     */
-  private def lloydCtesSql(withInjectedCopies: Boolean): String = {
+  private def lloydCtesSql(withInjectedCopies: Boolean,
+                           maxCentroids: Int = 0): String = {
     val cos = portableCosSql _
     val vd =
       if (withInjectedCopies)
         "vd AS (SELECT * FROM v0 UNION ALL " +
           "SELECT vec_id + 10001 AS vec_id, v FROM v0 WHERE vec_id % 50 = 0), "
       else "vd AS (SELECT * FROM v0), "
+    // maxCentroids > 0 replays quantizedLloyd's fixed centroid budget:
+    // the k smallest systematic seeds (ORDER BY ... LIMIT k)
+    val seedBound =
+      if (maxCentroids > 0) s" ORDER BY vec_id LIMIT $maxCentroids" else ""
     "WITH v0 AS (SELECT vec_id, list_transform(embedding, " +
       "x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) AS DOUBLE)) AS v " +
       "FROM embeddings), " + vd +
-      "c0 AS (SELECT vec_id AS cid, v AS cv FROM vd WHERE vec_id % 25 = 0), " +
+      s"c0 AS (SELECT vec_id AS cid, v AS cv FROM vd WHERE vec_id % 25 = 0$seedBound), " +
       "a0 AS (SELECT vec_id, cid, v FROM (" +
       "SELECT vd.vec_id, c0.cid, vd.v, row_number() OVER (PARTITION BY vd.vec_id " +
       "ORDER BY " + cos("vd.v", "c0.cv") + " DESC, c0.cid) AS rn " +

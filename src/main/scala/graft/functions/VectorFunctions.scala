@@ -160,9 +160,9 @@ object VectorFunctions {
              vecCol: String, k: Int, dim: Int, m: Int = 8,
              centroidEvery: Int = 50, rounds: Int = 1,
              quantScale: Double = 256.0, rescoreFactor: Int = 4,
-             trainEvery: Int = 1): DataFrame = {
+             trainEvery: Int = 1, maxCentroids: Int = 0): DataFrame = {
     val book = pqTrain(corpus, idCol, vecCol, dim, m, centroidEvery, rounds,
-      quantScale, trainEvery)
+      quantScale, trainEvery, maxCentroids)
     pqTopKWith(corpus, queries, book, idCol, vecCol, k, dim, m, quantScale, rescoreFactor)
   }
 
@@ -224,7 +224,7 @@ object VectorFunctions {
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               dim: Int, m: Int = 8, centroidEvery: Int = 50,
               rounds: Int = 1, quantScale: Double = 256.0,
-              trainEvery: Int = 1): DataFrame = {
+              trainEvery: Int = 1, maxCentroids: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     require(trainEvery >= 1, s"trainEvery must be positive, got $trainEvery")
     val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
@@ -245,8 +245,18 @@ object VectorFunctions {
         .select(col("id"), col("sub"),
           col("__b.cid").as("cid"), col("__b.sv").as("sv"))
     }
-    var book = csub.filter(col("id") % centroidEvery === 0)
+    val seedBook = csub.filter(col("id") % centroidEvery === 0)
       .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
+    // maxCentroids > 0: the k smallest seed ids PER SUBSPACE (every sub
+    // shares the same id set, so this is one global id cut) — the fixed
+    // codebook budget that keeps the train/encode joins corpus-linear
+    // (k ∝ n otherwise: the sf1→sf10 decade measured q128 at ×109).
+    // Deterministic and SQL-replayable (row_number over cid ≤ k).
+    var book = if (maxCentroids <= 0) seedBook
+      else seedBook.withColumn("__r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("sub")).orderBy(col("cid"))))
+        .filter(col("__r") <= maxCentroids).drop("__r")
     var assigned = assign(book)
     for (_ <- 1 to rounds) {
       book = assigned
@@ -595,10 +605,11 @@ object VectorFunctions {
   def semDedupPortable(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, centroidEvery: Int = 25,
                        rounds: Int = 1, quantScale: Double = 65536.0,
-                       trainEvery: Int = 1, maxCell: Int = 0): DataFrame = {
+                       trainEvery: Int = 1, maxCell: Int = 0,
+                       maxCentroids: Int = 0): DataFrame = {
     val (assigned, _) =
       quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
-        trainEvery)
+        trainEvery, maxCentroids)
     // maxCell > 0 bounds the within-cell pairwise join — the same contract
     // as minhashPairs' bucket cap (NearDedup.bucketedCandidates): a
     // degenerate cell (zero-ish embeddings, one boilerplate topic swallowing
@@ -647,10 +658,12 @@ object VectorFunctions {
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
                             perCellCap: Int, centroidEvery: Int = 25,
                             rounds: Int = 1, quantScale: Double = 65536.0,
-                            trainEvery: Int = 1): DataFrame = {
+                            trainEvery: Int = 1,
+                            maxCentroids: Int = 0): DataFrame = {
     require(perCellCap >= 1, s"perCellCap must be positive, got $perCellCap")
     val (assigned, _) =
-      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale, trainEvery)
+      quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
+        trainEvery, maxCentroids)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid"))
       .orderBy(graft.operators.Sampling.portableHash60(col("id")), col("id"))
@@ -665,11 +678,21 @@ object VectorFunctions {
     * systematically (id % centroidEvery == 0), run `rounds` unrolled Lloyd
     * passes (broadcast assignment + exact-integer mean update). Returns
     * (assigned = (id, cid, __v), centroids = (cid, __cv)).
+    *
+    * `maxCentroids > 0` bounds the seed set to the k SMALLEST seed ids
+    * (deterministic, replayed in SQL as ORDER BY ... LIMIT k). This is the
+    * 100 TB knob: the bare systematic seed makes k grow WITH the corpus
+    * (n/centroidEvery centroids), so brute-force assignment costs
+    * n·k = n²/centroidEvery — measured ×58-×109 across the sf1→sf10
+    * decade on q181/q128. A fixed centroid budget restores linear
+    * assignment, the standard k-means/IVF regime (k fixed or ~√n while the
+    * corpus grows).
     */
   private def quantizedLloyd(df: DataFrame, idCol: String, vecCol: String,
                              centroidEvery: Int, rounds: Int,
                              quantScale: Double,
-                             trainEvery: Int = 1): (DataFrame, DataFrame) = {
+                             trainEvery: Int = 1,
+                             maxCentroids: Int = 0): (DataFrame, DataFrame) = {
     require(trainEvery >= 1, s"trainEvery must be positive, got $trainEvery")
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol),
@@ -691,8 +714,10 @@ object VectorFunctions {
         .agg(max_by(struct(col("cid"), col("__v")),
           struct(col("__cs"), -col("cid"))).as("__b"))
         .select(col("id"), col("__b.cid").as("cid"), col("__b.__v").as("__v"))
-    var cents = v.filter(col("id") % centroidEvery === 0)
+    val seeds = v.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("__v").as("__cv"))
+    var cents = if (maxCentroids <= 0) seeds
+      else seeds.orderBy(col("cid")).limit(maxCentroids)
     var trained = assignOf(tv, cents)
     for (_ <- 1 to rounds) {
       cents = trained
@@ -728,11 +753,11 @@ object VectorFunctions {
   def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
                      keepPct: Int = 50, centroidEvery: Int = 25,
                      rounds: Int = 1, quantScale: Double = 65536.0,
-                     trainEvery: Int = 1): DataFrame = {
+                     trainEvery: Int = 1, maxCentroids: Int = 0): DataFrame = {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
     val (assigned, cents) =
       quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
-        trainEvery)
+        trainEvery, maxCentroids)
     val w = Window.partitionBy(col("cid"))
     val wRank = w.orderBy(col("__cs").asc, col("id").asc)
     assigned.join(broadcast(cents), Seq("cid"))

@@ -123,6 +123,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(!strict.contains(10L) && strict.contains(11L))
   }
 
+  test("nearDedupAgainstSnapshotMinhash: combined fresh+prior hot bucket drops whole") {
+    // 20 prior + 20 fresh byte-identical docs collapse onto ONE bucket per
+    // band; the combined count (40) exceeds the cap, so the bucket drops
+    // WHOLE and every clone survives (no F*P cross pairs are generated).
+    // An honest fresh re-crawl of a distinct prior doc still drops: its
+    // bucket holds 2 members, under the cap.
+    val boiler = "the same boilerplate sentence repeated verbatim everywhere"
+    val prior = ((1L to 20L).map(i => (i, boiler)) :+
+      (50L, "a unique released document about orbital mechanics")).toDF("id", "text")
+    val fresh = ((101L to 120L).map(i => (i, boiler)) :+
+      (150L, "a unique released document about orbital mechanics") :+
+      (151L, "entirely novel text with no released counterpart")).toDF("id", "text")
+    val kept = NearDedup.nearDedupAgainstSnapshotMinhash(fresh, prior, "id", "text",
+        shingleSize = 2, numPerms = 32, bands = 16, threshold = 0.5,
+        maxBucketSize = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (101L to 120L).toSet + 151L,
+      s"expected clones to survive via whole-bucket drop + re-crawl 150 to drop, got $kept")
+    // with the cap above the combined bucket size the clones are caught
+    val uncapped = NearDedup.nearDedupAgainstSnapshotMinhash(fresh, prior, "id", "text",
+        shingleSize = 2, numPerms = 32, bands = 16, threshold = 0.5,
+        maxBucketSize = 100)
+      .select("id").as[Long].collect().toSet
+    assert(uncapped == Set(151L))
+  }
+
   test("simhash: identical texts have distance 0, dissimilar texts exceed the cap") {
     val pairs = NearDedup.simhashPairs(corpus, "id", "text", maxHamming = 3)
     val found = pairs.select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
