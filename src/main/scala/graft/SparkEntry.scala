@@ -2486,6 +2486,17 @@ object SparkEntry {
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
         trainEvery = 5)),
+    "q195_pq_budget" -> ((s, d) => {
+      // q128's PQ pipeline with the FIXED per-subspace codebook budget
+      // (maxCentroids=32): the bare id % 50 seed grows the codebook with
+      // the corpus, making train/encode joins n²/50 — the decade's worst
+      // entry (×109). 32 < the 40 sf0.01 seeds, so the budget binds at
+      // oracle scale and the row_number≤k rule is replay-checked.
+      val emb = t(s, d, "embeddings")
+      VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dim = 64, trainEvery = 5,
+        maxCentroids = 32)
+    }),
     "q194_lloyd_budget" -> ((s, d) =>
       // q181 with the FIXED centroid budget (maxCentroids=64): the bare
       // systematic seed grows k with the corpus, so brute assignment is
@@ -3580,6 +3591,7 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY t_us
   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "q128_pq_topk" -> pqTopkOracleSql("s.id < 5"),
+    "q195_pq_budget" -> pqTopkOracleSql("s.id < 5", maxCentroids = 32),
     // q132 trains the same codebooks (same seeds/rounds) offline and serves
     // through pqTopKWith — bit-identical result, same replay.
     "q132_pq_reuse" -> pqTopkOracleSql("s.id < 5"),
@@ -4205,8 +4217,22 @@ r$i AS (SELECT nodes.n, CAST($base + ($dampNum * COALESCE(c$i.s, 0)) // $dampDen
     * by construction; `queryPred` selects the query id set (__QPRED__ in
     * the template).
     */
-  private def pqTopkOracleSql(queryPred: String): String =
-    pqTopkOracleTemplate.replace("__QPRED__", queryPred)
+  /** `maxCentroids > 0` replays pqTrain's fixed per-subspace codebook
+    * budget: the k smallest seed ids per sub (row_number ≤ k), the
+    * corpus-linear training regime (see q194/q195 and SCALING.md).
+    */
+  private def pqTopkOracleSql(queryPred: String, maxCentroids: Int = 0): String = {
+    val seed =
+      if (maxCentroids <= 0)
+        "seed AS (SELECT sub, id AS cid, sv AS cv FROM sub WHERE id % 50 = 0),"
+      else
+        "seed AS (SELECT sub, cid, cv FROM (SELECT sub, id AS cid, sv AS cv, " +
+          "row_number() OVER (PARTITION BY sub ORDER BY id) AS sr " +
+          s"FROM sub WHERE id % 50 = 0) WHERE sr <= $maxCentroids),"
+    pqTopkOracleTemplate
+      .replace("seed AS (SELECT sub, id AS cid, sv AS cv FROM sub WHERE id % 50 = 0),", seed)
+      .replace("__QPRED__", queryPred)
+  }
 
   /** DuckDB replay of the full DSIR pipeline — shared by q112
     * (in-query weight training) and q144 (offline-trained serve),
