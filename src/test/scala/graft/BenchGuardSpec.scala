@@ -55,6 +55,38 @@ class BenchGuardSpec extends AnyFunSuite {
       ".rejected.json")
   }
 
+  test("retry pass clears a contended first pass, keeps the improved min") {
+    // round 13: the driver's r10/r11/r12 benches were all refused by the
+    // guard while an idle re-run exonerated the code each time. Simulate
+    // exactly that: two offenders whose main-pass mins landed inside a
+    // contended window, both come back under budget on the idle retry.
+    val contended = Seq(("q61_recall", 6.1, 5.0), ("q154_minhash", 16.3, 5.0))
+    val idleMins = Map("q61_recall" -> 0.9, "q154_minhash" -> 2.1)
+    val (updated, confirmed) = Bench.retryPass(contended, n => idleMins.get(n))
+    assert(confirmed.isEmpty)                       // snapshot no longer refused
+    assert(updated == idleMins)                     // artifact carries the real floor
+    assert(Bench.snapshotSuffix(confirmed) == ".json")
+  }
+
+  test("retry pass refuses only confirmed offenders") {
+    // one query is genuinely slow (retry agrees), one was host noise
+    val slow = Seq(("q_real_monster", 700.0, 5.0), ("q_noise", 9.0, 5.0))
+    val (updated, confirmed) = Bench.retryPass(slow,
+      Map("q_real_monster" -> 690.0, "q_noise" -> 1.2).get)
+    assert(confirmed == Seq(("q_real_monster", 690.0, 5.0)))
+    assert(updated == Map("q_real_monster" -> 690.0, "q_noise" -> 1.2))
+    assert(Bench.snapshotSuffix(confirmed) == ".rejected.json")
+  }
+
+  test("a retry that throws never clears an offender and never worsens the min") {
+    // retryMin = None (every retry run threw): the main-pass evidence stands
+    val (u1, c1) = Bench.retryPass(Seq(("q_x", 8.0, 5.0)), _ => None)
+    assert(u1.isEmpty && c1 == Seq(("q_x", 8.0, 5.0)))
+    // a retry SLOWER than the main pass must not replace the min
+    val (u2, c2) = Bench.retryPass(Seq(("q_y", 8.0, 5.0)), _ => Some(12.0))
+    assert(u2.isEmpty && c2 == Seq(("q_y", 8.0, 5.0)))
+  }
+
   test("shortKeys shortens to the q-number prefix only when unambiguous") {
     val ok = Bench.shortKeys(Seq("q01_filter", "q02_rename"))
     assert(ok == Map("q01_filter" -> "q01", "q02_rename" -> "q02"))
