@@ -1717,8 +1717,11 @@ object SparkEntry {
       // integer Lloyd codebooks, sum-of-table-lookups ranking — training,
       // encoding and ADC all exact-integer, replayed by the oracle. Lloyd
       // runs over the deterministic 20% id-sample (trainEvery=5, mirrored
-      // in the oracle's d0 filter) — FAISS-style bounded-sample training,
-      // the shape that holds when the corpus is 100 TB
+      // in the oracle's d0 filter) — FAISS-style bounded-sample training.
+      // Since round 13 this runs the DEFAULT centroid budget
+      // (DefaultMaxCentroids=256, replayed by the oracle's row_number≤256
+      // seed rule): the unbudgeted k ∝ n seed was the sf1→sf10 decade's
+      // worst entry (×109) and is now explicit-opt-in (maxCentroids=0).
       val emb = t(s, d, "embeddings")
       VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, dim = 64, trainEvery = 5)
@@ -2481,34 +2484,43 @@ object SparkEntry {
       // semantic topic balancing (the DataComp/Dolma curation step): assign
       // embeddings to their k-means cell (the q103/q104 Lloyd core), keep
       // at most 10 per cell in portable-hash order — over-represented
-      // regions capped, rare topics survive whole
+      // regions capped, rare topics survive whole. Runs the round-13
+      // DEFAULT centroid budget (DefaultMaxCentroids=256, replayed by the
+      // oracle's ORDER BY…LIMIT seed rule) — the unbudgeted k ∝ n path
+      // measured ×58 across the sf1→sf10 decade and is now opt-in.
       graft.functions.VectorFunctions.clusterBalancedSample(
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
         trainEvery = 5)),
     "q195_pq_budget" -> ((s, d) => {
-      // q128's PQ pipeline with the FIXED per-subspace codebook budget
-      // (maxCentroids=32): the bare id % 50 seed grows the codebook with
-      // the corpus, making train/encode joins n²/50 — the decade's worst
-      // entry (×109). 32 < the 40 sf0.01 seeds, so the budget binds at
-      // oracle scale and the row_number≤k rule is replay-checked.
+      // q128's PQ pipeline with a FIXED per-subspace codebook budget that
+      // BINDS at oracle scale (maxCentroids=8 < the 10 sf0.01 seeds from
+      // id % 50 over 500 vectors), so the row_number≤k replay rule is
+      // exercised by the correctness gate, not dormant. Since round 13 the
+      // budget is also the library DEFAULT (DefaultMaxCentroids=256 —
+      // q128 takes that path); this query pins the rule at a k where it
+      // filters. The bare unbudgeted seed grows the codebook with the
+      // corpus, making train/encode joins n²/50 — the sf1→sf10 decade
+      // measured ×109 on that path (SCALING.md).
       val emb = t(s, d, "embeddings")
       VectorFunctions.pqTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, dim = 64, trainEvery = 5,
-        maxCentroids = 32)
+        maxCentroids = 8)
     }),
     "q194_lloyd_budget" -> ((s, d) =>
-      // q181 with the FIXED centroid budget (maxCentroids=64): the bare
+      // q181 with a FIXED centroid budget that BINDS at oracle scale
+      // (maxCentroids=12 < the 20 sf0.01 seeds from id % 25 over 500
+      // vectors), so the ORDER BY…LIMIT replay rule is exercised by the
+      // correctness gate, not dormant. Since round 13 the budget is also
+      // the library DEFAULT (DefaultMaxCentroids=256 — q181 takes that
+      // path); this query pins the rule at a k where it filters. The bare
       // systematic seed grows k with the corpus, so brute assignment is
-      // n·k = n²/25 — measured ×58 across the sf1→sf10 decade. Bounding
-      // the seed to the 64 smallest ids restores linear assignment (the
-      // fixed-k k-means/IVF regime). 64 < the 80 sf0.01 seeds, so the
-      // budget BINDS at oracle scale and the LIMIT rule is replay-checked,
-      // not dormant.
+      // n·k = n²/25 — measured ×58 across the sf1→sf10 decade; a fixed
+      // budget restores linear assignment (the fixed-k k-means/IVF regime).
       graft.functions.VectorFunctions.clusterBalancedSample(
         t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", perCellCap = 10, centroidEvery = 25,
-        trainEvery = 5, maxCentroids = 64)),
+        trainEvery = 5, maxCentroids = 12)),
     "q190_bloom_roundtrip" -> ((s, d) => {
       // point-lookup layout: documents re-written with a doc_id bloom
       // filter, then probed with an IN filter — the row groups that
@@ -3591,7 +3603,7 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY t_us
   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "q128_pq_topk" -> pqTopkOracleSql("s.id < 5"),
-    "q195_pq_budget" -> pqTopkOracleSql("s.id < 5", maxCentroids = 32),
+    "q195_pq_budget" -> pqTopkOracleSql("s.id < 5", maxCentroids = 8),
     // q132 trains the same codebooks (same seeds/rounds) offline and serves
     // through pqTopKWith — bit-identical result, same replay.
     "q132_pq_reuse" -> pqTopkOracleSql("s.id < 5"),
@@ -4113,7 +4125,7 @@ SELECT doc_id, n_emails, n_ips, n_phones,
       s"""r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
   ORDER BY ${portableHash60Sql("vec_id")}, vec_id) AS rk FROM a1)
 SELECT vec_id, cid AS cell, CAST(rk AS BIGINT) AS cell_rank, rk <= 10 AS kept FROM r"""),
-    "q194_lloyd_budget" -> (lloydCtesSql(withInjectedCopies = false, maxCentroids = 64) +
+    "q194_lloyd_budget" -> (lloydCtesSql(withInjectedCopies = false, maxCentroids = 12) +
       s"""r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY cid
   ORDER BY ${portableHash60Sql("vec_id")}, vec_id) AS rk FROM a1)
 SELECT vec_id, cid AS cell, CAST(rk AS BIGINT) AS cell_rank, rk <= 10 AS kept FROM r"""),
@@ -4221,16 +4233,26 @@ r$i AS (SELECT nodes.n, CAST($base + ($dampNum * COALESCE(c$i.s, 0)) // $dampDen
     * budget: the k smallest seed ids per sub (row_number ≤ k), the
     * corpus-linear training regime (see q194/q195 and SCALING.md).
     */
-  private def pqTopkOracleSql(queryPred: String, maxCentroids: Int = 0): String = {
+  private def pqTopkOracleSql(
+      queryPred: String,
+      maxCentroids: Int = VectorFunctions.DefaultMaxCentroids): String = {
+    val seedMarker =
+      "seed AS (SELECT sub, id AS cid, sv AS cv FROM sub WHERE id % 50 = 0),"
+    // Guard against silent template drift: if the seed CTE is ever
+    // reformatted, the .replace below would no-op and the oracle would
+    // replay the unbudgeted codebook while Spark applies maxCentroids.
+    require(pqTopkOracleTemplate.contains(seedMarker),
+      "pqTopkOracleTemplate seed CTE marker drifted — update pqTopkOracleSql")
+    require(pqTopkOracleTemplate.contains("__QPRED__"),
+      "pqTopkOracleTemplate __QPRED__ placeholder missing")
     val seed =
-      if (maxCentroids <= 0)
-        "seed AS (SELECT sub, id AS cid, sv AS cv FROM sub WHERE id % 50 = 0),"
+      if (maxCentroids <= 0) seedMarker
       else
         "seed AS (SELECT sub, cid, cv FROM (SELECT sub, id AS cid, sv AS cv, " +
           "row_number() OVER (PARTITION BY sub ORDER BY id) AS sr " +
           s"FROM sub WHERE id % 50 = 0) WHERE sr <= $maxCentroids),"
     pqTopkOracleTemplate
-      .replace("seed AS (SELECT sub, id AS cid, sv AS cv FROM sub WHERE id % 50 = 0),", seed)
+      .replace(seedMarker, seed)
       .replace("__QPRED__", queryPred)
   }
 
@@ -4335,8 +4357,9 @@ WHERE rank <= 5"""
     * filter mirrors the Scala side). Ends with `a1` = final FULL-corpus
     * assignment and `c1` = final centroids.
     */
-  private def lloydCtesSql(withInjectedCopies: Boolean,
-                           maxCentroids: Int = 0): String = {
+  private def lloydCtesSql(
+      withInjectedCopies: Boolean,
+      maxCentroids: Int = VectorFunctions.DefaultMaxCentroids): String = {
     val cos = portableCosSql _
     val vd =
       if (withInjectedCopies)

@@ -752,6 +752,47 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(idx, nn))
   }
 
+  /** cid of the argmax-COSINE centroid, ties to the lowest cid — the
+    * compiled quantized-Lloyd cell assignment (VectorFunctions'
+    * SemDeDup/prototype-prune/cluster-balance core). The per-centroid
+    * cosine accumulates dot/na/nb each left-to-right exactly like
+    * [[cosine]] (zero denom → 0.0), so the result is bit-identical to the
+    * broadcast-HOF formulation `max_by(cid, (cosine(v, cv), -cid))` that
+    * the DuckDB oracles replay — asserted in ExpressionsSpec. One compiled
+    * dim×k loop per row; no corpus×k candidate rows ever materialize,
+    * which removes the per-pair 64-dim array allocation that made the
+    * cross-join formulation the registry's heaviest transient allocator
+    * (q103's 3× sf1 session spread).
+    */
+  def nearestCentroidCos(vec: ArrayData, cents: Array[Array[Double]],
+                         cids: Array[Long]): Long = {
+    val k = cents.length
+    val n = vec.numElements()
+    var bestCid = 0L
+    var bestCs = 0.0
+    var first = true
+    var i = 0
+    while (i < k) {
+      val c = cents(i)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      val m = math.min(n, c.length)
+      while (j < m) {
+        val x = vec.getDouble(j); val y = c(j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val cs = if (denom == 0.0) 0.0 else dot / denom
+      val cid = cids(i)
+      if (first || cs > bestCs || (cs == bestCs && cid < bestCid)) {
+        bestCs = cs; bestCid = cid; first = false
+      }
+      i += 1
+    }
+    bestCid
+  }
+
   /** Sign-LSH signature: bit i = [dot(vec, plane_i) >= 0], sig = Σ bit·2^i —
     * parity with the transform/aggregate formulation.
     */
@@ -1002,6 +1043,31 @@ case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Double]], 
     copy(child = newChild)
 }
 
+/** Compiled quantized-Lloyd cell assignment: cid of the argmax-cosine
+  * centroid, ties to the lowest cid (see Kernels.nearestCentroidCos —
+  * bit-parity with the max_by-over-cosine broadcast formulation).
+  */
+case class NearestCentroidCosExpr(child: Expression,
+                                  cents: Array[Array[Double]],
+                                  cids: Array[Long])
+    extends UnaryExpression {
+  require(cents.length == cids.length && cents.nonEmpty,
+    s"nearestCentroidCos needs a non-empty centroid table with matching " +
+      s"ids (got ${cents.length} centroids / ${cids.length} ids)")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid_cos"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nearestCentroidCos(v.asInstanceOf[ArrayData], cents, cids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", cents, "double[][]")
+    val idRef = ctx.addReferenceObj("cids", cids, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.nearestCentroidCos($c, $cRef, $idRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidCosExpr =
+    copy(child = newChild)
+}
+
 /** Column-builder surface for the native expressions. */
 case class SubwordCountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -1110,6 +1176,10 @@ object GraftFunctions {
     Shim.column(HyperplaneSigExpr(Shim.expression(c), dim, bits, seed))
   def nearestCentroids(c: Column, cents: Array[Array[Double]], n: Int): Column =
     Shim.column(NearestCentroidsExpr(Shim.expression(c), cents, n))
+
+  def nearestCentroidCos(c: Column, cents: Array[Array[Double]],
+                         cids: Array[Long]): Column =
+    Shim.column(NearestCentroidCosExpr(Shim.expression(c), cents, cids))
   def repetitionStats(c: Column, n: Int): Column =
     Shim.column(RepetitionStatsExpr(Shim.expression(c), n))
   def charNgramCounts(c: Column, n: Int): Column =

@@ -27,6 +27,23 @@ object VectorFunctions {
   // names within one query) — same rationale as NearDedup.dropSeq.
   private val cellDropSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Default centroid budget for the quantized-Lloyd / PQ family
+    * ([[pqTrain]], [[pqTopK]], [[semDedupPortable]],
+    * [[clusterBalancedSample]], [[prototypePrune]]).
+    *
+    * The bare systematic seed (id % centroidEvery == 0) grows the codebook
+    * WITH the corpus, so brute-force assignment costs n·k =
+    * n²/centroidEvery — the sf1→sf10 decade measured ×109 (PQ) and ×58
+    * (Lloyd) under 10× data on that path. A fixed budget restores linear
+    * assignment (the FAISS regime: k fixed or ~√n while the corpus grows),
+    * so the BOUNDED behavior is the default; passing `maxCentroids = 0`
+    * explicitly opts back into the unbounded k ∝ n seed for small corpora
+    * where exact legacy semantics matter. 256 cells is the common
+    * IVF/k-means operating point for the ≤10⁶-vector corpora this budget
+    * first binds on, and far below the broadcast-table ceiling.
+    */
+  val DefaultMaxCentroids: Int = 256
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
@@ -160,7 +177,7 @@ object VectorFunctions {
              vecCol: String, k: Int, dim: Int, m: Int = 8,
              centroidEvery: Int = 50, rounds: Int = 1,
              quantScale: Double = 256.0, rescoreFactor: Int = 4,
-             trainEvery: Int = 1, maxCentroids: Int = 0): DataFrame = {
+             trainEvery: Int = 1, maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
     val book = pqTrain(corpus, idCol, vecCol, dim, m, centroidEvery, rounds,
       quantScale, trainEvery, maxCentroids)
     pqTopKWith(corpus, queries, book, idCol, vecCol, k, dim, m, quantScale, rescoreFactor)
@@ -224,7 +241,7 @@ object VectorFunctions {
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               dim: Int, m: Int = 8, centroidEvery: Int = 50,
               rounds: Int = 1, quantScale: Double = 256.0,
-              trainEvery: Int = 1, maxCentroids: Int = 0): DataFrame = {
+              trainEvery: Int = 1, maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     require(trainEvery >= 1, s"trainEvery must be positive, got $trainEvery")
     val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
@@ -588,25 +605,25 @@ object VectorFunctions {
     * Output: one row per input vector — (idCol, cell, kept); `kept=false`
     * marks rows dropped as near-duplicates of a lower-id cell-mate.
     *
-    * Scale shape: assignment is corpus × k with the centroid table
-    * broadcast; the update is one posexplode + two aggregations sharing the
-    * cell key (linear in corpus × dim); the dedup self-join is within-cell
-    * only, and `maxCell` bounds it against degenerate cells (oversized
-    * cells are excluded from pair generation behind an observed
-    * dropped-cells/rows metric — the minhash bucket-cap contract). Cells
-    * inherit the skew bound of the seed spacing — at 100 TB the
-    * seed would come from a hash-spread sample (ivfTopK's) and `rounds`
-    * Lloyd passes tighten cells without any new shuffle shape. Like
-    * ivfTopKPortable vs ivfTopK, this is the externally-replayable
-    * verification surface; the native hot path swaps the broadcast-HOF
-    * assignment for the compiled NearestCentroidsExpr narrow map (collect
-    * the k×dim centroid table per round — bounded driver state).
+    * Scale shape: with the default centroid budget the assignment is the
+    * compiled NearestCentroidCosExpr narrow map (one dim×k loop per row,
+    * k ≤ maxCentroids — no corpus×k rows ever materialize); the update is
+    * one posexplode + two aggregations sharing the cell key (linear in
+    * corpus × dim); the dedup self-join is within-cell only, and `maxCell`
+    * bounds it against degenerate cells (oversized cells are excluded from
+    * pair generation behind an observed dropped-cells/rows metric — the
+    * minhash bucket-cap contract). Cells inherit the skew bound of the
+    * seed spacing — at 100 TB the seed would come from a hash-spread
+    * sample (ivfTopK's) and `rounds` Lloyd passes tighten cells without
+    * any new shuffle shape. The compiled kernel reproduces the
+    * max_by-over-cosine arithmetic bit-for-bit (ExpressionsSpec), so the
+    * pipeline stays externally replayable.
     */
   def semDedupPortable(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, centroidEvery: Int = 25,
                        rounds: Int = 1, quantScale: Double = 65536.0,
                        trainEvery: Int = 1, maxCell: Int = 0,
-                       maxCentroids: Int = 0): DataFrame = {
+                       maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
     val (assigned, _) =
       quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
         trainEvery, maxCentroids)
@@ -659,7 +676,7 @@ object VectorFunctions {
                             perCellCap: Int, centroidEvery: Int = 25,
                             rounds: Int = 1, quantScale: Double = 65536.0,
                             trainEvery: Int = 1,
-                            maxCentroids: Int = 0): DataFrame = {
+                            maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
     require(perCellCap >= 1, s"perCellCap must be positive, got $perCellCap")
     val (assigned, _) =
       quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,
@@ -692,7 +709,7 @@ object VectorFunctions {
                              centroidEvery: Int, rounds: Int,
                              quantScale: Double,
                              trainEvery: Int = 1,
-                             maxCentroids: Int = 0): (DataFrame, DataFrame) = {
+                             maxCentroids: Int = DefaultMaxCentroids): (DataFrame, DataFrame) = {
     require(trainEvery >= 1, s"trainEvery must be positive, got $trainEvery")
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol),
@@ -702,37 +719,78 @@ object VectorFunctions {
     // refinement runs on a bounded sample); seeds and the FINAL assignment
     // still cover the full corpus, so every vector gets a cell.
     val tv = if (trainEvery <= 1) v else v.filter(col("id") % trainEvery === 0)
-    def assignOf(src: DataFrame, cents: DataFrame): DataFrame =
-      // argmax via max_by instead of a window: ordering (cs, -cid) is
-      // unique per id (cid unique within a group), reproducing the
-      // (cs desc, cid asc) tie-break exactly while the corpus×centroid
-      // rows collapse in map-side partial aggregation rather than being
-      // sort-shuffled at full width
-      src.crossJoin(broadcast(cents))
-        .withColumn("__cs", cosine(col("__v"), col("__cv")))
-        .groupBy(col("id"))
-        .agg(max_by(struct(col("cid"), col("__v")),
-          struct(col("__cs"), -col("cid"))).as("__b"))
-        .select(col("id"), col("__b.cid").as("cid"), col("__b.__v").as("__v"))
+    // Centroid-mean update: one posexplode + two aggregations on the cell
+    // key — linear in (assigned rows × dim), shared by both assignment
+    // formulations below.
+    def updateOf(trained: DataFrame): DataFrame = trained
+      .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", floor(col("s") / col("cnt")).cast("double"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        p => p.getField("m")).as("__cv"))
     val seeds = v.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("__v").as("__cv"))
-    var cents = if (maxCentroids <= 0) seeds
-      else seeds.orderBy(col("cid")).limit(maxCentroids)
-    var trained = assignOf(tv, cents)
-    for (_ <- 1 to rounds) {
-      cents = trained
-        .select(col("cid"), posexplode(col("__v")).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-        .withColumn("m", floor(col("s") / col("cnt")).cast("double"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          p => p.getField("m")).as("__cv"))
-      trained = assignOf(tv, cents)
+    if (maxCentroids <= 0) {
+      // Legacy unbounded path (explicit opt-in): k ∝ n, so the centroid
+      // relation can outgrow both the driver and the broadcast threshold —
+      // keep everything lazy/distributed and pay the corpus×k join.
+      def assignOf(src: DataFrame, cents: DataFrame): DataFrame =
+        // argmax via max_by instead of a window: ordering (cs, -cid) is
+        // unique per id (cid unique within a group), reproducing the
+        // (cs desc, cid asc) tie-break exactly while the corpus×centroid
+        // rows collapse in map-side partial aggregation rather than being
+        // sort-shuffled at full width
+        src.crossJoin(broadcast(cents))
+          .withColumn("__cs", cosine(col("__v"), col("__cv")))
+          .groupBy(col("id"))
+          .agg(max_by(struct(col("cid"), col("__v")),
+            struct(col("__cs"), -col("cid"))).as("__b"))
+          .select(col("id"), col("__b.cid").as("cid"), col("__b.__v").as("__v"))
+      var cents = seeds
+      var trained = assignOf(tv, cents)
+      for (_ <- 1 to rounds) {
+        cents = updateOf(trained)
+        trained = assignOf(tv, cents)
+      }
+      // Final full-corpus assignment against the trained centroids (lazy
+      // plans: the last in-loop `trained` is never executed when unused).
+      (assignOf(v, cents), cents)
+    } else {
+      // Budgeted (default) path: the centroid table is ≤ maxCentroids×dim
+      // doubles — bounded driver state — so assignment runs as the compiled
+      // NearestCentroidCosExpr narrow map (one dim×k loop per row, the
+      // ivfTopK :559 technique) instead of a corpus×k cross-join: no
+      // per-pair 64-dim array traffic, no join at all. Bit-parity with the
+      // max_by-over-cosine formulation (and thus the DuckDB oracle replay)
+      // is asserted in ExpressionsSpec. The per-round collect is the
+      // train-side eager job the production regime expects (train once,
+      // bounded k) — the FINAL corpus-wide assignment stays lazy.
+      def collectCents(c: DataFrame): (Array[Long], Array[Array[Double]]) = {
+        val rows = c.select(col("cid"), col("__cv")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        require(rows.nonEmpty,
+          s"quantizedLloyd: no centroid seeds (no $idCol % $centroidEvery == 0 ids)")
+        (rows.map(_._1), rows.map(_._2))
+      }
+      def assignOf(src: DataFrame, cids: Array[Long],
+                   cvs: Array[Array[Double]]): DataFrame =
+        src.select(col("id"),
+          graft.expressions.GraftFunctions
+            .nearestCentroidCos(col("__v"), cvs, cids).as("cid"),
+          col("__v"))
+      var (cids, cvs) = collectCents(seeds.orderBy(col("cid")).limit(maxCentroids))
+      for (_ <- 1 to rounds) {
+        val t = collectCents(updateOf(assignOf(tv, cids, cvs)))
+        cids = t._1; cvs = t._2
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centsDf = cids.zip(cvs).toSeq
+        .map { case (c, cv) => (c, cv.toSeq) }.toDF("cid", "__cv")
+      (assignOf(v, cids, cvs), centsDf)
     }
-    // Final full-corpus assignment against the trained centroids (lazy
-    // plans: the last in-loop `trained` is never executed when unused).
-    (assignOf(v, cents), cents)
   }
 
   /** Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
@@ -753,7 +811,7 @@ object VectorFunctions {
   def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
                      keepPct: Int = 50, centroidEvery: Int = 25,
                      rounds: Int = 1, quantScale: Double = 65536.0,
-                     trainEvery: Int = 1, maxCentroids: Int = 0): DataFrame = {
+                     trainEvery: Int = 1, maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct out of range: $keepPct")
     val (assigned, cents) =
       quantizedLloyd(df, idCol, vecCol, centroidEvery, rounds, quantScale,

@@ -145,6 +145,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("nearestCentroidCos matches max_by over the cosine broadcast join bit-exactly") {
+    // The compiled quantized-Lloyd assignment must reproduce the
+    // max_by(cid, (cosine, -cid)) formulation the DuckDB oracles replay —
+    // including ties (duplicate centroids) and the zero-norm → 0.0 branch.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(6)(Array.fill(8)(
+      math.floor(rnd.nextGaussian() * 65536.0 + 0.5)))
+    // duplicate centroid under a HIGHER cid (tie must go to the lower cid)
+    // + a zero centroid (denom 0 → cs 0.0 for every row)
+    val cents = base ++ Array(base(2).clone(), Array.fill(8)(0.0))
+    val cids = Array(0L, 25L, 50L, 75L, 100L, 125L, 150L, 175L)
+    val vecs = Seq.fill(60)(Seq.fill(8)(
+      math.floor(rnd.nextGaussian() * 65536.0 + 0.5))) ++
+      Seq(base(2).toSeq, Seq.fill(8)(0.0)) // exact centroid hit; zero row
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val centsDf = cids.zip(cents).toSeq
+      .map { case (c, cv) => (c, cv.toSeq) }.toDF("cid", "__cv")
+    val viaJoin = df.crossJoin(broadcast(centsDf))
+      .withColumn("__cs", GraftFunctions.cosine(col("v"), col("__cv")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"))
+    val viaKernel = df.select(col("id"),
+      GraftFunctions.nearestCentroidCos(col("v"), cents, cids).as("kcid"))
+    assert(viaJoin.join(viaKernel, Seq("id"))
+      .filter(col("cid") =!= col("kcid")).count() == 0)
+  }
+
   test("type probe bitmask has exact parity with the TypeDetect regexes") {
     val IntRe = "^-?[0-9]+$".r
     val FloatRe = "^-?[0-9]+\\.[0-9]+$".r

@@ -39,6 +39,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() == 25L)
   }
 
+  test("q103/q181 budgeted Lloyd assignment is the compiled kernel, not a cross-join") {
+    // Round 13: with the default centroid budget the cell assignment runs
+    // as the NearestCentroidCosExpr narrow map — the corpus×k
+    // BroadcastNestedLoopJoin (and its per-pair 64-dim array traffic, the
+    // q103 sf1 session-spread mechanism) must NOT reappear. q103's only
+    // joins are the within-cell pair join and the kept-flag left join.
+    for (q <- Seq("q103_semdedup", "q181_cluster_balance")) {
+      val p = planOf(q)
+      assert(p.contains("graft_nearest_centroid_cos"),
+        s"$q assignment not on the compiled kernel:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q corpus×k cross-join reappeared:\n$p")
+    }
+  }
+
   test("q46 exact jaccard plans no cartesian / nested-loop join, df cap present") {
     val p = planOf("q46_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
