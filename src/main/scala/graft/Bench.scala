@@ -129,6 +129,21 @@ object Bench {
     * only fails to add evidence. Returns (improved mins to splice into the
     * timing map, confirmed offenders with their post-retry mins).
     */
+  /** Per-sf default for the slow-query guard: 5 s sized for sf0.1 and
+    * below, the documented 30 s convention for sf1-class runs, and 30·sf
+    * above that (300 s at sf10 — a limit the round-12 k ∝ n quadratics at
+    * 460/109 s would have tripped). The factor parses from the data dir's
+    * basename (GenScale convention: `sf0.1`, `sf1`, `sf10`); a
+    * non-sf-named dir falls back to the strict 5 s default.
+    */
+  private[graft] def defaultSlowLimit(sfName: String): Double =
+    "^sf([0-9.]+)$".r.findFirstMatchIn(sfName)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption) match {
+      case Some(s) if s > 1.0 => 30.0 * s
+      case Some(s) if s > 0.1 => 30.0
+      case _                  => 5.0
+    }
+
   private[graft] def retryPass(slow: Seq[(String, Double, Double)],
                                retryMin: String => Option[Double])
       : (Map[String, Double], Seq[(String, Double, Double)]) = {
@@ -257,15 +272,31 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Slow-query guard: a monster timing must be impossible to commit
     // unremarked (round 10's q193 sat at 658 s inside a 747 s suite with
-    // zero documentation). Full runs only — filtered iteration runs are
-    // exactly where a deliberately slow work-in-progress query lives.
-    val slowLimit = sys.env.getOrElse("SPARK_GRAFT_SLOW_SEC", "5.0").toDouble
+    // zero documentation). The guard EVALUATES on every run — a filtered
+    // (SPARK_GRAFT_BENCH_ONLY) family run reports offenders in its
+    // slow_unremarked field so scale artifacts carry a non-vacuous guard
+    // (round-12 BENCH_sf10_family had q128 at 460 s behind an empty
+    // field) — but only FULL runs refuse/quarantine: filtered iteration
+    // runs are exactly where a deliberately slow work-in-progress query
+    // lives, so they warn and exit 0.
+    //
+    // Per-sf default limit (SPARK_GRAFT_SLOW_SEC overrides): 5 s is sized
+    // for sf0.1 and below; sf1-class runs use the documented 30 s
+    // convention; above sf1 the limit scales linearly (30·sf → 300 s at
+    // sf10 — a budget the round-12 k ∝ n quadratics at 460/109 s would
+    // have tripped). The sf factor parses from the data dir's basename
+    // (GenScale convention: target/sf1, target/sf10); non-sf-named dirs
+    // (e.g. /root/testdata/sf0.1 parses; an opaque path does not) fall
+    // back to the 5 s default.
+    val slowLimit = sys.env.get("SPARK_GRAFT_SLOW_SEC")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(defaultSlowLimit(sfName))
     val plansText =
       try {
         val src = scala.io.Source.fromFile("PLANS.md", "UTF-8")
         try src.mkString finally src.close()
       } catch { case _: Throwable => "" }
-    val firstPassSlow = if (only.isEmpty) slowUnremarked(timed, slowLimit, plansText) else Nil
+    val firstPassSlow = slowUnremarked(timed, slowLimit, plansText)
     // Retry pass: the main pass interleaves 195 queries, so one contended
     // host window smears across whichever queries ran inside it. Re-timing
     // only the offenders with the suite otherwise idle separates "this
@@ -273,8 +304,12 @@ object Bench {
     // appended to the detail artifact (retry_from marks where they start).
     val retryRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_RUNS", "2").toInt.max(0)
     val retryFrom = scala.collection.mutable.Map[String, Int]()
+    // Filtered runs skip the retry pass: they never refuse a snapshot, so
+    // there is nothing to clear — their offenders go straight to the
+    // report-only slow_unremarked field.
     val (retryUpdates, slow) =
-      if (firstPassSlow.isEmpty || retryRuns == 0) (Map.empty[String, Double], firstPassSlow)
+      if (firstPassSlow.isEmpty || retryRuns == 0 || only.nonEmpty)
+        (Map.empty[String, Double], firstPassSlow)
       else retryPass(firstPassSlow, { name =>
         System.err.println(s"[bench] retry pass: re-timing $name ($retryRuns idle-suite runs)")
         retryFrom(name) = details.get(name).map(_._1.size).getOrElse(0)
@@ -336,7 +371,7 @@ object Bench {
     }
     println(json)
     spark.stop()
-    if (slow.nonEmpty) {
+    if (slow.nonEmpty && only.isEmpty) {
       slow.foreach { case (n, t, lim) =>
         System.err.println(s"[bench] SLOW-QUERY GUARD (confirmed by idle-suite retry): $n ran ${fmt(t, 2)} s " +
           s"(limit ${fmt(lim, 2)} s) with no committed PLANS.md slow-budget " +
@@ -347,6 +382,13 @@ object Bench {
         s"to BENCH_*_$sfName.rejected.json; the canonical snapshots were " +
         s"not touched.")
       sys.exit(2)
+    } else if (slow.nonEmpty) {
+      // filtered run: report-only — the offenders are in slow_unremarked
+      // for the family artifact, but iteration runs must not fail.
+      slow.foreach { case (n, t, lim) =>
+        System.err.println(s"[bench] slow-query guard (report-only, " +
+          s"filtered run): $n ran ${fmt(t, 2)} s, limit ${fmt(lim, 2)} s.")
+      }
     }
   }
 

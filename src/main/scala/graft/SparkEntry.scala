@@ -2719,6 +2719,32 @@ object SparkEntry {
         size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
           w => length(w) > 0)),
         budgets)
+    }),
+    "q196_twin_gate" -> ((s, d) => {
+      // MACHINE-gate for the rows-only natives (round-12 verdict #6): the
+      // 6 no-oracle LSH/IVF surfaces are correctness-gated through their
+      // oracle-green portable twins, and this query moves that pairing
+      // from prose into the driver's CORRECTNESS artifact itself — one
+      // row per (rows_only_query, twin), so a consumer mechanically joins
+      // each native's own artifact row (non-trivial row count) to its
+      // twin's row (bit-for-bit hash match) in the SAME file. The Spark
+      // side re-asserts the registry invariants (twin registered, twin
+      // oracle-checked, native genuinely oracle-less) and COMPOSES each
+      // native so a broken/renamed native errors this dump; a registry
+      // drift turns the row red against the oracle's replay of the
+      // pairing. Composition only — the natives' full execution cost is
+      // already paid by their own rows in the run.
+      import s.implicits._
+      val rows = rowsOnlyTwins.toSeq.sortBy(_._1).map { case (q, twin) =>
+        require(queries.contains(twin) && oracleSql.contains(twin),
+          s"twin gate: $q twin $twin unregistered or oracle-less")
+        require(!oracleSql.contains(q),
+          s"twin gate: $q has an oracle — drop it from rowsOnlyTwins")
+        val composed = queries(q)(s, d) // wiring probe: must compose
+        require(composed.columns.nonEmpty, s"twin gate: $q composed empty schema")
+        (q, twin)
+      }
+      rows.toDF("rows_only_query", "twin")
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -2823,6 +2849,14 @@ object SparkEntry {
   // rows-only check by design.
   // =====================================================================
   def oracleSql: Map[String, String] = Map(
+    // twin-gate replay: the declared rows-only ↔ twin pairing, one row per
+    // pair — the Spark side re-derives it under registry-invariant
+    // requires and native composition probes, so a drifted registry or a
+    // broken native reddens/errors this row in the driver artifact (see
+    // q196 in queries).
+    "q196_twin_gate" -> rowsOnlyTwins.toSeq.sortBy(_._1).map { case (q, t) =>
+      s"SELECT '$q' AS rows_only_query, '$t' AS twin"
+    }.mkString(" UNION ALL "),
     "q01_filter_columns" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "q02_rename" ->
@@ -4505,10 +4539,13 @@ WHERE rank <= 5"""
     * jaccard) — the ONLY definition; q93 selects the pair relation from
     * it, q154 closes the pairs into components, and q166 filters the
     * cross fresh/prior pairs, so the oracles cannot drift apart. The
-    * keptbk CTE replays minhashPairsPortable's whole-bucket
-    * maxBucketSize=10000 window-count exclusion (and q166's combined-count
-    * variant — counting per bucket over ALL documents is the same rule
-    * when fresh/prior partition the corpus).
+    * keptbk CTE replays minhashPairsPortable's whole-bucket window-count
+    * exclusion with the cap interpolated from the SAME constant the Scala
+    * defaults use (NearDedup.DefaultMaxBucketSize — round-13 advice: a
+    * literal here silently diverged the moment a caller passed a
+    * non-default cap). q166's combined-count variant is the same rule —
+    * counting per bucket over ALL documents when fresh/prior partition
+    * the corpus.
     */
   private lazy val minhashPortableCtes: String = {
     val (as, bs) = graft.operators.NearDedup.portablePerms(32)
@@ -4530,7 +4567,7 @@ bk AS (SELECT doc_id, i // 4 AS band, md5(string_agg(CAST(sig AS VARCHAR), ',' O
   FROM sig GROUP BY doc_id, i // 4),
 keptbk AS (SELECT doc_id, band, bk FROM (
   SELECT doc_id, band, bk, count(*) OVER (PARTITION BY band, bk) AS n FROM bk)
-  WHERE n <= 10000),
+  WHERE n <= ${graft.operators.NearDedup.DefaultMaxBucketSize}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM keptbk a JOIN keptbk b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
 j AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) AS i, len(sa.s) AS na, len(sb.s) AS nb

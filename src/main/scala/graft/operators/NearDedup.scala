@@ -29,7 +29,20 @@ import graft.functions.TextFunctions
   */
 object NearDedup {
 
-  /** Default cap on LSH bucket size before the in-bucket self-join. */
+  /** Default cap on LSH bucket size before the in-bucket self-join —
+    * shared by the native aggregate+anti-join caps, the portable
+    * window-count twins, AND the DuckDB oracle CTEs (SparkEntry
+    * interpolates this constant into the keptbk SQL), so the two sides
+    * cannot drift.
+    *
+    * CONTRACT: buckets over the cap are dropped WHOLE — their members are
+    * never compared, so a corpus dominated by >cap near-identical docs is
+    * NOT deduped by these operators (CurationSpec pins that 40 clones
+    * under a cap of 10 yield zero pairs). Run exact/byte-identical dedup
+    * (`dedup` / [[exactDedup]]) upstream so that by the time LSH
+    * runs, a hot bucket represents pathological boilerplate to quarantine
+    * behind the observed dropped-rows metric, not real duplicate mass.
+    */
   val DefaultMaxBucketSize: Int = 10000
 
   /** Observed-metric names must be unique per plan (CheckAnalysis rejects
@@ -203,7 +216,7 @@ object NearDedup {
                            shingleSize: Int = 3, numPerms: Int = 32,
                            bands: Int = 8, threshold: Double = 0.7,
                            seed: Long = 42L,
-                           maxBucketSize: Int = 10000): DataFrame = {
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sh = portableShingles(df, idCol, textCol, shingleSize)
     val banded = portableBands(sh, numPerms, bands, seed)
     val wB = org.apache.spark.sql.expressions.Window
@@ -240,7 +253,7 @@ object NearDedup {
     */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3,
-                           maxBucketSize: Int = 10000): DataFrame = {
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bits = 60
     val toks = df.select(col(idCol).as("id"),
       explode(split(trim(col(textCol)), "\\s+")).as("t"))
@@ -778,7 +791,7 @@ object NearDedup {
                                       shingleSize: Int = 3, numPerms: Int = 32,
                                       bands: Int = 8, threshold: Double = 0.7,
                                       seed: Long = 42L,
-                                      maxBucketSize: Int = 10000): DataFrame = {
+                                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val fsh = portableShingles(fresh, idCol, textCol, shingleSize)
     val psh = portableShingles(prior, idCol, textCol, shingleSize)
     val tagged = portableBands(fsh, numPerms, bands, seed)

@@ -87,6 +87,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(u2.isEmpty && c2 == Seq(("q_y", 8.0, 5.0)))
   }
 
+  test("per-sf default slow limit: 5s to sf0.1, 30s sf1-class, 30·sf above") {
+    assert(Bench.defaultSlowLimit("sf0.001") == 5.0)
+    assert(Bench.defaultSlowLimit("sf0.01") == 5.0)
+    assert(Bench.defaultSlowLimit("sf0.1") == 5.0)
+    assert(Bench.defaultSlowLimit("sf0.5") == 30.0)
+    assert(Bench.defaultSlowLimit("sf1") == 30.0)
+    assert(Bench.defaultSlowLimit("sf10") == 300.0)
+    assert(Bench.defaultSlowLimit("sf100") == 3000.0)
+    // non-GenScale-named dirs stay on the strict default
+    assert(Bench.defaultSlowLimit("mydata") == 5.0)
+    assert(Bench.defaultSlowLimit("sf") == 5.0)
+  }
+
   test("shortKeys shortens to the q-number prefix only when unambiguous") {
     val ok = Bench.shortKeys(Seq("q01_filter", "q02_rename"))
     assert(ok == Map("q01_filter" -> "q01", "q02_rename" -> "q02"))

@@ -306,9 +306,19 @@ class PlanShapeSpec extends SparkSpec {
     // not above: the plan line order proves the cap runs pre-join. (At
     // sf0.001 AQE broadcasts the small join side so exchange reuse is not
     // visible here; at shuffle scale both sides reuse one signature pass.)
-    val wIdx = p.indexOf("Window")
-    val jIdx = p.indexOf("Join")
-    assert(wIdx > jIdx && jIdx >= 0, s"window cap not below the join in:\n$p")
+    // Anchor on the SPECIFIC nodes (round-13 advice): the cap is the
+    // window over (band, bk) and the guarded join is the candidate
+    // self-join keyed on (band, bk) — a bare indexOf("Window") /
+    // indexOf("Join") would flip on any unrelated window or join the
+    // plan gains later.
+    val capIdx = "(?m)^.*Window.*band#.*bk#.*$".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    val joinIdx = "(?m)^.*Join.*band#.*bk#.*$".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(capIdx >= 0, s"no count-over-(band, bk) window cap in:\n$p")
+    assert(joinIdx >= 0, s"no (band, bk)-keyed candidate join in:\n$p")
+    assert(capIdx > joinIdx,
+      s"window cap not below the candidate join in:\n$p")
   }
 
   test("q178/q180 perceptual near-dup: chunk-bucketed candidates, never cartesian") {
