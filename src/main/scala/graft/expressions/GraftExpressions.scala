@@ -793,6 +793,45 @@ object Kernels {
     bestCid
   }
 
+  /** cid of the argmin-squared-L2 codebook entry for subspace `sub`, ties
+    * to the lowest cid — the compiled PQ encode (exact long arithmetic,
+    * identical to [[longL2]] + `min_by(cid, (d2, cid))` over the codebook
+    * join, asserted in ExpressionsSpec). One compiled dsub×k loop per
+    * (row, subspace); no corpus×k joined rows. Throws with the
+    * joinBookGuarded guidance when the subspace has no codebook entries
+    * (the collector checks this up front, so reaching it here means a
+    * malformed `sub` value).
+    */
+  def nearestCodeL2(sv: ArrayData, sub: Long,
+                    books: Array[Array[Array[Long]]],
+                    cids: Array[Array[Long]]): Long = {
+    if (sub < 0 || sub >= books.length || books(sub.toInt).length == 0)
+      throw new IllegalStateException(
+        s"pq encode: empty PQ codebook for subspace $sub — train with " +
+          "pqTrain on an id space containing centroidEvery multiples")
+    val s = sub.toInt
+    val book = books(s)
+    val ids = cids(s)
+    val n = sv.numElements()
+    var bestCid = 0L
+    var bestD2 = Long.MaxValue
+    var first = true
+    var i = 0
+    while (i < book.length) {
+      val c = book(i)
+      var d2 = 0L
+      var j = 0
+      val m = math.min(n, c.length)
+      while (j < m) { val d = sv.getLong(j) - c(j); d2 += d * d; j += 1 }
+      val cid = ids(i)
+      if (first || d2 < bestD2 || (d2 == bestD2 && cid < bestCid)) {
+        bestD2 = d2; bestCid = cid; first = false
+      }
+      i += 1
+    }
+    bestCid
+  }
+
   /** Sign-LSH signature: bit i = [dot(vec, plane_i) >= 0], sig = Σ bit·2^i —
     * parity with the transform/aggregate formulation.
     */
@@ -1043,6 +1082,33 @@ case class NearestCentroidsExpr(child: Expression, cents: Array[Array[Double]], 
     copy(child = newChild)
 }
 
+/** Compiled PQ encode: cid of the argmin-integer-L2 codebook entry for the
+  * row's subspace, ties to the lowest cid (see Kernels.nearestCodeL2 —
+  * exact-long parity with the min_by-over-longL2 codebook join).
+  */
+case class NearestCodeL2Expr(left: Expression, right: Expression,
+                             books: Array[Array[Array[Long]]],
+                             cids: Array[Array[Long]])
+    extends BinaryExpression {
+  require(books.length == cids.length && books.nonEmpty &&
+    books.indices.forall(s => books(s).length == cids(s).length),
+    "nearestCodeL2 needs per-subspace codebooks with matching cid arrays")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_code_l2"
+  override protected def nullSafeEval(sv: Any, sub: Any): Any =
+    Kernels.nearestCodeL2(sv.asInstanceOf[ArrayData],
+      sub.asInstanceOf[Long], books, cids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", books, "long[][][]")
+    val idRef = ctx.addReferenceObj("cids", cids, "long[][]")
+    nullSafeCodeGen(ctx, ev, (sv, sub) =>
+      s"${ev.value} = graft.expressions.Kernels.nearestCodeL2($sv, $sub, $bRef, $idRef);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCodeL2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Compiled quantized-Lloyd cell assignment: cid of the argmax-cosine
   * centroid, ties to the lowest cid (see Kernels.nearestCentroidCos —
   * bit-parity with the max_by-over-cosine broadcast formulation).
@@ -1180,6 +1246,12 @@ object GraftFunctions {
   def nearestCentroidCos(c: Column, cents: Array[Array[Double]],
                          cids: Array[Long]): Column =
     Shim.column(NearestCentroidCosExpr(Shim.expression(c), cents, cids))
+
+  def nearestCodeL2(sv: Column, sub: Column,
+                    books: Array[Array[Array[Long]]],
+                    cids: Array[Array[Long]]): Column =
+    Shim.column(NearestCodeL2Expr(Shim.expression(sv), Shim.expression(sub),
+      books, cids))
   def repetitionStats(c: Column, n: Int): Column =
     Shim.column(RepetitionStatsExpr(Shim.expression(c), n))
   def charNgramCounts(c: Column, n: Int): Column =

@@ -157,8 +157,12 @@ object VectorFunctions {
     * codebook training, encoding, and the ADC ranking all replay
     * bit-for-bit in ANSI SQL.
     *
-    * Scale shape: codebooks are m × (n/centroidEvery) rows and broadcast;
-    * codes are a NARROW (id, sub, code) stream — the 8-byte-per-vector
+    * Scale shape: with the default centroid budget the codebooks are
+    * m × maxCentroids rows (FIXED as the corpus grows — collected once,
+    * served to both the kernel encode and the ADC table), and the encode
+    * itself is the compiled NearestCodeL2Expr narrow map: one dsub×ksub
+    * integer-L2 loop per (row, subspace), no corpus×k join anywhere.
+    * Codes are a NARROW (id, sub, code) stream — the 8-byte-per-vector
     * memory layout that makes billion-scale ANN feasible; the per-query
     * distance table is m × ksub rows and broadcasts. The final
     * (query, neighbor) aggregation is the only corpus-sized shuffle and
@@ -247,46 +251,130 @@ object VectorFunctions {
     val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
     val tsub = if (trainEvery <= 1) csub
                else csub.filter(col("id") % trainEvery === 0)
-    def assign(book: DataFrame): DataFrame = {
-      // argmin via min_by, not a window: the (corpus×centroids) join is the
-      // unavoidable distance computation, but min_by collapses it with
-      // map-side partial aggregation — no full-width sort shuffle of the
-      // candidate rows. The ordering struct (__d2, cid) is unique per
-      // (id, sub) group, so the result is deterministic and identical to
-      // the former row_number formulation (d2 asc, cid asc).
-      joinBookGuarded(tsub, book, "pqTrain")
-        .withColumn("__d2", intL2(col("sv"), col("cv")))
-        .groupBy(col("id"), col("sub"))
-        .agg(min_by(struct(col("cid"), col("sv")),
-          struct(col("__d2"), col("cid"))).as("__b"))
-        .select(col("id"), col("sub"),
-          col("__b.cid").as("cid"), col("__b.sv").as("sv"))
-    }
+    // Floor-mean centroid update — shared by both assignment formulations.
+    def updateOf(assigned: DataFrame): DataFrame = assigned
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy(col("sub"), col("cid"), col("d"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("mc", floor(col("s") / col("cnt")).cast("long"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mc")))),
+        p => p.getField("mc")).as("cv"))
     val seedBook = csub.filter(col("id") % centroidEvery === 0)
       .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
-    // maxCentroids > 0: the k smallest seed ids PER SUBSPACE (every sub
-    // shares the same id set, so this is one global id cut) — the fixed
-    // codebook budget that keeps the train/encode joins corpus-linear
-    // (k ∝ n otherwise: the sf1→sf10 decade measured q128 at ×109).
-    // Deterministic and SQL-replayable (row_number over cid ≤ k).
-    var book = if (maxCentroids <= 0) seedBook
-      else seedBook.withColumn("__r", row_number().over(
+    if (maxCentroids <= 0) {
+      // Legacy unbounded path (explicit opt-in): the codebook grows with
+      // the corpus, so it must never be collected — keep the lazy
+      // broadcast-join assignment and pay the corpus×k join.
+      def assign(book: DataFrame): DataFrame = {
+        // argmin via min_by, not a window: the (corpus×centroids) join is
+        // the unavoidable distance computation, but min_by collapses it
+        // with map-side partial aggregation — no full-width sort shuffle
+        // of the candidate rows. The ordering struct (__d2, cid) is unique
+        // per (id, sub) group, so the result is deterministic and
+        // identical to the former row_number formulation (d2 asc, cid asc).
+        joinBookGuarded(tsub, book, "pqTrain")
+          .withColumn("__d2", intL2(col("sv"), col("cv")))
+          .groupBy(col("id"), col("sub"))
+          .agg(min_by(struct(col("cid"), col("sv")),
+            struct(col("__d2"), col("cid"))).as("__b"))
+          .select(col("id"), col("sub"),
+            col("__b.cid").as("cid"), col("__b.sv").as("sv"))
+      }
+      var book = seedBook
+      var assigned = assign(book)
+      for (_ <- 1 to rounds) {
+        book = updateOf(assigned)
+        assigned = assign(book)
+      }
+      book
+    } else {
+      // Budgeted (default) path: the k smallest seed ids PER SUBSPACE
+      // (every sub shares the same id set, so this is one global id cut)
+      // — the fixed codebook budget that keeps training corpus-linear
+      // (k ∝ n otherwise: the sf1→sf10 decade measured q128 at ×109).
+      // Deterministic and SQL-replayable (row_number over cid ≤ k). The
+      // codebook is ≤ m×k×dsub longs — bounded driver state — so each
+      // round collects it and assigns via the compiled NearestCodeL2Expr
+      // narrow map (exact-long parity with the min_by join, asserted in
+      // ExpressionsSpec): no corpus×k joined rows anywhere in training.
+      val bounded = seedBook.withColumn("__r", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("sub")).orderBy(col("cid"))))
         .filter(col("__r") <= maxCentroids).drop("__r")
-    var assigned = assign(book)
-    for (_ <- 1 to rounds) {
-      book = assigned
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy(col("sub"), col("cid"), col("d"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-        .withColumn("mc", floor(col("s") / col("cnt")).cast("long"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("mc")))),
-          p => p.getField("mc")).as("cv"))
-      assigned = assign(book)
+      var (cids, cvs) = collectCodebook(bounded, m, "pqTrain")
+      for (_ <- 1 to rounds) {
+        val assigned = tsub.select(col("id"), col("sub"),
+          graft.expressions.GraftFunctions
+            .nearestCodeL2(col("sv"), col("sub"), cvs, cids).as("cid"),
+          col("sv"))
+        val t = collectCodebook(updateOf(assigned), m, "pqTrain")
+        cids = t._1; cvs = t._2
+      }
+      localBookDf(corpus.sparkSession, cids, cvs)
     }
-    book
+  }
+
+  /** Pack a collected (sub, cid, cv) codebook into per-subspace arrays
+    * sorted by cid — bounded driver state (m × k × dsub longs). Raises
+    * the joinBookGuarded guidance when a subspace has no entries.
+    */
+  private def packCodebook(rows: Array[(Int, Long, Array[Long])], m: Int,
+                           what: String)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val bySub = rows.groupBy(_._1)
+    val cids = Array.ofDim[Array[Long]](m)
+    val cvs = Array.ofDim[Array[Array[Long]]](m)
+    var s = 0
+    while (s < m) {
+      val e = bySub.getOrElse(s, Array.empty[(Int, Long, Array[Long])]).sortBy(_._2)
+      require(e.nonEmpty, s"$what: empty PQ codebook for subspace $s — train " +
+        "with pqTrain on an id space containing centroidEvery multiples")
+      cids(s) = e.map(_._2)
+      cvs(s) = e.map(_._3)
+      s += 1
+    }
+    (cids, cvs)
+  }
+
+  private def codebookRows(book: DataFrame): DataFrame =
+    book.select(col("sub"), col("cid"), col("cv"))
+
+  private def rowTriple(r: org.apache.spark.sql.Row): (Int, Long, Array[Long]) =
+    (r.getLong(0).toInt, r.getLong(1), r.getSeq[Long](2).toArray)
+
+  private def collectCodebook(book: DataFrame, m: Int, what: String)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) =
+    packCodebook(codebookRows(book).collect().map(rowTriple), m, what)
+
+  /** Collect a codebook of UNKNOWN size iff it is bounded: one limit-push
+    * collect; None (and no second execution here) when the book exceeds
+    * [[MaxCollectedCodebook]] — an unbounded-training relation must never
+    * land on the driver, so oversized books keep the distributed join
+    * encode.
+    */
+  private def tryCollectCodebook(book: DataFrame, m: Int, what: String)
+      : Option[(Array[Array[Long]], Array[Array[Array[Long]]])] = {
+    val rows = codebookRows(book).limit(MaxCollectedCodebook + 1).collect()
+    if (rows.length > MaxCollectedCodebook) None
+    else Some(packCodebook(rows.map(rowTriple), m, what))
+  }
+
+  /** Max codebook entries the serve path will collect for the compiled
+    * kernel encode (m × k rows; the default budget yields 8×256 = 2048).
+    */
+  private val MaxCollectedCodebook: Int = 1 << 16
+
+  /** A collected codebook as a (tiny) local DataFrame — same schema and
+    * values as the distributed (sub, cid, cv) relation, so downstream
+    * joins and oracle replays are unchanged.
+    */
+  private def localBookDf(spark: org.apache.spark.sql.SparkSession,
+                          cids: Array[Array[Long]],
+                          cvs: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    cids.indices.flatMap(s => cids(s).indices.map(i =>
+      (s.toLong, cids(s)(i), cvs(s)(i).toSeq))).toDF("sub", "cid", "cv")
   }
 
   /** Encode a corpus against pre-trained codebooks: (id, sub, cid) — the
@@ -305,11 +393,26 @@ object VectorFunctions {
                quantScale: Double = 256.0): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
-    joinBookGuarded(csub, codebooks, "pqEncode")
-      .withColumn("__d2", intL2(col("sv"), col("cv")))
-      .groupBy(col("id"), col("sub"))
-      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
+    tryCollectCodebook(codebooks, m, "pqEncode") match {
+      case Some((cids, cvs)) =>
+        // Bounded book (the default-budget regime): the encode is a
+        // compiled narrow map — one dsub×k integer-L2 loop per (row, sub),
+        // no corpus×k join, no min_by shuffle. Exact-long parity with the
+        // join formulation below (ExpressionsSpec).
+        pqEncodeWithLocal(csub, cids, cvs)
+      case None =>
+        joinBookGuarded(csub, codebooks, "pqEncode")
+          .withColumn("__d2", intL2(col("sv"), col("cv")))
+          .groupBy(col("id"), col("sub"))
+          .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
+    }
   }
+
+  private def pqEncodeWithLocal(csub: DataFrame, cids: Array[Array[Long]],
+                                cvs: Array[Array[Array[Long]]]): DataFrame =
+    csub.select(col("id"), col("sub"),
+      graft.expressions.GraftFunctions
+        .nearestCodeL2(col("sv"), col("sub"), cvs, cids).as("cid"))
 
   /** Serve PQ top-k with PRE-TRAINED codebooks (the production entry point;
     * `pqTopK` = pqTrain + this). Encodes the corpus against `codebooks`
@@ -320,11 +423,25 @@ object VectorFunctions {
     */
   def pqTopKWith(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
                  idCol: String, vecCol: String, k: Int, dim: Int, m: Int = 8,
-                 quantScale: Double = 256.0, rescoreFactor: Int = 4): DataFrame =
-    pqTopKWithCodes(
-      pqEncode(corpus, codebooks, idCol, vecCol, dim, m, quantScale),
-      corpus, queries, codebooks, idCol, vecCol, k, dim, m, quantScale,
-      rescoreFactor)
+                 quantScale: Double = 256.0, rescoreFactor: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    tryCollectCodebook(codebooks, m, "pqTopKWith") match {
+      case Some((cids, cvs)) =>
+        // Bounded book: collect ONCE — the kernel encode and the ADC table
+        // join both read the collected values (as a local relation), so
+        // the codebook plan (in-query training included) executes exactly
+        // once instead of once per consumer subtree.
+        val csub = pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale)
+        pqTopKWithCodes(pqEncodeWithLocal(csub, cids, cvs), corpus, queries,
+          localBookDf(corpus.sparkSession, cids, cvs), idCol, vecCol, k, dim,
+          m, quantScale, rescoreFactor)
+      case None =>
+        pqTopKWithCodes(
+          pqEncode(corpus, codebooks, idCol, vecCol, dim, m, quantScale),
+          corpus, queries, codebooks, idCol, vecCol, k, dim, m, quantScale,
+          rescoreFactor)
+    }
+  }
 
   /** The pure SERVE side: rank against a pre-encoded `codes` index
     * ((id, sub, cid) from [[pqEncode]], persisted). Per query: quantize,

@@ -172,6 +172,36 @@ class ExpressionsSpec extends SparkSpec {
       .filter(col("cid") =!= col("kcid")).count() == 0)
   }
 
+  test("nearestCodeL2 matches min_by over the longL2 codebook join exactly") {
+    // The compiled PQ encode must reproduce min_by(cid, (d2, cid)) over
+    // the broadcast codebook join — exact long arithmetic, ties (duplicate
+    // codebook vectors under distinct cids) resolved to the lower cid.
+    val rnd = new scala.util.Random(11)
+    val m = 4
+    val dsub = 6
+    val books: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      val base = Array.fill(4)(Array.fill(dsub)(rnd.nextInt(500).toLong))
+      base ++ Array(base(1).clone()) // duplicate vector, higher cid → tie
+    }
+    val cids: Array[Array[Long]] = Array.tabulate(m)(s =>
+      Array.tabulate(books(s).length)(i => (i * 50 + s).toLong))
+    val rows = (0 until 80).flatMap { id =>
+      (0 until m).map(s => (id.toLong, s.toLong,
+        Seq.fill(dsub)(rnd.nextInt(500).toLong)))
+    } ++ (0 until m).map(s => (999L, s.toLong, books(s)(1).toSeq)) // exact hit
+    val df = rows.toDF("id", "sub", "sv")
+    val bookDf = (0 until m).flatMap(s => books(s).indices.map(i =>
+      (s.toLong, cids(s)(i), books(s)(i).toSeq))).toDF("sub", "cid", "cv")
+    val viaJoin = df.join(broadcast(bookDf), Seq("sub"))
+      .withColumn("__d2", GraftFunctions.longL2(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
+    val viaKernel = df.select(col("id"), col("sub"),
+      GraftFunctions.nearestCodeL2(col("sv"), col("sub"), books, cids).as("kcid"))
+    assert(viaJoin.join(viaKernel, Seq("id", "sub"))
+      .filter(col("cid") =!= col("kcid")).count() == 0)
+  }
+
   test("type probe bitmask has exact parity with the TypeDetect regexes") {
     val IntRe = "^-?[0-9]+$".r
     val FloatRe = "^-?[0-9]+\\.[0-9]+$".r
