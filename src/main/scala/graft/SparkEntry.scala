@@ -4473,8 +4473,12 @@ WHERE rank <= 5"""
         s"ELSE list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) " +
         s"/ (sqrt(list_sum(list_transform($a, x -> x * x))) * " +
         s"sqrt(list_sum(list_transform($b, x -> x * x)))) END)"
+    // cents replays ivfTopKPortable's fixed centroid budget (the k
+    // smallest systematic seeds — DefaultMaxCentroids, the round-13
+    // default across the centroid family)
     "WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-      "cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id % 25 = 0), " +
+      "cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id % 25 = 0 " +
+      s"ORDER BY vec_id LIMIT ${VectorFunctions.DefaultMaxCentroids}), " +
       "assign0 AS (SELECT e.vec_id AS id, c.cid, e.v, " + cos("e.v", "c.cv") + " AS cs, " +
       "row_number() OVER (PARTITION BY e.vec_id ORDER BY " + cos("e.v", "c.cv") + " DESC, c.cid) AS rn " +
       "FROM emb e CROSS JOIN cents c), " +

@@ -526,20 +526,53 @@ object VectorFunctions {
     */
   def ivfTopKPortable(corpus: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
-                      centroidEvery: Int = 25, nProbe: Int = 5): DataFrame = {
+                      centroidEvery: Int = 25, nProbe: Int = 5,
+                      maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
     val v = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val cents = v.filter(col("id") % centroidEvery === 0)
+    val seeds = v.filter(col("id") % centroidEvery === 0)
       .select(col("id").as("cid"), col("__v").as("__cv"))
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("__cs").desc, col("cid").asc)
-    val assigned = v.crossJoin(broadcast(cents))
-      .withColumn("__cs", cosine(col("__v"), col("__cv")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("cid").as("cell"), col("__v"))
+    // The same fixed budget as the quantized-Lloyd family (the bare
+    // systematic seed makes k ∝ n, so corpus assignment is n²/stride):
+    // the k smallest seed ids, replayed in SQL as ORDER BY…LIMIT. On the
+    // budgeted path the centroid table is bounded driver state: collect
+    // it ONCE — the corpus-side assignment runs as the compiled
+    // NearestCentroidCosExpr narrow map (bit-parity with the
+    // row_number-over-(cosine desc, cid) formulation — same kernel and
+    // tie rule as quantizedLloyd, asserted in ExpressionsSpec) and the
+    // query-side probing reads the same values as a local relation. The
+    // unbounded opt-in keeps the lazy broadcast-cross + window and never
+    // collects.
+    val (cents, assigned) =
+      if (maxCentroids <= 0) {
+        val wAssign = Window.partitionBy(col("id"))
+          .orderBy(col("__cs").desc, col("cid").asc)
+        val a = v.crossJoin(broadcast(seeds))
+          .withColumn("__cs", cosine(col("__v"), col("__cv")))
+          .withColumn("__rn", row_number().over(wAssign))
+          .filter(col("__rn") === 1)
+          .select(col("id"), col("cid").as("cell"), col("__v"))
+        (seeds, a)
+      } else {
+        val rows = seeds.orderBy(col("cid")).limit(maxCentroids).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        require(rows.nonEmpty,
+          s"ivfTopKPortable: no centroid seeds (no $idCol % $centroidEvery == 0 ids)")
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val local = rows.toSeq.map { case (c, cv) => (c, cv.toSeq) }
+          .toDF("cid", "__cv")
+        val a = v.select(col("id"),
+          graft.expressions.GraftFunctions
+            .nearestCentroidCos(col("__v"), rows.map(_._2), rows.map(_._1))
+            .as("cell"),
+          col("__v"))
+        (local, a)
+      }
     val qv = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("__qv"))
+    // Query-side probing needs the top-nProbe cells (not just argmax) and
+    // the query set is broadcast-small — the cross+window stays.
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__cs").desc, col("cid").asc)
     val probes = qv.crossJoin(broadcast(cents))
