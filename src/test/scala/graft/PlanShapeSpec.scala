@@ -54,6 +54,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q128/q132 PQ encode is the compiled kernel, not a corpus×codebook join") {
+    // Round 13: with the default centroid budget the per-(row, subspace)
+    // code assignment runs as the NearestCodeL2Expr narrow map. The
+    // corpus×(m·ksub) encode join this replaced was the whole residual of
+    // the budgeted q128 at sf10 (36.3 s → 3.4 s). The per-QUERY ADC table
+    // (m × ksub rows, queries-sized cross) is legitimate, so this pins
+    // kernel PRESENCE, not join absence.
+    for (q <- Seq("q128_pq_topk", "q132_pq_reuse")) {
+      val p = planOf(q)
+      assert(p.contains("graft_nearest_code_l2"),
+        s"$q encode not on the compiled kernel:\n$p")
+    }
+  }
+
+  test("q96 budgeted IVF-portable assignment is the compiled kernel") {
+    // Same round-13 rule as the Lloyd/PQ family: the budgeted path's
+    // CORPUS-side cell assignment must be the NearestCentroidCosExpr
+    // narrow map, never the broadcast-cross + row_number window (which
+    // only the explicit maxCentroids=0 opt-in keeps). The QUERY-side
+    // probing legitimately keeps a queries×centroids broadcast cross
+    // (top-nProbe cells over a BUDGET-BOUNDED table), so kernel presence
+    // is the pin — it cannot coexist with the corpus×k assignment join.
+    val p = planOf("q96_ivf_portable")
+    assert(p.contains("graft_nearest_centroid_cos"),
+      s"q96 assignment not on the compiled kernel:\n$p")
+  }
+
   test("q46 exact jaccard plans no cartesian / nested-loop join, df cap present") {
     val p = planOf("q46_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
