@@ -175,16 +175,69 @@ object Bench {
     else names.map(n => n -> n).toMap
   }
 
+  /** Parse the per-query mins out of a committed BENCH_local_<sf>.json
+    * snapshot (flat `{"queries":{"q01":0.20,...},...}` — short keys, no
+    * nesting inside the queries object). Returns empty on missing or
+    * malformed input: the relative check is best-effort evidence, never a
+    * reason to fail a run.
+    */
+  private[graft] def parseCommittedMins(snapshot: String): Map[String, Double] = {
+    val marker = "\"queries\":{"
+    val start = snapshot.indexOf(marker)
+    if (start < 0) Map.empty
+    else {
+      val body = snapshot.substring(start + marker.length)
+      val end = body.indexOf('}')
+      if (end < 0) Map.empty
+      else "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body.substring(0, end))
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+        .toMap
+    }
+  }
+
+  /** Relative-inflation check (round 14, after the r13 driver bench carried
+    * scattered 5-8× single-query outliers — q180 ×8.5, q17 ×6.0 — that
+    * stayed under the 5 s absolute limit and so tripped nothing): flag any
+    * query whose min exceeds `factor`× its committed-snapshot min while
+    * big enough to matter (>= floorSec — sub-half-second queries swing 4×
+    * on scheduler noise alone). Offenders get the same idle-suite retry as
+    * absolute ones; survivors are REPORTED in the artifact's
+    * `slow_relative` field with limit = factor×reference. Never a refusal:
+    * the absolute contract still holds — this exists so a regression that
+    * hides under the absolute limit on a fast host is visible in the
+    * artifact instead of only in a human diff of snapshots.
+    */
+  private[graft] def slowRelative(mins: Seq[(String, Double)],
+                                  keyOf: Map[String, String],
+                                  ref: Map[String, Double],
+                                  factor: Double = 4.0,
+                                  floorSec: Double = 0.5): Seq[(String, Double, Double)] =
+    mins.flatMap { case (n, t) =>
+      ref.get(keyOf.getOrElse(n, n)) match {
+        case Some(r) if r > 0.0 && t >= floorSec && t > factor * r =>
+          Some((n, t, factor * r))
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Non-broadcast certification mode (SPARK_GRAFT_NO_BROADCAST=1): kill
+    // the planner threshold so hint-less joins go SMJ/shuffled-hash, and
+    // graft.operators.Tuning drops the library's own explicit hints — the
+    // regime every build side above any broadcast ceiling lives in at
+    // 100 TB. Such a run never touches the canonical snapshots (below).
+    val noBroadcast = graft.operators.Tuning.noBroadcast
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (noBroadcast)
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    else builder).getOrCreate()
     // OFF, not WARN: round 5's driver capture opened with a logged stack
     // trace (stderr) that broke machine parsing of the JSON even though
     // rc=0 and errors=[]. Genuine query failures are still surfaced through
@@ -304,37 +357,66 @@ object Bench {
     // appended to the detail artifact (retry_from marks where they start).
     val retryRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_RUNS", "2").toInt.max(0)
     val retryFrom = scala.collection.mutable.Map[String, Int]()
+    // Names that got >= 1 successful idle-suite sample — the refusal
+    // message below must not claim "confirmed by retry" for an offender
+    // whose every retry run threw (or when retries are disabled): in those
+    // cases the guard refuses on main-pass evidence alone and says so.
+    val retrySampled = scala.collection.mutable.Set[String]()
+    def idleRetry(name: String): Option[Double] = {
+      System.err.println(s"[bench] retry pass: re-timing $name ($retryRuns idle-suite runs)")
+      retryFrom(name) = details.get(name).map(_._1.size).getOrElse(0)
+      val samples = (1 to retryRuns).flatMap { _ =>
+        try Some(timeOnce(SparkEntry.queries(name)))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name retry run failed: ${e.getMessage}")
+          None }
+      }
+      if (samples.nonEmpty) {
+        retrySampled += name
+        details.get(name).foreach { case (ts, gs) =>
+          details(name) = (ts ++ samples.map(_._1), gs ++ samples.map(_._2))
+        }
+      }
+      samples.map(_._1).minOption
+    }
     // Filtered runs skip the retry pass: they never refuse a snapshot, so
     // there is nothing to clear — their offenders go straight to the
     // report-only slow_unremarked field.
     val (retryUpdates, slow) =
       if (firstPassSlow.isEmpty || retryRuns == 0 || only.nonEmpty)
         (Map.empty[String, Double], firstPassSlow)
-      else retryPass(firstPassSlow, { name =>
-        System.err.println(s"[bench] retry pass: re-timing $name ($retryRuns idle-suite runs)")
-        retryFrom(name) = details.get(name).map(_._1.size).getOrElse(0)
-        val samples = (1 to retryRuns).flatMap { _ =>
-          try Some(timeOnce(SparkEntry.queries(name)))
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name retry run failed: ${e.getMessage}")
-            None }
-        }
-        if (samples.nonEmpty)
-          details.get(name).foreach { case (ts, gs) =>
-            details(name) = (ts ++ samples.map(_._1), gs ++ samples.map(_._2))
-          }
-        samples.map(_._1).minOption
-      })
-    val timedFinal = timed.map { case (n, v) => n -> retryUpdates.getOrElse(n, v) }
+      else retryPass(firstPassSlow, idleRetry)
+    val timedAfterAbs = timed.map { case (n, v) => n -> retryUpdates.getOrElse(n, v) }
+    // Relative-inflation pass: compare against the committed snapshot's
+    // mins (read BEFORE this run overwrites it). Offenders not already
+    // idle-retried above get the same retry treatment; confirmed ones are
+    // report-only (`slow_relative`) — see slowRelative's doc.
+    val refMins =
+      try {
+        val src = scala.io.Source.fromFile(s"BENCH_local_$sfName.json", "UTF-8")
+        try parseCommittedMins(src.mkString) finally src.close()
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val relCandidates = slowRelative(timedAfterAbs, keyOf, refMins)
+    val (relIdleAlready, relFresh) = relCandidates.partition(o => retryFrom.contains(o._1))
+    val (relUpdates, relConfirmed) =
+      if (relFresh.isEmpty || retryRuns == 0 || only.nonEmpty)
+        (Map.empty[String, Double], relFresh)
+      else retryPass(relFresh, idleRetry)
+    val slowRel = (relIdleAlready ++ relConfirmed).sortBy(_._1)
+    val timedFinal = timedAfterAbs.map { case (n, v) => n -> relUpdates.getOrElse(n, v) }
     val qsFinal = timedFinal.map { case (k, v) =>
       "\"" + keyOf(k) + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val totalFinal = timedFinal.map(_._2).sum
     val suffix = snapshotSuffix(slow)
-    val slowJson = slow.map { case (n, t, lim) =>
-      "{\"q\":\"" + n + "\",\"sec\":" + fmt(t, 2) + ",\"limit\":" + fmt(lim, 2) + "}"
-    }.mkString("[", ",", "]")
-    val json = s"""{"queries":$qsFinal,"sf":"$sfDir","errors":$errs,"slow_unremarked":$slowJson,"metric":"total","unit":"sec","value":${fmt(totalFinal, 3)}}"""
+    def offendersJson(o: Seq[(String, Double, Double)]): String =
+      o.map { case (n, t, lim) =>
+        "{\"q\":\"" + n + "\",\"sec\":" + fmt(t, 2) + ",\"limit\":" + fmt(lim, 2) + "}"
+      }.mkString("[", ",", "]")
+    val slowJson = offendersJson(slow)
+    val slowRelJson = offendersJson(slowRel)
+    val nbMark = if (noBroadcast) "\"no_broadcast\":true," else ""
+    val json = s"""{"queries":$qsFinal,"sf":"$sfDir",$nbMark"errors":$errs,"slow_unremarked":$slowJson,"slow_relative":$slowRelJson,"metric":"total","unit":"sec","value":${fmt(totalFinal, 3)}}"""
     // Whole-file copies for consumers that can't rely on a stdout tail —
     // full runs only: a SPARK_GRAFT_BENCH_ONLY-filtered iteration run must
     // not clobber the committed full-suite snapshots. BENCH_detail carries
@@ -346,7 +428,12 @@ object Bench {
     // the run's evidence goes to BENCH_*_<sf>.rejected.json instead, so the
     // canonical snapshot names can only ever hold guard-clean runs and
     // "commit the red artifact anyway" stops being possible.
-    if (only.isEmpty) {
+    // noBroadcast runs measure a deliberately different regime: their
+    // evidence goes to BENCH_nobroadcast_* so a certification run can never
+    // masquerade as (or clobber) the canonical broadcast-regime snapshot.
+    if (only.isEmpty && noBroadcast) {
+      writeFile(s"BENCH_nobroadcast_$sfName.json", json)
+    } else if (only.isEmpty) {
       writeFile(s"BENCH_local_$sfName$suffix", json)
       val det = details.map { case (name, (ts, gs)) =>
         val key = keyOf.getOrElse(name, name)
@@ -370,10 +457,28 @@ object Bench {
           try new java.io.File(p).delete() catch { case _: Throwable => () }
     }
     println(json)
+    // Short machine-readable trailer LAST on stdout: the driver captures a
+    // bounded TAIL, and the full per-query line above outgrew it four
+    // rounds running (r10-r13 — the official artifact was rc=0 yet
+    // parsed:null because the one-line 196-query summary truncated
+    // mid-object). Everything needed to grade the run fits in this one
+    // short line, which always survives a bounded tail window; per-query
+    // detail lives in the full line above and the committed BENCH_* files.
+    println(s"""{"metric":"total","value":${fmt(totalFinal, 3)},"unit":"sec","n_queries":${timedFinal.size},"errors":$errs,"slow_unremarked":$slowJson,"slow_relative":$slowRelJson,${nbMark}"sf":"$sfDir"}""")
+    slowRel.foreach { case (n, t, lim) =>
+      System.err.println(s"[bench] relative-inflation (report-only): $n ran " +
+        s"${fmt(t, 2)} s vs committed-snapshot limit ${fmt(lim, 2)} s (4x ref min).")
+    }
     spark.stop()
     if (slow.nonEmpty && only.isEmpty) {
       slow.foreach { case (n, t, lim) =>
-        System.err.println(s"[bench] SLOW-QUERY GUARD (confirmed by idle-suite retry): $n ran ${fmt(t, 2)} s " +
+        // Only claim retry confirmation when a fresh idle-suite sample
+        // actually ran for THIS offender — with retries disabled or every
+        // retry run throwing, the guard refuses on main-pass evidence
+        // alone and must say so.
+        val how = if (retrySampled.contains(n)) "confirmed by idle-suite retry"
+                  else "main-pass evidence only; no retry sample ran"
+        System.err.println(s"[bench] SLOW-QUERY GUARD ($how): $n ran ${fmt(t, 2)} s " +
           s"(limit ${fmt(lim, 2)} s) with no committed PLANS.md slow-budget " +
           s"line — add `slow-budget: $n <sec>` with a justification section " +
           s"or fix the query.")

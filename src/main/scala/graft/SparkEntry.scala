@@ -2732,8 +2732,15 @@ object SparkEntry {
       // oracle-checked, native genuinely oracle-less) and COMPOSES each
       // native so a broken/renamed native errors this dump; a registry
       // drift turns the row red against the oracle's replay of the
-      // pairing. Composition only — the natives' full execution cost is
-      // already paid by their own rows in the run.
+      // pairing. NOT free: composing the budgeted natives runs their
+      // EAGER construction-time jobs (ivfTopK's centroid collect scans
+      // the corpus; budgeted Lloyd paths collect per training round), so
+      // a bench timing of this query re-pays those collects on top of
+      // the natives' own rows — the probe verifies wiring, it does not
+      // deduplicate work. Acceptable because the eager jobs are
+      // centroid-table-sized (bounded by the budget), not corpus-sized
+      // shuffles; if q196 ever matters at sf10, downgrade the probe to
+      // registry-membership assertions.
       import s.implicits._
       val rows = rowsOnlyTwins.toSeq.sortBy(_._1).map { case (q, twin) =>
         require(queries.contains(twin) && oracleSql.contains(twin),

@@ -700,6 +700,37 @@ object Kernels {
     new GenericArrayData(Array[Double](dlf, dcf, tgf))
   }
 
+  /** Distinct-set Jaccard of two string arrays in ONE compiled pass —
+    * exact value parity with
+    * `size(array_intersect(a,b)) / size(array_union(a,b))` (both builtins
+    * are SET-semantic: distinct common elements / distinct elements of
+    * both), whose interpreted evaluation materializes two fresh arrays and
+    * three hash sets per pair. This runs once per CANDIDATE pair in every
+    * LSH verify stage — the dominant term of the minhash natives at sf10 —
+    * so it builds two int-free hash sets and no output arrays. The
+    * division of the same two ints is bit-identical IEEE in any engine
+    * (the oracle replays list_intersect/list_union and divides the same
+    * integers); 0-element inputs give 0/0 → NaN, matching the builtin
+    * formulation (shingles() never emits an empty array, so unreachable
+    * from the library's own call sites).
+    */
+  def jaccardSim(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    val setA = new java.util.HashSet[UTF8String](math.max(4, na * 2))
+    var i = 0
+    while (i < na) { setA.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[UTF8String](math.max(4, nb * 2))
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val s = b.getUTF8String(i)
+      if (seenB.add(s) && setA.contains(s)) inter += 1
+      i += 1
+    }
+    val union = setA.size + seenB.size - inter
+    inter.toDouble / union
+  }
+
   /** Cosine similarity of two double arrays; 0.0 when either norm is 0 —
     * parity with the zip_with/aggregate fold (left-to-right sums).
     */
@@ -785,7 +816,17 @@ object Kernels {
       val denom = math.sqrt(na) * math.sqrt(nb)
       val cs = if (denom == 0.0) 0.0 else dot / denom
       val cid = cids(i)
-      if (first || cs > bestCs || (cs == bestCs && cid < bestCid)) {
+      // NaN ordering parity with the max_by struct twin: Spark (and DuckDB)
+      // order NaN ABOVE every double, so a NaN cosine (a NaN component
+      // propagates through dot/norm) must WIN against any finite best and
+      // TIE against another NaN (then lower cid). A bare `>` never lets a
+      // NaN candidate win unless it runs first — silently breaking the
+      // claimed bit-parity on non-finite embeddings.
+      val csNaN = java.lang.Double.isNaN(cs)
+      val bestNaN = java.lang.Double.isNaN(bestCs)
+      val gt = if (csNaN) !bestNaN else !bestNaN && cs > bestCs
+      val eq = (csNaN && bestNaN) || cs == bestCs
+      if (first || gt || (eq && cid < bestCid)) {
         bestCs = cs; bestCid = cid; first = false
       }
       i += 1
@@ -1157,6 +1198,21 @@ case class ScriptCountsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Compiled distinct-set string-array Jaccard (see Kernels.jaccardSim —
+  * exact parity with size(array_intersect)/size(array_union)).
+  */
+case class JaccardSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.Kernels.jaccardSim($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardSimExpr = copy(left = newLeft, right = newRight)
+}
+
 /** Compiled integer squared-L2 (see Kernels.longL2). */
 case class LongL2Expr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -1226,6 +1282,8 @@ object GraftFunctions {
     Shim.column(DeflateRatioExpr(Shim.expression(c)))
   def longL2(a: Column, b: Column): Column =
     Shim.column(LongL2Expr(Shim.expression(a), Shim.expression(b)))
+  def jaccardSim(a: Column, b: Column): Column =
+    Shim.column(JaccardSimExpr(Shim.expression(a), Shim.expression(b)))
   def simhash64(c: Column): Column =
     Shim.column(SimHash64Expr(Shim.expression(c)))
   def shingles(c: Column, n: Int): Column =

@@ -184,7 +184,15 @@ object VectorFunctions {
              trainEvery: Int = 1, maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
     val book = pqTrain(corpus, idCol, vecCol, dim, m, centroidEvery, rounds,
       quantScale, trainEvery, maxCentroids)
-    pqTopKWith(corpus, queries, book, idCol, vecCol, k, dim, m, quantScale, rescoreFactor)
+    // maxCentroids = 0 trains an unbounded in-query book: route straight to
+    // the distributed serve so the training subtree is never executed an
+    // extra time just to probe its size (tryCollectCodebook would run it
+    // once, conclude "too big", and the join path would re-plan it).
+    if (maxCentroids <= 0)
+      pqTopKWithUncollected(corpus, queries, book, idCol, vecCol, k, dim, m,
+        quantScale, rescoreFactor)
+    else
+      pqTopKWith(corpus, queries, book, idCol, vecCol, k, dim, m, quantScale, rescoreFactor)
   }
 
   /** L2 over two integer arrays (exact — long accumulation). */
@@ -351,19 +359,38 @@ object VectorFunctions {
     * collect; None (and no second execution here) when the book exceeds
     * [[MaxCollectedCodebook]] — an unbounded-training relation must never
     * land on the driver, so oversized books keep the distributed join
-    * encode.
+    * encode. A plan-local book (the budgeted training paths return
+    * [[localBookDf]], a LocalRelation) is size-checked on the optimized
+    * plan WITHOUT running a job, so the probe costs nothing there; the
+    * explicit maxCentroids=0 opt-ins never reach this method at all
+    * ([[pqTopK]] routes them straight to the distributed formulation), so
+    * no in-query Lloyd training subtree is ever executed just to be probed.
     */
   private def tryCollectCodebook(book: DataFrame, m: Int, what: String)
-      : Option[(Array[Array[Long]], Array[Array[Array[Long]]])] = {
-    val rows = codebookRows(book).limit(MaxCollectedCodebook + 1).collect()
-    if (rows.length > MaxCollectedCodebook) None
-    else Some(packCodebook(rows.map(rowTriple), m, what))
-  }
+      : Option[(Array[Array[Long]], Array[Array[Array[Long]]])] =
+    book.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        if (lr.data.length > MaxCollectedCodebook) None
+        else Some(packCodebook(codebookRows(book).collect().map(rowTriple), m, what))
+      case _ =>
+        val rows = codebookRows(book).limit(MaxCollectedCodebook + 1).collect()
+        if (rows.length > MaxCollectedCodebook) None
+        else Some(packCodebook(rows.map(rowTriple), m, what))
+    }
 
-  /** Max codebook entries the serve path will collect for the compiled
-    * kernel encode (m × k rows; the default budget yields 8×256 = 2048).
+  /** Max codebook entries (total m × k rows) the serve path will collect
+    * for the compiled kernel encode. The bound is sized by the KERNEL's
+    * per-row cost, not by what fits on the driver: the encode loop does
+    * (rows × dsub) = k × dim multiply-adds per corpus row, so at 8192
+    * entries a dim-64 corpus already pays ~512k ops/row — beyond that the
+    * distributed min_by join (map-side combine, no per-task codebook copy)
+    * is the better regime anyway. Also bounds the addReferenceObj payload
+    * shipped with every task binary (≤ 8192 × dsub longs ≈ 0.5 MB at
+    * dsub = 8) — the former 65536 ceiling allowed a 4 MB per-expression
+    * embed for a kernel that would lose to the join. The default budget
+    * (8 × 256 = 2048 rows) sits comfortably under it.
     */
-  private val MaxCollectedCodebook: Int = 1 << 16
+  private val MaxCollectedCodebook: Int = 8192
 
   /** A collected codebook as a (tiny) local DataFrame — same schema and
     * values as the distributed (sub, cid, cv) relation, so downstream
@@ -401,12 +428,20 @@ object VectorFunctions {
         // join formulation below (ExpressionsSpec).
         pqEncodeWithLocal(csub, cids, cvs)
       case None =>
-        joinBookGuarded(csub, codebooks, "pqEncode")
-          .withColumn("__d2", intL2(col("sv"), col("cv")))
-          .groupBy(col("id"), col("sub"))
-          .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
+        pqEncodeDistributed(csub, codebooks, "pqEncode")
     }
   }
+
+  /** The distributed (broadcast-join + map-side min_by) encode — the
+    * regime for books too big to collect and for the explicit
+    * maxCentroids=0 opt-in, where the book must never land on the driver.
+    */
+  private def pqEncodeDistributed(csub: DataFrame, codebooks: DataFrame,
+                                  what: String): DataFrame =
+    joinBookGuarded(csub, codebooks, what)
+      .withColumn("__d2", intL2(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d2"), col("cid"))).as("cid"))
 
   private def pqEncodeWithLocal(csub: DataFrame, cids: Array[Array[Long]],
                                 cvs: Array[Array[Array[Long]]]): DataFrame =
@@ -436,12 +471,28 @@ object VectorFunctions {
           localBookDf(corpus.sparkSession, cids, cvs), idCol, vecCol, k, dim,
           m, quantScale, rescoreFactor)
       case None =>
-        pqTopKWithCodes(
-          pqEncode(corpus, codebooks, idCol, vecCol, dim, m, quantScale),
-          corpus, queries, codebooks, idCol, vecCol, k, dim, m, quantScale,
-          rescoreFactor)
+        pqTopKWithUncollected(corpus, queries, codebooks, idCol, vecCol, k,
+          dim, m, quantScale, rescoreFactor)
     }
   }
+
+  /** Serve against a book that must stay distributed (oversized, or the
+    * explicit maxCentroids=0 opt-in): the encode is the broadcast-join
+    * min_by and the book plan is NEVER probed or collected — calling this
+    * directly (as [[pqTopK]] does for maxCentroids=0) avoids executing an
+    * in-query training subtree once just to measure its size.
+    */
+  private def pqTopKWithUncollected(corpus: DataFrame, queries: DataFrame,
+                                    codebooks: DataFrame, idCol: String,
+                                    vecCol: String, k: Int, dim: Int, m: Int,
+                                    quantScale: Double,
+                                    rescoreFactor: Int): DataFrame =
+    pqTopKWithCodes(
+      pqEncodeDistributed(
+        pqSubvectors(corpus, idCol, vecCol, "id", dim, m, quantScale),
+        codebooks, "pqTopKWith"),
+      corpus, queries, codebooks, idCol, vecCol, k, dim, m, quantScale,
+      rescoreFactor)
 
   /** The pure SERVE side: rank against a pre-encoded `codes` index
     * ((id, sub, cid) from [[pqEncode]], persisted). Per query: quantize,

@@ -219,8 +219,11 @@ object BabeOps {
       // but a misuse (fact table as build side) must not OOM the driver.
       // Above the row cap we fall back to a shuffle join with a warning;
       // maxBroadcastRows <= 0 skips the guard (and the count) entirely.
+      // Tuning.noBroadcast forces the shuffle regime outright (no hint, no
+      // probe count) so the fallback path is exercisable on demand.
       val hinted =
-        if (maxBroadcastRows <= 0) broadcast(dedupedBuild)
+        if (Tuning.noBroadcast) dedupedBuild
+        else if (maxBroadcastRows <= 0) broadcast(dedupedBuild)
         else {
           val n = dedupedBuild.limit((maxBroadcastRows + 1).toInt.max(1)).count()
           if (n > maxBroadcastRows) {

@@ -122,7 +122,7 @@ object Joins {
       .withColumn("__b", explode(buckets(col(lsCol), col(leCol))))
     val r0 = right.filter(col(rsCol) <= col(reCol))
       .withColumn("__b", explode(buckets(col(rsCol), col(reCol))))
-    val r = if (broadcastRight) broadcast(r0) else r0
+    val r = if (broadcastRight && !Tuning.noBroadcast) broadcast(r0) else r0
     l.join(r, Seq("__b"))
       .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol))
       .filter(floor(greatest(col(lsCol), col(rsCol)) / bucketWidth).cast(LongType) === col("__b"))
@@ -136,7 +136,7 @@ object Joins {
       .withColumn("__b", explode(sequence(
         floor(col(startCol) / bucketWidth).cast(LongType),
         floor((col(endCol) - 1) / bucketWidth).cast(LongType))))
-    val rSide = if (broadcastRight) broadcast(r) else r
+    val rSide = if (broadcastRight && !Tuning.noBroadcast) broadcast(r) else r
     left.withColumn("__b", floor(col(valueCol) / bucketWidth).cast(LongType))
       .join(rSide, Seq("__b"))
       .filter(col(valueCol) >= col(startCol) && col(valueCol) < col(endCol))

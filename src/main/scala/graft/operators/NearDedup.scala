@@ -114,13 +114,23 @@ object NearDedup {
       .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
       .select("band", "id")
     // id-only candidate pairs; shingle arrays re-joined after the pair dedup.
+    // Observed attribution for the verify stage (round 14 — at sf10 the
+    // exact verify over candidates is the natives' dominant term): how many
+    // candidate pairs entered the verify vs how many survived the threshold
+    // is readable from a QueryExecutionListener after any action, no extra
+    // pass. Emitted rows are the output count itself.
     val cand = bucketedCandidates(banded, "band", maxBucketSize)
+      .observe(s"minhash_verify_${dropSeq.incrementAndGet()}",
+        count(lit(1)).as("candidate_pairs"))
     val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // Compiled one-pass set Jaccard (exact parity with the former
+    // array_intersect/array_union formulation — see Kernels.jaccardSim):
+    // per candidate pair this is the whole verify arithmetic, so it must
+    // not allocate two result arrays and three hash sets interpreted.
     cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.expressions.GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -230,10 +240,11 @@ object NearDedup {
       .select("id_a", "id_b").distinct()
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // same compiled verify kernel as the native path — value parity with
+    // the list_intersect/list_union oracle replay (identical int division)
     cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.expressions.GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -812,8 +823,7 @@ object NearDedup {
       .join(fsh.select(col("id").as("fresh_id"), col("sh").as("sh_f")), Seq("fresh_id"))
       .join(psh.select(col("id").as("prior_id"), col("sh").as("sh_p")), Seq("prior_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_f"), col("sh_p"))).cast(DoubleType) /
-          size(array_union(col("sh_f"), col("sh_p"))))
+        graft.expressions.GraftFunctions.jaccardSim(col("sh_f"), col("sh_p")))
       .filter(col("jaccard") >= threshold)
       .select(col("fresh_id").as(idCol)).distinct()
     fresh.join(contaminated, Seq(idCol), "left_anti")

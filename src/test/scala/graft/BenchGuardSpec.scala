@@ -100,6 +100,50 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.defaultSlowLimit("sf") == 5.0)
   }
 
+  test("parseCommittedMins reads the queries object of a committed snapshot") {
+    val snap = """{"queries":{"q01":0.20,"q57":1.58,"q154":2.66},"sf":"/x/sf10",""" +
+      """"errors":[],"slow_unremarked":[],"metric":"total","unit":"sec","value":4.44}"""
+    assert(Bench.parseCommittedMins(snap) ==
+      Map("q01" -> 0.20, "q57" -> 1.58, "q154" -> 2.66))
+    // malformed / missing input is evidence-absent, never an error
+    assert(Bench.parseCommittedMins("").isEmpty)
+    assert(Bench.parseCommittedMins("{\"value\":3.0}").isEmpty)
+    assert(Bench.parseCommittedMins("{\"queries\":{").isEmpty)
+  }
+
+  test("relative-inflation check flags >4x the committed min, above the noise floor") {
+    // round 13's driver bench: q180 ×8.5, q17 ×6.0 vs the committed idle
+    // snapshot — all under the 5 s absolute limit, so nothing tripped.
+    val ref = Map("q17" -> 0.50, "q180" -> 0.40, "q01" -> 0.05)
+    val keyOf = Map("q17_join_warn" -> "q17", "q180_audio_neardup" -> "q180",
+      "q01_filter_columns" -> "q01", "q_new_query" -> "q_new_query")
+    val mins = Seq(
+      "q17_join_warn" -> 3.0,        // 6x ref, >= floor -> flagged
+      "q180_audio_neardup" -> 3.4,   // 8.5x ref -> flagged
+      "q01_filter_columns" -> 0.3,   // 6x ref but under the 0.5 s floor
+      "q_new_query" -> 9.9)          // no reference -> not flagged here
+    assert(Bench.slowRelative(mins, keyOf, ref) == Seq(
+      ("q17_join_warn", 3.0, 2.0),
+      ("q180_audio_neardup", 3.4, 1.6)))
+    // within 4x: silent
+    assert(Bench.slowRelative(Seq("q17_join_warn" -> 1.9), keyOf, ref).isEmpty)
+    // a zero/negative reference min can never flag (guards the 0.00-rounded
+    // committed entries)
+    assert(Bench.slowRelative(Seq("q17_join_warn" -> 3.0), keyOf,
+      Map("q17" -> 0.0)).isEmpty)
+  }
+
+  test("relative offenders clear through the same idle-suite retry pass") {
+    // contended main pass: 6x the committed min; idle retry lands at 1.1x
+    // -> cleared (min spliced), nothing reported
+    val flagged = Seq(("q17_join_warn", 3.0, 2.0))
+    val (updated, confirmed) = Bench.retryPass(flagged, _ => Some(0.55))
+    assert(confirmed.isEmpty && updated == Map("q17_join_warn" -> 0.55))
+    // a genuine regression survives the retry and stays reported
+    val (u2, c2) = Bench.retryPass(flagged, _ => Some(2.9))
+    assert(u2 == Map("q17_join_warn" -> 2.9) && c2 == Seq(("q17_join_warn", 2.9, 2.0)))
+  }
+
   test("shortKeys shortens to the q-number prefix only when unambiguous") {
     val ok = Bench.shortKeys(Seq("q01_filter", "q02_rename"))
     assert(ok == Map("q01_filter" -> "q01", "q02_rename" -> "q02"))

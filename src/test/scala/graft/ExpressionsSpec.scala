@@ -172,6 +172,65 @@ class ExpressionsSpec extends SparkSpec {
       .filter(col("cid") =!= col("kcid")).count() == 0)
   }
 
+  test("jaccardSim matches size(array_intersect)/size(array_union) exactly") {
+    // the compiled LSH verify kernel must reproduce the builtin SET
+    // semantics bit-for-bit: duplicates collapse, order is irrelevant,
+    // disjoint arrays give 0.0, identical sets give 1.0
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(40)(i => s"tok$i")
+    val arrays = Seq.fill(80)(Seq.fill(1 + rnd.nextInt(20))(
+      vocab(rnd.nextInt(vocab.size)))) ++
+      Seq(Seq("a", "a", "b"), Seq("b", "a"), Seq("zz"), Seq("a"))
+    val pairs = arrays.zip(arrays.reverse).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = pairs.toDF("id", "sa", "sb")
+    val out = df.select(
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("builtin"),
+      GraftFunctions.jaccardSim(col("sa"), col("sb")).as("kernel"))
+    assert(out.filter(col("builtin") =!= col("kernel")).count() == 0)
+    // absolute anchors
+    val anchor = Seq((Seq("a", "a", "b"), Seq("b", "a")),
+      (Seq("a"), Seq("b")), (Seq("x", "y"), Seq("y", "x")))
+      .toDF("sa", "sb")
+      .select(GraftFunctions.jaccardSim(col("sa"), col("sb")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(anchor == Seq(1.0, 0.0, 1.0))
+  }
+
+  test("nearestCentroidCos NaN ordering matches Spark's max_by (NaN wins, ties to lower cid)") {
+    // Spark (and DuckDB) order NaN ABOVE every double, so max_by over a
+    // NaN cosine picks the NaN candidate. The kernel's comparison must
+    // reproduce that — a bare `>` never lets NaN win unless it runs first
+    // (round-13 ADVICE). Two shapes: a NaN CENTROID (finite rows get one
+    // NaN cosine — it must win regardless of position), and a NaN ROW
+    // (every cosine NaN — all tie, lowest cid must win).
+    val cents = Array(
+      Array(1.0, 2.0, 3.0, 4.0),
+      Array(Double.NaN, 2.0, 3.0, 4.0), // NaN centroid, NOT first
+      Array(4.0, 3.0, 2.0, 1.0))
+    val cids = Array(0L, 25L, 50L)
+    val vecs = Seq(
+      Seq(1.0, 2.0, 3.0, 4.0),          // exact hit on cid 0, but NaN wins
+      Seq(-1.0, 5.0, 0.5, 2.0),
+      Seq(Double.NaN, 1.0, 1.0, 1.0))   // NaN row: all cosines NaN
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val centsDf = cids.zip(cents).toSeq
+      .map { case (c, cv) => (c, cv.toSeq) }.toDF("cid", "__cv")
+    val viaJoin = df.crossJoin(broadcast(centsDf))
+      .withColumn("__cs", GraftFunctions.cosine(col("v"), col("__cv")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("__cs"), -col("cid"))).as("cid"))
+    val viaKernel = df.select(col("id"),
+      GraftFunctions.nearestCentroidCos(col("v"), cents, cids).as("kcid"))
+    assert(viaJoin.join(viaKernel, Seq("id"))
+      .filter(col("cid") =!= col("kcid")).count() == 0)
+    // and the absolute expectation, not just parity: NaN centroid wins for
+    // finite rows; the all-NaN row ties down to the lowest cid
+    val got = viaKernel.orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(25L, 25L, 0L))
+  }
+
   test("nearestCodeL2 matches min_by over the longL2 codebook join exactly") {
     // The compiled PQ encode must reproduce min_by(cid, (d2, cid)) over
     // the broadcast codebook join — exact long arithmetic, ties (duplicate

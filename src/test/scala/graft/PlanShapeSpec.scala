@@ -358,4 +358,32 @@ class PlanShapeSpec extends SparkSpec {
         p.contains("BroadcastHashJoin"), s"no bucket equi-join in $q:\n$p")
     }
   }
+
+  test("non-broadcast regime: join family falls back to shuffle joins, still equi") {
+    // At 100 TB some build sides exceed any broadcast ceiling; the
+    // Tuning.noBroadcast switch (+ autoBroadcastJoinThreshold=-1) forces
+    // that regime so its plan shape is pinned: the SAME equi-joins, now
+    // SMJ/shuffled-hash — never a nested-loop/cartesian downgrade.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sys.props("graft.noBroadcast") = "1"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q17_join_warn", "q156_interval_join", "q77_salted_join")) {
+        val p = planOf(q)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q still broadcasts under the no-broadcast switch:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q has no shuffle equi-join in the fallback plan:\n$p")
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q degraded to a non-equi join in the fallback:\n$p")
+      }
+    } finally {
+      sys.props.remove("graft.noBroadcast")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    // and with the switch off the dimension join broadcasts again — the
+    // flag must not leak past its scope
+    assert(planOf("q17_join_warn").contains("BroadcastHashJoin"),
+      "q17 no longer broadcasts in the default regime")
+  }
 }
