@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
   * Bench it prints full cause chains on failure and never writes a
   * snapshot — the iterate-on-one-query tool, with measurements that are
   * comparable to BENCH_detail's.
+  *
+  * Each run also prints the plan's OBSERVED METRICS (`df.observe` nodes —
+  * LSH dropped-bucket volume, verify-stage candidate counts, winnow
+  * fingerprint drops) via a QueryExecutionListener: the stage-attribution
+  * evidence for the natives whose cost is dominated by a single join
+  * (round 14: q47/q48's exact-verify term at sf10) comes from here, with
+  * no extra pass over the data.
   */
 object Probe {
   private def gcMs(): Long = {
@@ -33,12 +40,37 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Observed-metrics capture: every `observe` node in the executed plan
+    // reports its row aggregates here after the action completes. The
+    // listener fires asynchronously on a separate thread, so runs drain it
+    // AFTER the action returns (the queue is thread-safe; onFailure events
+    // are ignored — the catch below already prints the cause chain).
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          observed.add(name -> row.schema.fieldNames.zip(row.toSeq)
+            .map { case (f, v) => s"$f=$v" }.mkString(", "))
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+    def drainObserved(): Unit = {
+      // listener delivery is async: give the bus a beat, then drain
+      Thread.sleep(300)
+      var e = observed.poll()
+      while (e != null) { println(s"  observed ${e._1}: ${e._2}"); e = observed.poll() }
+    }
     try {
       for (i <- 1 to runs) {
         val g0 = gcMs(); val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"OK $q run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, gc ${gcMs() - g0} ms")
+        drainObserved()
       }
     } catch { case e: Throwable =>
       var c: Throwable = e
