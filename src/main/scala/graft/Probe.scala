@@ -40,6 +40,13 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Attribution runs want the opt-in candidate-stream observes in the
+    // plan (see Tuning.observeMetrics — they are pushdown barriers, so
+    // Bench plans never carry them; Probe's whole point is attribution).
+    // Honor an explicit =0 from the caller for an A/B of the barrier cost.
+    if (!sys.props.contains("graft.observeMetrics") &&
+        !sys.env.contains("SPARK_GRAFT_OBSERVE"))
+      sys.props("graft.observeMetrics") = "1"
     // Observed-metrics capture: every `observe` node in the executed plan
     // reports its row aggregates here after the action completes. The
     // listener fires asynchronously on a separate thread, so runs drain it

@@ -118,10 +118,16 @@ object NearDedup {
     // exact verify over candidates is the natives' dominant term): how many
     // candidate pairs entered the verify vs how many survived the threshold
     // is readable from a QueryExecutionListener after any action, no extra
-    // pass. Emitted rows are the output count itself.
-    val cand = bucketedCandidates(banded, "band", maxBucketSize)
-      .observe(s"minhash_verify_${dropSeq.incrementAndGet()}",
+    // pass. OPT-IN ([[graft.operators.Tuning.observeMetrics]], Probe sets
+    // it): a CollectMetrics node here is a pushdown barrier, and callers
+    // that filter the pair output selectively (the q61-class recall gates)
+    // rely on that filter reaching the band self-join — always-on, the
+    // observe made every candidate flow through the shingle verify first.
+    val cand0 = bucketedCandidates(banded, "band", maxBucketSize)
+    val cand = if (graft.operators.Tuning.observeMetrics)
+      cand0.observe(s"minhash_verify_${dropSeq.incrementAndGet()}",
         count(lit(1)).as("candidate_pairs"))
+    else cand0
     val shA = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
     // Compiled one-pass set Jaccard (exact parity with the former

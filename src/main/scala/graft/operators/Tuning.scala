@@ -22,4 +22,23 @@ object Tuning {
     sys.props.get("graft.noBroadcast")
       .orElse(sys.env.get("SPARK_GRAFT_NO_BROADCAST"))
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** Opt-in stage-attribution metrics on the HOT candidate stream
+    * (minhashPairs' verify-stage candidate count). A `CollectMetrics`
+    * node is a pushdown BARRIER: Catalyst must not move a filter through
+    * it (the count would change), so an always-on observe between
+    * candidate generation and a caller's selective filter disables the
+    * pushdown that makes recall-gate-shaped queries cheap — measured at
+    * sf10, the observe cost q61 a 2.5× inflation (8 → 22 s) because its
+    * `id_b = id_a + offset` filter stopped reaching the band self-join
+    * and all 27.3M candidates flowed through the shingle verify. Default
+    * OFF; graft.Probe flips it on for attribution runs. Side-channel
+    * observes (dropped-bucket/shingle/fingerprint volumes) hang off
+    * count-only aggregate branches, never the candidate stream, and stay
+    * unconditional.
+    */
+  def observeMetrics: Boolean =
+    sys.props.get("graft.observeMetrics")
+      .orElse(sys.env.get("SPARK_GRAFT_OBSERVE"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 }

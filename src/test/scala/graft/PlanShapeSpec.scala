@@ -386,4 +386,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("q17_join_warn").contains("BroadcastHashJoin"),
       "q17 no longer broadcasts in the default regime")
   }
+
+  test("candidate-stream observe is opt-in: no pushdown barrier by default") {
+    // CollectMetrics on the candidate stream is a filter-pushdown BARRIER:
+    // with it always on, q61's recall filter (id_b = id_a + offset) stopped
+    // reaching the band self-join and all 27M sf10 candidates flowed
+    // through the shingle verify (8 -> 22 s, measured round 14). Default
+    // plans must stay barrier-free; attribution runs (Probe) opt in.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def recallPlan(): String = {
+      val dups = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+      val df = operators.NearDedup.minhashPairs(
+        docs.unionByName(dups), "doc_id", "text",
+        shingleSize = 3, numPerms = 32, bands = 8, threshold = 0.7)
+        .filter(col("id_b") === col("id_a") + 100000L)
+      df.count()
+      df.queryExecution.executedPlan.toString
+    }
+    // the side-branch dropped-bucket observe (count-only aggregate feeding
+    // the anti-join) is always-on and legitimate — assert on the
+    // candidate-stream metric by NAME, not on CollectMetrics presence
+    val default = recallPlan()
+    assert(!default.contains("minhash_verify"),
+      s"default minhashPairs plan carries the candidate-stream barrier:\n$default")
+    // and the pushdown it protects: the recall filter must sit BELOW the
+    // shingle-verify joins (deeper in the tree = later in the plan string),
+    // not at the top of the plan above them
+    val filterIdx = default.indexOf("100000")
+    val joinIdx = default.indexOf("Join")
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"recall filter did not push below the verify joins:\n$default")
+    sys.props("graft.observeMetrics") = "1"
+    try {
+      val observed = recallPlan()
+      assert(observed.contains("minhash_verify"),
+        s"opt-in observe missing from the attribution plan:\n$observed")
+    } finally sys.props.remove("graft.observeMetrics")
+  }
 }
