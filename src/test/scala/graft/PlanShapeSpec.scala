@@ -387,6 +387,37 @@ class PlanShapeSpec extends SparkSpec {
       "q17 no longer broadcasts in the default regime")
   }
 
+  test("non-broadcast regime is a pure execution change: identical results") {
+    // Certification of the shuffle fallback is two-sided: the previous
+    // test pins the plan (still an equi-join), this one pins the ROWS —
+    // flipping the regime must be a physical-only change, never semantic.
+    // Covers the whole join family the sf10 A/B measures
+    // (BENCH_nb_ab_sf10.json): dimension join both on_error modes, as-of,
+    // range, salted, and interval joins.
+    val family = Seq("q17_join_warn", "q18_join_nullpad", "q57_asof_join",
+      "q58_range_join", "q77_salted_join", "q156_interval_join")
+    def rowsOf(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted.toSeq
+    val base = family.map(q => q -> rowsOf(q)).toMap
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sys.props("graft.noBroadcast") = "1"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- family) {
+        val nb = rowsOf(q)
+        assert(nb.size == base(q).size,
+          s"$q row count differs under no-broadcast: ${nb.size} vs ${base(q).size}")
+        val firstDiff = nb.zip(base(q)).indexWhere { case (a, b) => a != b }
+        if (firstDiff >= 0)
+          fail(s"$q rows differ under no-broadcast at sorted index $firstDiff: " +
+            s"${nb(firstDiff)} vs ${base(q)(firstDiff)}")
+      }
+    } finally {
+      sys.props.remove("graft.noBroadcast")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("candidate-stream observe is opt-in: no pushdown barrier by default") {
     // CollectMetrics on the candidate stream is a filter-pushdown BARRIER:
     // with it always on, q61's recall filter (id_b = id_a + offset) stopped
