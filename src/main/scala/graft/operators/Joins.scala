@@ -105,10 +105,36 @@ object Joins {
     * dimension-sized, shuffled otherwise. Column names must be disjoint
     * (standard join contract).
     */
+  /** Broadcast `r` only when a capped probe count says the EXPLODED right
+    * side is genuinely dimension-sized; above the cap, leave the join to
+    * the planner (SMJ/shuffled-hash). The hint was unconditional until a
+    * measured regression: q156's incident side grows WITH the data (1.98M
+    * error events at sf10, ~4M exploded bucket rows), and force-broadcasting
+    * it cost 147 s vs 23.7 s shuffled (isolated min-of-2, BENCH_nb_ab_sf10
+    * .json) — a hint that only ever helps on dimension-sized sides must not
+    * fire on a side that scales. `maxRows <= 0` restores the unconditional
+    * hint (explicit opt-in); the probe is a limit-capped count, so its cost
+    * is bounded by the cap, not the relation.
+    */
+  private def gatedBroadcast(r: DataFrame, want: Boolean, maxRows: Long,
+                             what: String): DataFrame =
+    if (!want || Tuning.noBroadcast) r
+    else if (maxRows <= 0) broadcast(r)
+    else {
+      val cap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt.max(1)
+      val n = r.limit(cap).count()
+      if (n > maxRows) {
+        System.err.println(s"[$what] exploded right side has >$maxRows rows; " +
+          "leaving the join to the planner (pass maxBroadcastRows<=0 to force broadcast)")
+        r
+      } else broadcast(r)
+    }
+
   def intervalOverlapJoin(left: DataFrame, lsCol: String, leCol: String,
                           right: DataFrame, rsCol: String, reCol: String,
                           bucketWidth: Long,
-                          broadcastRight: Boolean = true): DataFrame = {
+                          broadcastRight: Boolean = true,
+                          maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(!left.columns.contains("__b") && !right.columns.contains("__b"),
       "intervalOverlapJoin: '__b' is reserved for the bucket key")
@@ -122,7 +148,7 @@ object Joins {
       .withColumn("__b", explode(buckets(col(lsCol), col(leCol))))
     val r0 = right.filter(col(rsCol) <= col(reCol))
       .withColumn("__b", explode(buckets(col(rsCol), col(reCol))))
-    val r = if (broadcastRight && !Tuning.noBroadcast) broadcast(r0) else r0
+    val r = gatedBroadcast(r0, broadcastRight, maxBroadcastRows, "intervalOverlapJoin")
     l.join(r, Seq("__b"))
       .filter(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol))
       .filter(floor(greatest(col(lsCol), col(rsCol)) / bucketWidth).cast(LongType) === col("__b"))
@@ -131,12 +157,13 @@ object Joins {
 
   def rangeJoin(left: DataFrame, valueCol: String,
                 right: DataFrame, startCol: String, endCol: String,
-                bucketWidth: Long, broadcastRight: Boolean = true): DataFrame = {
+                bucketWidth: Long, broadcastRight: Boolean = true,
+                maxBroadcastRows: Long = 1000000L): DataFrame = {
     val r = right
       .withColumn("__b", explode(sequence(
         floor(col(startCol) / bucketWidth).cast(LongType),
         floor((col(endCol) - 1) / bucketWidth).cast(LongType))))
-    val rSide = if (broadcastRight && !Tuning.noBroadcast) broadcast(r) else r
+    val rSide = gatedBroadcast(r, broadcastRight, maxBroadcastRows, "rangeJoin")
     left.withColumn("__b", floor(col(valueCol) / bucketWidth).cast(LongType))
       .join(rSide, Seq("__b"))
       .filter(col(valueCol) >= col(startCol) && col(valueCol) < col(endCol))

@@ -110,4 +110,35 @@ class JoinsSpec extends SparkSpec {
       .select("lid", "rid").as[(Long, Long)].collect().toSeq
     assert(got === Seq((2L, 10L))) // the reversed [100, 0] emits nothing
   }
+
+  test("broadcast hint is size-gated: a right side over the cap is left to the planner") {
+    // Round 14: force-broadcasting a right side that GROWS with the data
+    // cost q156 147 s vs 23.7 s shuffled at sf10 (BENCH_nb_ab_sf10.json) —
+    // the hint must fire only under a probed row cap. Above the cap (and
+    // with the planner threshold killed) the same query runs as a shuffle
+    // equi-join with identical rows; maxBroadcastRows<=0 restores the
+    // unconditional hint.
+    val l = Seq((1L, 0L, 100L), (2L, 250L, 260L), (3L, 90L, 310L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 95L, 105L), (11L, 300L, 400L), (12L, 500L, 600L))
+      .toDF("rid", "rs", "re")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = Joins.intervalOverlapJoin(l, "ls", "le", r, "rs", "re",
+        bucketWidth = 50L, maxBroadcastRows = 1L)
+      assert(gated.select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+        === Seq((1L, 10L), (3L, 10L), (3L, 11L)))
+      val gatedPlan = gated.queryExecution.executedPlan.toString
+      assert(!gatedPlan.contains("BroadcastHashJoin") &&
+        !gatedPlan.contains("CartesianProduct"),
+        s"over-cap right side still force-broadcast:\n$gatedPlan")
+      val forced = Joins.rangeJoin(
+        Seq((1, 0.0)).toDF("id", "v"), "v",
+        Seq((0L, 50L, "low")).toDF("s", "e", "band"), "s", "e",
+        bucketWidth = 50L, maxBroadcastRows = 0L)
+      assert(forced.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "maxBroadcastRows<=0 no longer forces the hint")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }
