@@ -2752,6 +2752,25 @@ object SparkEntry {
         (q, twin)
       }
       rows.toDF("rows_only_query", "twin")
+    }),
+    "q197_tfidf_champion" -> ((s, d) => {
+      // q130's doc-to-doc sparse serve on a CHAMPION-LIST index (round 14):
+      // uncapped, every posting list on this fixture grows ∝ n/31 (the
+      // 31-term synthetic vocabulary) and the serve join pays
+      // |query terms| × df(t) rows — q130 timed out (>900 s) at sf100.
+      // maxPostings=100 keeps only each term's 100 highest-tf docs in the
+      // index (Manning et al. IR §7.1.3; df/weights stay full-corpus), so
+      // serve cost is |query terms| × 100 REGARDLESS of corpus size. A df
+      // cap (stop-listing) cannot work here: the fixture's df distribution
+      // is bimodal (one term at 5%·n, the rest at ~77%·n), so any binding
+      // absolute or relative cap empties the query overlap. The truncation
+      // binds at oracle scale (sf0.01 posting lists are ~380 docs), so the
+      // champion rule is exercised by the correctness gate, not dormant —
+      // the q191/q194/q195 pattern.
+      val docs = t(s, d, "documents")
+      graft.operators.Retrieval.sparseTfIdfTopK(
+        docs, "doc_id", "text", docs.filter(col("doc_id") < 3), k = 5,
+        maxPostings = 100)
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3658,6 +3677,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us
   CAST($zterms AS BIGINT) AS zkey FROM lineitem"""
     },
     "q130_sparse_tfidf" -> sparseTfIdfOracleSql("doc_id < 3"),
+    // q130 on a champion-list index (the sf100 scale path; truncation binds)
+    "q197_tfidf_champion" -> sparseTfIdfOracleSql("doc_id < 3", maxPostings = 100),
     // stored-index serve: q130's replay restricted to query 0
     "q143_tfidf_serve" -> sparseTfIdfOracleSql("doc_id = 0"),
     "q131_cube" ->
@@ -4323,18 +4344,32 @@ FROM fb JOIN w USING (bucket) CROSS JOIN tot GROUP BY doc_id"""
     * (build+serve) and q143 (stored-index serve), identical results by
     * construction; `queryPred` selects the query doc set.
     */
-  private def sparseTfIdfOracleSql(queryPred: String): String =
+  private def sparseTfIdfOracleSql(queryPred: String,
+                                   maxDf: Long = Long.MaxValue,
+                                   maxPostings: Int = 0): String = {
+    val dfCap =
+      if (maxDf == Long.MaxValue) "" else s" HAVING count(*) <= $maxDf"
+    // champion lists: truncate each term's postings to the maxPostings
+    // highest-tf docs (ties to the lower doc id) — df/w stay full-corpus
+    val corpus =
+      if (maxPostings <= 0) "SELECT doc_id, t, tf FROM tf"
+      else s"""SELECT doc_id, t, tf FROM
+  (SELECT *, row_number() OVER (PARTITION BY t ORDER BY tf DESC, doc_id) AS prn FROM tf)
+  WHERE prn <= $maxPostings"""
     ("""WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
 tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
-dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
+dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t__DFCAP__),
+corpus AS (__CORPUS__),
 qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE __QPRED__),
-sc AS (SELECT q.query_id, tf.doc_id,
-  CAST(sum(q.qtf * tf.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms
-  FROM qtf q JOIN dft USING (t) JOIN tf USING (t)
-  WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id)
+sc AS (SELECT q.query_id, corpus.doc_id,
+  CAST(sum(q.qtf * corpus.tf * dft.w) AS BIGINT) AS score, count(*) AS shared_terms
+  FROM qtf q JOIN dft USING (t) JOIN corpus USING (t)
+  WHERE corpus.doc_id <> q.query_id GROUP BY q.query_id, corpus.doc_id)
 SELECT query_id, doc_id, score, shared_terms, CAST(rank AS INTEGER) AS rank FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
-WHERE rank <= 5""").replace("__QPRED__", queryPred)
+WHERE rank <= 5""").replace("__QPRED__", queryPred).replace("__DFCAP__", dfCap)
+      .replace("__CORPUS__", corpus)
+  }
 
   private val pqTopkOracleTemplate: String =
       """WITH iv AS (SELECT vec_id AS id,

@@ -98,9 +98,10 @@ object Retrieval {
   def sparseTfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                       queries: DataFrame, k: Int,
                       scale: Long = 1000000L,
-                      maxDf: Long = Long.MaxValue): DataFrame =
+                      maxDf: Long = Long.MaxValue,
+                      maxPostings: Int = 0): DataFrame =
     sparseTfIdfTopKWith(
-      sparseTfIdfIndex(docs, idCol, textCol, scale, maxDf),
+      sparseTfIdfIndex(docs, idCol, textCol, scale, maxDf, maxPostings),
       queries, idCol, textCol, k)
 
   /** The inverted INDEX of a corpus: weighted postings
@@ -113,7 +114,8 @@ object Retrieval {
     */
   def sparseTfIdfIndex(docs: DataFrame, idCol: String, textCol: String,
                        scale: Long = 1000000L,
-                       maxDf: Long = Long.MaxValue): DataFrame = {
+                       maxDf: Long = Long.MaxValue,
+                       maxPostings: Int = 0): DataFrame = {
     val tf = toks(docs, idCol, textCol).filter(length(col("t")) > 0)
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("t"))
@@ -123,7 +125,34 @@ object Retrieval {
       // its full posting-list join cost while contributing nothing and
       // breaking monotonicity; at 1 it still ranks below every rarer term
       .withColumn("w", greatest(expr(s"$scale div df"), lit(1L)))
-    tf.join(dfT, Seq("t"))
+    // maxPostings > 0 = CHAMPION LISTS (Manning/Raghavan/Schütze IR §7.1.3):
+    // keep only the maxPostings highest-tf docs per term in the index
+    // (ties to the lower doc id — deterministic on any engine). df and the
+    // weight stay computed from the FULL corpus (classic champion-list
+    // semantics: truncation approximates the candidate set, not the
+    // statistics), so serve cost is bounded by |query terms| × maxPostings
+    // REGARDLESS of corpus size — the treatment for posting lists that
+    // grow with the data, where a df cap (stop-listing) would also change
+    // which terms exist. Round 14: uncapped q130 timed out (>900 s) at
+    // sf100 because the fixture's 31-term vocabulary gives every term a
+    // ~n/31-doc posting list. Two-stage cut: a salted per-(term, bucket)
+    // rank bounds every sort partition, then the global per-term rank runs
+    // on ≤ 64·maxPostings survivors — no single-task sort of a whole
+    // posting list anywhere.
+    val kept = if (maxPostings <= 0) tf else {
+      val salt = pmod(xxhash64(col("doc_id")), lit(64L))
+      val pre = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("t"), salt)
+        .orderBy(col("tf").desc, col("doc_id").asc)
+      val fin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("t"))
+        .orderBy(col("tf").desc, col("doc_id").asc)
+      tf.withColumn("__pr", row_number().over(pre))
+        .filter(col("__pr") <= maxPostings).drop("__pr")
+        .withColumn("__r", row_number().over(fin))
+        .filter(col("__r") <= maxPostings).drop("__r")
+    }
+    kept.join(dfT, Seq("t"))
   }
 
   /** The pure SERVE side: rank `queries` against a pre-built postings

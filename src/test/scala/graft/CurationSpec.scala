@@ -309,6 +309,35 @@ class CurationSpec extends SparkSpec {
     assert(pruned == Set(2L))
   }
 
+  test("champion-list index truncates postings by tf, keeps full-corpus weights") {
+    // maxPostings=1 keeps only each term's single highest-tf doc (ties to
+    // the lower doc id); df/weights stay computed from the FULL corpus.
+    // 'common': doc 4 has tf=3 (others 1) -> only doc 4 survives its list.
+    // 'alpha': tf=1 everywhere -> tie-break keeps doc 1 (the query itself,
+    // excluded from its own results), so alpha contributes NO candidate.
+    val docs = Seq(
+      (1L, "alpha beta common"),
+      (2L, "alpha beta common extra"),
+      (3L, "alpha common beta filler"),
+      (4L, "common common common filler"))
+      .toDF("doc_id", "text")
+    val champs = graft.operators.Retrieval.sparseTfIdfTopK(
+        docs, "doc_id", "text", docs.filter($"doc_id" === 1), k = 4,
+        maxPostings = 1)
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    // beta's list keeps doc 1 (tf ties, lowest id) -> excluded as self;
+    // common's list keeps doc 4 only -> the single candidate
+    assert(champs.keySet == Set(4L), s"champion candidates: $champs")
+    // weight of 'common' must use the FULL df (4 docs -> w = 250000), not
+    // the truncated df (1 doc -> w = 1000000): score = qtf·tf·w = 1·3·250000
+    assert(champs(4L) == 750000L, s"champion score used truncated df: $champs")
+    // and the truncation is the only change: maxPostings=0 ranks all docs
+    val full = graft.operators.Retrieval.sparseTfIdfTopK(
+        docs, "doc_id", "text", docs.filter($"doc_id" === 1), k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full == Set(2L, 3L, 4L))
+  }
+
   // ------------------------------------------------------ unicode / script
 
   test("unicodeNormalize composes decomposed sequences (NFC) and folds compat (NFKC)") {
