@@ -36,6 +36,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    contended host window during the 195-query pass (the cause of three
   *    consecutive refused driver benches, each exonerated on re-run) can
   *    no longer erase the round's official artifact. See [[retryPass]].
+  *  - FORK-ISOLATED confirmation (round 15, after the in-JVM retry
+  *    "confirmed" r14's q176 at 6.37 s while a fresh JVM ran it at
+  *    1.73 s): refusal now requires a fresh-JVM min over the limit, and
+  *    any query > 2x its all-time reference min is re-taken isolated
+  *    before it may enter the canonical snapshot. See [[forkAdjudicate]]
+  *    and [[forkRetime]]; the reference ledger (BENCH_ref_<sf>.json,
+  *    [[mergeRefMins]]) only ever moves downward.
+  *  - BETWEEN-QUERY hygiene (round 15): each query's leftover persists,
+  *    cache entries, and final localCheckpoint blocks are dropped after
+  *    its last run (SPARK_GRAFT_BENCH_KEEP_STATE=1 opts out for
+  *    attribution runs); per-query stor_mb/rdds/heap_mb fields in the
+  *    detail artifact measure the session-accumulation either way.
   *
   * A/B attribution mode (SPARK_GRAFT_BENCH_AB=/path/to/other.jar): loads
   * the other jar's graft.SparkEntry through a child-first classloader and
@@ -220,6 +232,145 @@ object Bench {
       }
     }
 
+  /** All-time per-query reference mins (BENCH_ref_<sf>.json), updated only
+    * DOWNWARD: merging a run can add new queries and lower existing entries
+    * but can never raise one. Round 15, closing the round-14 loophole where
+    * a re-committed pressure-inflated snapshot loosened the relative check
+    * exactly where it should have been tight — the reference the check
+    * compares against is now monotone, so no single bad run can relax it.
+    * A non-positive fresh min (the -1 failure sentinel, or a 0.00-rounded
+    * entry) never enters: a zero reference would disable [[slowRelative]]
+    * for that query forever.
+    */
+  private[graft] def mergeRefMins(ref: Map[String, Double],
+                                  fresh: Map[String, Double]): Map[String, Double] =
+    fresh.filter(_._2 > 0.0).foldLeft(ref) { case (acc, (k, v)) =>
+      acc.get(k) match {
+        case Some(old) if old <= v => acc
+        case _ => acc + (k -> v)
+      }
+    }
+
+  /** Adjudicate guard offenders on FORK-ISOLATED evidence (round 15, after
+    * the same phenomenon burned four of five official rounds: the in-JVM
+    * retry pass inherits the 197-query session's heap/block state, so it
+    * "confirmed" q176 at 6.37 s in r14 while a fresh JVM at the same HEAD
+    * ran it in 1.73 s). `freshMin` is the per-query min from a fresh-JVM
+    * re-time ([[main]] wires it to one forked child running all offenders,
+    * min-of-2 each); `fallbackMin` is the in-process escape hatch (deep
+    * clean — clearCache + unpersist sweep + forced GC — then re-time) used
+    * only when the fork produced no sample for an ABSOLUTE offender.
+    *
+    * Laws: an absolute offender is confirmed ONLY if its freshest isolated
+    * evidence still exceeds the limit; with no isolated sample at all the
+    * main-pass evidence stands (a fork failure must not silently clear a
+    * genuine monster). Inflation candidates (over the reference-min gate
+    * but under the absolute limit) only ever SPLICE an improved min — they
+    * are report-only and never confirm. A fresh sample slower than the
+    * prior min never worsens the recorded timing.
+    *
+    * Returns (improved mins to splice, still-confirmed absolute offenders).
+    */
+  private[graft] def forkAdjudicate(
+      absConfirmed: Seq[(String, Double, Double)],
+      inflated: Seq[(String, Double, Double)],
+      freshMin: String => Option[Double],
+      fallbackMin: String => Option[Double])
+      : (Map[String, Double], Seq[(String, Double, Double)]) = {
+    val updates = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val confirmed = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    val absNames = absConfirmed.map(_._1).toSet
+    absConfirmed.foreach { case (n, prior, lim) =>
+      freshMin(n).orElse(fallbackMin(n)) match {
+        case Some(f) =>
+          if (f < prior) updates(n) = f
+          if (f > lim) confirmed += ((n, f.min(prior), lim))
+        case None =>
+          confirmed += ((n, prior, lim))
+      }
+    }
+    inflated.filterNot(o => absNames(o._1)).foreach { case (n, prior, _) =>
+      freshMin(n).foreach(f => if (f < prior) updates(n) = f)
+    }
+    (updates.toMap, confirmed.toSeq)
+  }
+
+  /** Re-time `names` in a FRESH JVM: one forked child running the existing
+    * Bench main with SPARK_GRAFT_BENCH_ONLY=<names>, min-of-`runs` each
+    * (plus the child's own adaptive extension). The child is the same
+    * process shape as the sf100 anchor methodology — cold session, only
+    * the offenders — so its mins carry none of the parent's accumulated
+    * heap/block state. Returns per-query fresh mins parsed from the
+    * child's JSON line; empty on any failure (fork unavailable, timeout,
+    * unparseable output) — the caller falls back to in-process evidence.
+    *
+    * Works because build.sbt pins `run / fork := true`: this JVM was
+    * itself forked by sbt with the full app classpath in java.class.path
+    * and the Spark JDK-17 --add-opens flags in its input arguments, so
+    * both replicate into the child verbatim. The child gets its own
+    * SPARK_GRAFT_TMP_DIR: embedded Derby keeps every database this JVM
+    * ever booted locked until exit, and both processes count derbySeq
+    * from 0 — a shared scratch dir would deadlock a JDBC offender.
+    */
+  private def forkRetime(names: Seq[String], sfDir: String, cpus: String,
+                         runs: Int): Map[String, Double] = {
+    if (names.isEmpty) return Map.empty
+    System.err.println(s"[bench] fork-isolated confirmation: re-timing " +
+      s"${names.mkString(",")} in a fresh JVM (min-of-$runs)")
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(
+        new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cp = System.getProperty("java.class.path")
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      env.put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_CPUS", cpus)
+      env.put("SPARK_GRAFT_TMP_DIR",
+        new java.io.File("target/tmp-fork").getAbsolutePath)
+      env.remove("SPARK_GRAFT_BENCH_AB")
+      // child stderr (Spark startup, its own [bench] lines) interleaves
+      // into ours — harmless; child stdout is captured whole for parsing
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      p.getOutputStream.close()
+      val outBytes = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => {
+        try p.getInputStream.transferTo(outBytes)
+        catch { case _: Throwable => () }
+      })
+      drain.setDaemon(true)
+      drain.start()
+      val done = p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        p.destroyForcibly()
+        System.err.println("[bench] fork confirmation TIMED OUT (45 min); " +
+          "falling back to in-process evidence")
+        return Map.empty
+      }
+      drain.join(10000)
+      val mins = parseCommittedMins(outBytes.toString("UTF-8"))
+      val keyOf = shortKeys(names)
+      val got = names.flatMap(n => mins.get(keyOf(n)).map(n -> _)).toMap
+      got.foreach { case (n, v) =>
+        System.err.println(s"[bench] fork confirmation: $n fresh-JVM min ${fmt(v, 2)} s")
+      }
+      got
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fork confirmation FAILED " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); falling back " +
+          "to in-process evidence")
+        Map.empty
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -278,7 +429,40 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains))
     }
+    // Between-query state hygiene (round 15, the session-pressure root
+    // cause): every timed run builds NEW DataFrames, so a query's persists
+    // (tee), CacheManager entries, and the FINAL localCheckpoint of every
+    // iterative loop (dropCheckpoint frees superseded rounds, never the
+    // last one — q74/q75/q157/q193 each leave one live block set) become
+    // garbage the moment its runs end — but they used to stay resident for
+    // the REST of the ~200-query suite until ContextCleaner plus a driver
+    // GC got to them, and that accumulation inflated the late-suite band
+    // 2-3x in four of five official rounds (r14: q176 6.37 s in-suite vs
+    // 1.73 s fresh-JVM, with 4-7 s GC per sample). Dropping query-final
+    // state between queries is harness hygiene, not a measurement cheat:
+    // runs 2..n of a query still reuse run 1's cache (the clean runs only
+    // after its LAST run), cross-query in-memory reuse was never part of
+    // any query's own timing, and Memoize's parquet caches live on disk
+    // untouched. SPARK_GRAFT_BENCH_KEEP_STATE=1 restores the accumulating
+    // behavior for attribution runs; the per-query stor_mb/rdds/heap_mb
+    // fields in BENCH_detail make the difference measurable either way.
+    val keepState = sys.env.get("SPARK_GRAFT_BENCH_KEEP_STATE").contains("1")
+    def storageState(): (Long, Int) = try {
+      val st = spark.sparkContext.getExecutorMemoryStatus
+      val used = st.values.map { case (mx, rem) => (mx - rem).max(0L) }.sum
+      (used / (1024L * 1024L), spark.sparkContext.getPersistentRDDs.size)
+    } catch { case _: Throwable => (-1L, -1) }
+    def dropQueryState(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
     val details = scala.collection.mutable.LinkedHashMap[String, (Seq[Double], Seq[Long])]()
+    // (storage MB resident, persistent-RDD count) the query LEFT BEHIND
+    // (sampled before hygiene) + driver heap after — the round-15
+    // attribution instrumentation for the suite-accumulation mechanism.
+    val sessionStats = scala.collection.mutable.LinkedHashMap[String, (Long, Int, Long)]()
     val results = selected.map { case (name, fn) =>
       val ts = scala.collection.mutable.ArrayBuffer[Double]()
       val gs = scala.collection.mutable.ArrayBuffer[Long]()
@@ -306,6 +490,11 @@ object Bench {
             s"(keeping ${ts.size} valid samples): ${e.getMessage}")
           extend = false }
       if (!failed) details(name) = (ts.toSeq, gs.toSeq)
+      val (storMb, rddN) = storageState()
+      if (!keepState) dropQueryState()
+      val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) /
+        (1024L * 1024L)
+      sessionStats(name) = (storMb, rddN, heapMb)
       name -> (if (failed) -1.0 else ts.min)
     }
     // Key order matters: the harness capturing stdout keeps only a bounded
@@ -382,28 +571,72 @@ object Bench {
     // Filtered runs skip the retry pass: they never refuse a snapshot, so
     // there is nothing to clear — their offenders go straight to the
     // report-only slow_unremarked field.
-    val (retryUpdates, slow) =
+    val (retryUpdates, inJvmConfirmed) =
       if (firstPassSlow.isEmpty || retryRuns == 0 || only.nonEmpty)
         (Map.empty[String, Double], firstPassSlow)
       else retryPass(firstPassSlow, idleRetry)
     val timedAfterAbs = timed.map { case (n, v) => n -> retryUpdates.getOrElse(n, v) }
-    // Relative-inflation pass: compare against the committed snapshot's
-    // mins (read BEFORE this run overwrites it). Offenders not already
-    // idle-retried above get the same retry treatment; confirmed ones are
-    // report-only (`slow_relative`) — see slowRelative's doc.
-    val refMins =
+    // Reference mins for the relative check and the snapshot commit gate:
+    // the all-time downward-only ledger (BENCH_ref_<sf>.json) when present,
+    // else the last committed snapshot. Round 15: r14 committed a
+    // pressure-inflated snapshot and the relative check — then pointed at
+    // the last snapshot — became permissive exactly where it should have
+    // been tight; the ledger can only ever move down, so no single bad run
+    // relaxes it again.
+    def readMins(path: String): Map[String, Double] =
       try {
-        val src = scala.io.Source.fromFile(s"BENCH_local_$sfName.json", "UTF-8")
+        val src = scala.io.Source.fromFile(path, "UTF-8")
         try parseCommittedMins(src.mkString) finally src.close()
       } catch { case _: Throwable => Map.empty[String, Double] }
-    val relCandidates = slowRelative(timedAfterAbs, keyOf, refMins)
-    val (relIdleAlready, relFresh) = relCandidates.partition(o => retryFrom.contains(o._1))
-    val (relUpdates, relConfirmed) =
-      if (relFresh.isEmpty || retryRuns == 0 || only.nonEmpty)
-        (Map.empty[String, Double], relFresh)
-      else retryPass(relFresh, idleRetry)
-    val slowRel = (relIdleAlready ++ relConfirmed).sortBy(_._1)
-    val timedFinal = timedAfterAbs.map { case (n, v) => n -> relUpdates.getOrElse(n, v) }
+    val refLedger = readMins(s"BENCH_ref_$sfName.json")
+    val refMins = if (refLedger.nonEmpty) refLedger
+                  else readMins(s"BENCH_local_$sfName.json")
+    // Fork-isolated confirmation (round 15, after the in-JVM retry pass
+    // "confirmed" r14's q176 at 6.37 s — with 4-7 s of GC per sample —
+    // while a fresh JVM at the same HEAD ran it in 1.73 s: the retry
+    // inherits exactly the session pressure it exists to rule out). Two
+    // offender classes share ONE forked child (min-of-2 each, cold
+    // session, same shape as the sf100 anchor methodology):
+    //  - absolute offenders the in-JVM retry confirmed — refusal now
+    //    REQUIRES the fresh-JVM min over the limit;
+    //  - the snapshot commit gate: any query > 2x its reference min
+    //    (>= 0.5 s) is re-taken isolated before its value may enter the
+    //    canonical snapshot, so a pressured band can no longer contaminate
+    //    the committed evidence chain (r14's q64-q77/q170-q176 at 2-3x).
+    // If the fork yields no sample for an ABSOLUTE offender, the escape
+    // hatch is an in-process deep clean (clearCache + unpersist sweep +
+    // forced GC, delta logged) followed by one more in-JVM retry; with no
+    // isolated sample at all the main-pass evidence stands — a fork
+    // failure must never silently clear a genuine monster.
+    val doIsolate = retryRuns > 0 && only.isEmpty
+    val inflated =
+      if (doIsolate) slowRelative(timedAfterAbs, keyOf, refMins, factor = 2.0)
+      else Nil
+    val forkNames = (inJvmConfirmed.map(_._1) ++ inflated.map(_._1)).distinct
+    val freshMins: Map[String, Double] =
+      if (doIsolate && forkNames.nonEmpty) forkRetime(forkNames, sfDir, cpus, 2)
+      else Map.empty
+    var deepCleaned = false
+    def fallbackMin(name: String): Option[Double] =
+      if (!doIsolate) None
+      else {
+        if (!deepCleaned) {
+          deepCleaned = true
+          dropQueryState()
+          val g0 = gcMs()
+          System.gc()
+          Thread.sleep(1000)
+          System.err.println(s"[bench] fork unavailable — in-process deep " +
+            s"clean before fallback retry (forced-GC delta ${gcMs() - g0} ms)")
+        }
+        idleRetry(name)
+      }
+    val (forkUpdates, slow) =
+      forkAdjudicate(inJvmConfirmed, inflated, freshMins.get, fallbackMin)
+    val slowRel = slowRelative(
+      timedAfterAbs.map { case (n, v) => n -> forkUpdates.getOrElse(n, v) },
+      keyOf, refMins).sortBy(_._1)
+    val timedFinal = timedAfterAbs.map { case (n, v) => n -> forkUpdates.getOrElse(n, v) }
     val qsFinal = timedFinal.map { case (k, v) =>
       "\"" + keyOf(k) + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
@@ -443,11 +676,28 @@ object Bench {
           ",\"med\":" + fmt(med, 2) +
           ",\"min_run\":" + ts.indexOf(ts.min) +
           retryFrom.get(name).fold("")(i => s""",\"retry_from\":$i""") +
+          freshMins.get(name).fold("")(v => s""",\"fork_min\":${fmt(v, 2)}""") +
+          sessionStats.get(name).fold("") { case (st, rd, hp) =>
+            s""",\"stor_mb\":$st,\"rdds\":$rd,\"heap_mb\":$hp""" } +
           ",\"t\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" +
           ",\"gc_ms\":[" + gs.mkString(",") + "]}"
       }.mkString("{", ",", "}")
       writeFile(s"BENCH_detail_$sfName$suffix",
-        s"""{"sf":"$sfDir","base_runs":$runs,"detail":$det}""")
+        s"""{"sf":"$sfDir","base_runs":$runs,"keep_state":$keepState,"detail":$det}""")
+      // All-time reference ledger: merge this run's mins DOWNWARD-only —
+      // written on every full normal-regime run (a red run's mins are
+      // still honest lower-bound evidence; the merge direction makes
+      // pollution impossible), never by filtered or no-broadcast runs.
+      val ledger = mergeRefMins(refMins,
+        timedFinal.map { case (n, v) => keyOf(n) -> v }.toMap)
+      val ledgerBody = ledger.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .mkString("{", ",", "}")
+      writeFile(s"BENCH_ref_$sfName.json",
+        """{"note":"all-time per-query committed mins, merged only DOWNWARD """ +
+          """across runs - the reference for the relative-inflation check and """ +
+          """the 2x snapshot commit gate (Bench.mergeRefMins)","queries":""" +
+          ledgerBody + "}")
       // A green canonical write supersedes any quarantined evidence from an
       // earlier red run at this sf — leaving the stale .rejected.json around
       // lets mixed-vintage artifacts reach a commit (round-12 tree did).
@@ -472,12 +722,15 @@ object Bench {
     spark.stop()
     if (slow.nonEmpty && only.isEmpty) {
       slow.foreach { case (n, t, lim) =>
-        // Only claim retry confirmation when a fresh idle-suite sample
-        // actually ran for THIS offender — with retries disabled or every
-        // retry run throwing, the guard refuses on main-pass evidence
-        // alone and must say so.
-        val how = if (retrySampled.contains(n)) "confirmed by idle-suite retry"
-                  else "main-pass evidence only; no retry sample ran"
+        // State the strongest evidence class that actually ran for THIS
+        // offender: fresh-JVM isolation > deep-cleaned in-JVM retry >
+        // main-pass only — a refusal must never claim isolation it
+        // didn't perform (the r14 failure mode, inverted).
+        val how =
+          if (freshMins.contains(n)) "confirmed by fresh-JVM isolated retry"
+          else if (retrySampled.contains(n))
+            "fork unavailable; confirmed by deep-cleaned in-JVM retry"
+          else "main-pass evidence only; no isolated sample ran"
         System.err.println(s"[bench] SLOW-QUERY GUARD ($how): $n ran ${fmt(t, 2)} s " +
           s"(limit ${fmt(lim, 2)} s) with no committed PLANS.md slow-budget " +
           s"line — add `slow-budget: $n <sec>` with a justification section " +

@@ -56,8 +56,15 @@ object SparkEntry {
         s"unsupported event-time type for '$field': $other (expected TIMESTAMP or BIGINT nanos)")
     }
 
+  /** Scratch dir for memoize caches, media fixtures, and embedded-Derby
+    * databases. Overridable via SPARK_GRAFT_TMP_DIR: the bench's
+    * fork-isolated confirmation JVM points its child here at a sibling dir
+    * so the child can never try to boot a Derby database the parent JVM
+    * still holds open (embedded Derby keeps every db it ever booted locked
+    * until JVM exit, and both processes count derbySeq from 0).
+    */
   private def tmpDir(): String = {
-    val d = "/root/repo/target/tmp"
+    val d = sys.env.getOrElse("SPARK_GRAFT_TMP_DIR", "/root/repo/target/tmp")
     new java.io.File(d).mkdirs(); d
   }
 
@@ -2771,6 +2778,25 @@ object SparkEntry {
       graft.operators.Retrieval.sparseTfIdfTopK(
         docs, "doc_id", "text", docs.filter(col("doc_id") < 3), k = 5,
         maxPostings = 100)
+    }),
+    "q198_tfidf_champion_serve" -> ((s, d) => {
+      // q197's champion-list index on the SERVE TIER (round 15, the q143
+      // pattern): the truncated index is built once per corpus, persisted
+      // (Memoize parquet — what an IR system stores), and a single query
+      // document ranks through one term-keyed join against the STORED
+      // champion lists. This is the production shape the sf100 story
+      // needs: build cost is paid per corpus release, serve cost is
+      // |query terms| × maxPostings rows per query regardless of corpus
+      // size — the flat-serve claim q197 makes, measured here without the
+      // in-query index build.
+      val docs = t(s, d, "documents")
+      val index = servedIndexes.getOrElseUpdate("tfidf_champ:" + d,
+        graft.operators.Memoize.memoize(
+          graft.operators.Retrieval.sparseTfIdfIndex(
+            docs, "doc_id", "text", maxPostings = 100),
+          tmpDir() + "/tfidf_champ_index"))
+      graft.operators.Retrieval.sparseTfIdfTopKWith(
+        index, docs.filter(col("doc_id") === 0), "doc_id", "text", k = 5)
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3681,6 +3707,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us
     "q197_tfidf_champion" -> sparseTfIdfOracleSql("doc_id < 3", maxPostings = 100),
     // stored-index serve: q130's replay restricted to query 0
     "q143_tfidf_serve" -> sparseTfIdfOracleSql("doc_id = 0"),
+    // stored CHAMPION-index serve: q197's replay restricted to query 0 —
+    // the oracle rebuilds the truncated index, the engine serves the
+    // memoized one; identical rows prove the stored index is the built one
+    "q198_tfidf_champion_serve" -> sparseTfIdfOracleSql("doc_id = 0", maxPostings = 100),
     "q131_cube" ->
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
@@ -4345,12 +4375,12 @@ FROM fb JOIN w USING (bucket) CROSS JOIN tot GROUP BY doc_id"""
     * construction; `queryPred` selects the query doc set.
     */
   private def sparseTfIdfOracleSql(queryPred: String,
-                                   maxDf: Long = Long.MaxValue,
                                    maxPostings: Int = 0): String = {
-    val dfCap =
-      if (maxDf == Long.MaxValue) "" else s" HAVING count(*) <= $maxDf"
     // champion lists: truncate each term's postings to the maxPostings
-    // highest-tf docs (ties to the lower doc id) — df/w stay full-corpus
+    // highest-tf docs (ties to the lower doc id) — df/w stay full-corpus.
+    // (No maxDf/stop-list branch here: no oracle query exercises one — the
+    // fixture's bimodal df distribution makes any binding cap empty the
+    // query overlap, see q197 — and dead oracle SQL is untested oracle SQL.)
     val corpus =
       if (maxPostings <= 0) "SELECT doc_id, t, tf FROM tf"
       else s"""SELECT doc_id, t, tf FROM
@@ -4358,7 +4388,7 @@ FROM fb JOIN w USING (bucket) CROSS JOIN tot GROUP BY doc_id"""
   WHERE prn <= $maxPostings"""
     ("""WITH tok AS (SELECT doc_id, w AS t FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS w FROM documents) x WHERE len(w) > 0),
 tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
-dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t__DFCAP__),
+dft AS (SELECT t, count(*) AS df, greatest(1000000 // count(*), 1) AS w FROM tf GROUP BY t),
 corpus AS (__CORPUS__),
 qtf AS (SELECT doc_id AS query_id, t, tf AS qtf FROM tf WHERE __QPRED__),
 sc AS (SELECT q.query_id, corpus.doc_id,
@@ -4367,7 +4397,7 @@ sc AS (SELECT q.query_id, corpus.doc_id,
   WHERE corpus.doc_id <> q.query_id GROUP BY q.query_id, corpus.doc_id)
 SELECT query_id, doc_id, score, shared_terms, CAST(rank AS INTEGER) AS rank FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
-WHERE rank <= 5""").replace("__QPRED__", queryPred).replace("__DFCAP__", dfCap)
+WHERE rank <= 5""").replace("__QPRED__", queryPred)
       .replace("__CORPUS__", corpus)
   }
 

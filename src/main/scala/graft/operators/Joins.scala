@@ -82,29 +82,6 @@ object Joins {
       payload.map(p => col("__match").getField(p).as(p)): _*)
   }
 
-  /** Point-in-range join: left rows whose `valueCol` falls in a right-side
-    * [start, end) interval. The naive theta-join is a nested loop; encoding
-    * ranges into fixed-width buckets makes it an EQUI-join on the bucket id
-    * (+ residual range filter) — a broadcast hash join for dimension-sized
-    * range tables (the geoip /8 trick, generalized). Ranges spanning
-    * multiple buckets are exploded once on the (small) right side.
-    */
-  /** Interval-overlap join: pairs of (left, right) rows whose CLOSED
-    * integer intervals [lsCol, leCol] and [rsCol, reCol] overlap
-    * (ls <= re && rs <= le) — sessions × incident windows, spans × spans.
-    * The generalization of [[rangeJoin]] from points to intervals, with the
-    * same equi-join trick: both sides explode to the fixed-width buckets
-    * they cover, candidates meet on the bucket id, and each overlapping
-    * pair is kept EXACTLY ONCE by the claim-bucket rule — only the bucket
-    * containing max(ls, rs), the overlap's left edge, emits it — so no
-    * distinct pass over the (wide) output is needed.
-    *
-    * Scale: per-side blowup = interval length / bucketWidth (pick the width
-    * near the typical interval length, as with rangeJoin); the join is a
-    * plain hash equi-join — broadcast when the right side is
-    * dimension-sized, shuffled otherwise. Column names must be disjoint
-    * (standard join contract).
-    */
   /** Broadcast `r` only when a capped probe count says the EXPLODED right
     * side is genuinely dimension-sized; above the cap, leave the join to
     * the planner (SMJ/shuffled-hash). The hint was unconditional until a
@@ -130,6 +107,32 @@ object Joins {
       } else broadcast(r)
     }
 
+  /** Interval-overlap join: pairs of (left, right) rows whose CLOSED
+    * integer intervals [lsCol, leCol] and [rsCol, reCol] overlap
+    * (ls <= re && rs <= le) — sessions × incident windows, spans × spans.
+    * The generalization of [[rangeJoin]] from points to intervals, with the
+    * same equi-join trick: both sides explode to the fixed-width buckets
+    * they cover, candidates meet on the bucket id, and each overlapping
+    * pair is kept EXACTLY ONCE by the claim-bucket rule — only the bucket
+    * containing max(ls, rs), the overlap's left edge, emits it — so no
+    * distinct pass over the (wide) output is needed.
+    *
+    * Scale: per-side blowup = interval length / bucketWidth (pick the width
+    * near the typical interval length, as with rangeJoin); the join is a
+    * plain hash equi-join — broadcast when the right side is
+    * dimension-sized, shuffled otherwise. Column names must be disjoint
+    * (standard join contract).
+    *
+    * EAGER when `broadcastRight && maxBroadcastRows > 0` (the default):
+    * CONSTRUCTING the join runs the size probe — one bounded count job
+    * scanning at most maxBroadcastRows+1 exploded right rows — and the
+    * exploded right lineage is then recomputed at execution. On an
+    * expensive right-side lineage (or when constructing the same join
+    * repeatedly), pre-materialize the right side first, or pass
+    * `maxBroadcastRows <= 0` to skip the probe and force the hint
+    * unconditionally (the pre-round-14 behavior — only safe when the
+    * right side provably stays dimension-sized as the data grows).
+    */
   def intervalOverlapJoin(left: DataFrame, lsCol: String, leCol: String,
                           right: DataFrame, rsCol: String, reCol: String,
                           bucketWidth: Long,
@@ -155,6 +158,19 @@ object Joins {
       .drop("__b")
   }
 
+  /** Point-in-range join: left rows whose `valueCol` falls in a right-side
+    * [start, end) interval. The naive theta-join is a nested loop; encoding
+    * ranges into fixed-width buckets makes it an EQUI-join on the bucket id
+    * (+ residual range filter) — a broadcast hash join for dimension-sized
+    * range tables (the geoip /8 trick, generalized). Ranges spanning
+    * multiple buckets are exploded once on the (small) right side.
+    *
+    * Same eager size-probe contract as [[intervalOverlapJoin]]: with the
+    * default `maxBroadcastRows > 0`, construction runs one bounded count
+    * job over the exploded right side and execution recomputes that
+    * lineage — pre-materialize an expensive right side, or pass
+    * `maxBroadcastRows <= 0` to force the unconditional hint.
+    */
   def rangeJoin(left: DataFrame, valueCol: String,
                 right: DataFrame, startCol: String, endCol: String,
                 bucketWidth: Long, broadcastRight: Boolean = true,

@@ -144,6 +144,77 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(u2 == Map("q17_join_warn" -> 2.9) && c2 == Seq(("q17_join_warn", 2.9, 2.0)))
   }
 
+  test("fork adjudication: a fresh-JVM min under the limit clears a confirmed offender") {
+    // the r14 scenario verbatim: the in-JVM retry confirmed q176 at 6.37 s
+    // (session pressure), the fresh JVM ran it at 1.73 s — the round's
+    // official artifact must not be refused, and the snapshot carries the
+    // isolated floor.
+    val (updates, confirmed) = Bench.forkAdjudicate(
+      Seq(("q176_winnow_pairs", 6.37, 5.0)), Nil,
+      Map("q176_winnow_pairs" -> 1.73).get, _ => None)
+    assert(confirmed.isEmpty)
+    assert(updates == Map("q176_winnow_pairs" -> 1.73))
+  }
+
+  test("fork adjudication: a genuinely slow query stays confirmed with the isolated min") {
+    val (updates, confirmed) = Bench.forkAdjudicate(
+      Seq(("q_real_monster", 700.0, 5.0)), Nil,
+      Map("q_real_monster" -> 690.0).get, _ => None)
+    assert(confirmed == Seq(("q_real_monster", 690.0, 5.0)))
+    assert(updates == Map("q_real_monster" -> 690.0))
+    // a fresh sample SLOWER than the main pass never worsens the min but
+    // still confirms (isolated evidence over the limit)
+    val (u2, c2) = Bench.forkAdjudicate(
+      Seq(("q_y", 8.0, 5.0)), Nil, Map("q_y" -> 12.0).get, _ => None)
+    assert(u2.isEmpty && c2 == Seq(("q_y", 8.0, 5.0)))
+  }
+
+  test("fork adjudication: fork failure falls back to the deep-cleaned in-JVM retry") {
+    // fork yields nothing; the deep-cleaned fallback exonerates one
+    // offender and confirms the other; an offender with NO isolated
+    // sample at all stands on main-pass evidence (never silently cleared)
+    val fallback = Map("q_noise" -> 1.2, "q_monster" -> 650.0)
+    val (updates, confirmed) = Bench.forkAdjudicate(
+      Seq(("q_noise", 9.0, 5.0), ("q_monster", 700.0, 5.0), ("q_dead", 8.0, 5.0)),
+      Nil, _ => None, fallback.get)
+    assert(updates == Map("q_noise" -> 1.2, "q_monster" -> 650.0))
+    assert(confirmed == Seq(("q_monster", 650.0, 5.0), ("q_dead", 8.0, 5.0)))
+  }
+
+  test("fork adjudication: inflation candidates splice mins but never confirm") {
+    // commit-gate candidates (> 2x ref, under the absolute limit): a fresh
+    // min replaces a pressured one; a missing/slower fresh sample changes
+    // nothing; none of them can ever refuse the snapshot
+    val (updates, confirmed) = Bench.forkAdjudicate(
+      Nil,
+      Seq(("q74_cc", 3.67, 2.0), ("q75_keep", 3.94, 2.0), ("q70_x", 3.23, 2.0)),
+      Map("q74_cc" -> 1.88, "q70_x" -> 4.0).get, _ => None)
+    assert(confirmed.isEmpty)
+    assert(updates == Map("q74_cc" -> 1.88))
+    // a query in BOTH sets is adjudicated once, as an absolute offender
+    val (u2, c2) = Bench.forkAdjudicate(
+      Seq(("q_both", 6.0, 5.0)), Seq(("q_both", 6.0, 2.0)),
+      Map("q_both" -> 1.5).get, _ => None)
+    assert(c2.isEmpty && u2 == Map("q_both" -> 1.5))
+  }
+
+  test("reference ledger merges only downward and ignores non-positive mins") {
+    val ref = Map("q01" -> 0.20, "q74" -> 1.88, "q176" -> 1.73)
+    // a pressured run can't raise entries; a faster run lowers them; new
+    // queries enter; -1 failure sentinels and 0.00-rounded values stay out
+    val merged = Bench.mergeRefMins(ref, Map(
+      "q01" -> 0.18,     // faster -> lowered
+      "q74" -> 3.67,     // pressured -> ignored
+      "q176" -> 1.73,    // equal -> unchanged
+      "q197" -> 1.83,    // new -> added
+      "q_fail" -> -1.0,  // failure sentinel -> never enters
+      "q_zero" -> 0.0))  // would disable slowRelative forever -> never enters
+    assert(merged == Map("q01" -> 0.18, "q74" -> 1.88, "q176" -> 1.73,
+      "q197" -> 1.83))
+    // idempotent on itself
+    assert(Bench.mergeRefMins(merged, merged) == merged)
+  }
+
   test("shortKeys shortens to the q-number prefix only when unambiguous") {
     val ok = Bench.shortKeys(Seq("q01_filter", "q02_rename"))
     assert(ok == Map("q01_filter" -> "q01", "q02_rename" -> "q02"))
