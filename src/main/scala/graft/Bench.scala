@@ -335,6 +335,10 @@ object Bench {
       env.put("SPARK_GRAFT_TMP_DIR",
         new java.io.File("target/tmp-fork").getAbsolutePath)
       env.remove("SPARK_GRAFT_BENCH_AB")
+      // the child always measures in the normal hygienic regime — a
+      // KEEP_STATE attribution parent must not propagate accumulation
+      // into its own isolation evidence
+      env.remove("SPARK_GRAFT_BENCH_KEEP_STATE")
       // child stderr (Spark startup, its own [bench] lines) interleaves
       // into ours — harmless; child stdout is captured whole for parsing
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -614,8 +618,18 @@ object Bench {
       else Nil
     val forkNames = (inJvmConfirmed.map(_._1) ++ inflated.map(_._1)).distinct
     val freshMins: Map[String, Double] =
-      if (doIsolate && forkNames.nonEmpty) forkRetime(forkNames, sfDir, cpus, 2)
-      else Map.empty
+      if (doIsolate && forkNames.nonEmpty) {
+        // Shrink the parent before the child starts: the parent sits idle
+        // through the fork, but a fat resident heap is exactly the co-tenant
+        // load the child's measurements must not share a host with (observed
+        // once against a KEEP_STATE parent: a transient window inflated two
+        // child queries ~80x; the downward-only splice and the
+        // main+retry+fork triple-evidence refusal rule both contained it,
+        // this makes the window less likely in the first place).
+        dropQueryState()
+        System.gc()
+        forkRetime(forkNames, sfDir, cpus, 2)
+      } else Map.empty
     var deepCleaned = false
     def fallbackMin(name: String): Option[Double] =
       if (!doIsolate) None
@@ -717,7 +731,7 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(totalFinal, 3)},"unit":"sec","n_queries":${timedFinal.size},"errors":$errs,"slow_unremarked":$slowJson,"slow_relative":$slowRelJson,${nbMark}"sf":"$sfDir"}""")
     slowRel.foreach { case (n, t, lim) =>
       System.err.println(s"[bench] relative-inflation (report-only): $n ran " +
-        s"${fmt(t, 2)} s vs committed-snapshot limit ${fmt(lim, 2)} s (4x ref min).")
+        s"${fmt(t, 2)} s vs reference-ledger limit ${fmt(lim, 2)} s (4x all-time min).")
     }
     spark.stop()
     if (slow.nonEmpty && only.isEmpty) {
