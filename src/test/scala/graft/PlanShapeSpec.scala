@@ -264,6 +264,30 @@ class PlanShapeSpec extends SparkSpec {
       s"query filter not pushed to the documents scan:\n$p")
   }
 
+  test("q198 champion serve: query tokenization only, stored champion index joined without corpus re-scan") {
+    // the round-15 serve tier behind the sf100 flat-serve claim (0.44 s at
+    // 1.28M docs, 0.40 s at 12.8M — BENCH_sf100_retrieval.json): the plan
+    // must prove the corpus is never re-tokenized at serve time, or the
+    // flatness is an accident of a warm cache rather than a structure.
+    val p = planOf("q198_tfidf_champion_serve")
+    assert(!p.contains("CartesianProduct"), s"cartesian in serve path:\n$p")
+    // exactly one scan of the documents table (the query row; pushdown
+    // pruned) — the champion postings come from the persisted index parquet
+    val docScans = "Location.*documents\\.parquet".r.findAllIn(p).size
+    assert(docScans == 1, s"expected 1 documents scan (the query row), got $docScans:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,0)]"),
+      s"query filter not pushed to the documents scan:\n$p")
+    // and the champion truncation happened at BUILD time: the serve plan's
+    // only window is the per-query rank cut (partitioned by query_id); the
+    // two-stage champion cut would betray a per-query index rebuild by its
+    // salted pre-cut (pmod(xxhash64(doc_id), 64)) and its t-partitioned
+    // windows
+    assert(!p.contains("xxhash64"), s"champion cut leaked into the serve plan:\n$p")
+    val windowParts = "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(windowParts == Set("query_id"),
+      s"serve plan windows partitioned by $windowParts (expected query_id only):\n$p")
+  }
+
   test("q150 snapshot diff joins fingerprints, not payloads") {
     val p = planOf("q150_snapshot_diff")
     // the md5 fingerprint must be computed BELOW the join (each side reduces
