@@ -238,13 +238,16 @@ object Bench {
     * a re-committed pressure-inflated snapshot loosened the relative check
     * exactly where it should have been tight — the reference the check
     * compares against is now monotone, so no single bad run can relax it.
-    * A non-positive fresh min (the -1 failure sentinel, or a 0.00-rounded
-    * entry) never enters: a zero reference would disable [[slowRelative]]
-    * for that query forever.
+    * A fresh min below 0.005 s never enters — not just the -1 failure
+    * sentinel: the ledger is WRITTEN through the same 2-decimal formatter
+    * as every artifact, so a 0.004 s entry would serialize as 0.00, parse
+    * back as 0.0, and (because merges only ever lower entries) permanently
+    * disable [[slowRelative]] and the commit gate for that query. The
+    * threshold is the smallest value that round-trips the format non-zero.
     */
   private[graft] def mergeRefMins(ref: Map[String, Double],
                                   fresh: Map[String, Double]): Map[String, Double] =
-    fresh.filter(_._2 > 0.0).foldLeft(ref) { case (acc, (k, v)) =>
+    fresh.filter(_._2 >= 0.005).foldLeft(ref) { case (acc, (k, v)) =>
       acc.get(k) match {
         case Some(old) if old <= v => acc
         case _ => acc + (k -> v)
@@ -334,6 +337,11 @@ object Bench {
       env.put("SPARK_GRAFT_CPUS", cpus)
       env.put("SPARK_GRAFT_TMP_DIR",
         new java.io.File("target/tmp-fork").getAbsolutePath)
+      // full-name keys in the child's queries object: the short-key
+      // mapping is per-side (computed over whatever survived), so a query
+      // failing in the child could shift it onto keys the parent can't
+      // resolve — full names make the parse side-independent
+      env.put("SPARK_GRAFT_BENCH_FULLKEYS", "1")
       env.remove("SPARK_GRAFT_BENCH_AB")
       // the child always measures in the normal hygienic regime — a
       // KEEP_STATE attribution parent must not propagate accumulation
@@ -360,8 +368,9 @@ object Bench {
       }
       drain.join(10000)
       val mins = parseCommittedMins(outBytes.toString("UTF-8"))
-      val keyOf = shortKeys(names)
-      val got = names.flatMap(n => mins.get(keyOf(n)).map(n -> _)).toMap
+      // the child ran with FULLKEYS, so its queries object is keyed by
+      // full name regardless of which offenders survived in it
+      val got = names.flatMap(n => mins.get(n).map(n -> _)).toMap
       got.foreach { case (n, v) =>
         System.err.println(s"[bench] fork confirmation: $n fresh-JVM min ${fmt(v, 2)} s")
       }
@@ -514,7 +523,16 @@ object Bench {
     // timing map made sum-of-queries diverge from "value" for any consumer
     // that aggregates the map.
     val timed = results.filter(_._2 >= 0)
-    val keyOf = shortKeys(timed.map(_._1))
+    // FULLKEYS (set for fork children only): the parent parses the child's
+    // queries object by FULL name — the qNN short-key mapping is computed
+    // over each side's own surviving set, so a query failing in the child
+    // could silently shift the child onto short keys the parent can't
+    // resolve. The child's stdout is captured whole (never tail-bounded),
+    // so full names cost nothing there.
+    val keyOf =
+      if (sys.env.get("SPARK_GRAFT_BENCH_FULLKEYS").contains("1"))
+        timed.map(t => t._1 -> t._1).toMap
+      else shortKeys(timed.map(_._1))
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Slow-query guard: a monster timing must be impossible to commit
     // unremarked (round 10's q193 sat at 658 s inside a 747 s suite with
@@ -557,7 +575,11 @@ object Bench {
     val retrySampled = scala.collection.mutable.Set[String]()
     def idleRetry(name: String): Option[Double] = {
       System.err.println(s"[bench] retry pass: re-timing $name ($retryRuns idle-suite runs)")
-      retryFrom(name) = details.get(name).map(_._1.size).getOrElse(0)
+      // only the FIRST retry batch marks the main-pass/retry boundary: a
+      // second call for the same offender (the deep-clean fallback after a
+      // failed fork) must not re-label earlier retry samples as main-pass
+      if (!retryFrom.contains(name))
+        retryFrom(name) = details.get(name).map(_._1.size).getOrElse(0)
       val samples = (1 to retryRuns).flatMap { _ =>
         try Some(timeOnce(SparkEntry.queries(name)))
         catch { case e: Throwable =>
@@ -613,8 +635,15 @@ object Bench {
     // isolated sample at all the main-pass evidence stands — a fork
     // failure must never silently clear a genuine monster.
     val doIsolate = retryRuns > 0 && only.isEmpty
+    // the commit gate compares against the BROADCAST-regime ledger, so a
+    // no-broadcast certification run — where join-heavy queries are
+    // deliberately slower than that reference — must not burn a fork pass
+    // re-timing a regime difference (its evidence never enters the
+    // canonical snapshot or the ledger anyway); absolute offenders still
+    // fork, because NB runs do refuse on them
     val inflated =
-      if (doIsolate) slowRelative(timedAfterAbs, keyOf, refMins, factor = 2.0)
+      if (doIsolate && !noBroadcast)
+        slowRelative(timedAfterAbs, keyOf, refMins, factor = 2.0)
       else Nil
     val forkNames = (inJvmConfirmed.map(_._1) ++ inflated.map(_._1)).distinct
     val freshMins: Map[String, Double] =
@@ -631,6 +660,10 @@ object Bench {
         forkRetime(forkNames, sfDir, cpus, 2)
       } else Map.empty
     var deepCleaned = false
+    // names with >= 1 successful POST-deep-clean sample — the refusal
+    // message must not credit the deep clean for an offender whose only
+    // samples came from the earlier (pre-clean) retry pass
+    val fallbackSampled = scala.collection.mutable.Set[String]()
     def fallbackMin(name: String): Option[Double] =
       if (!doIsolate) None
       else {
@@ -643,7 +676,9 @@ object Bench {
           System.err.println(s"[bench] fork unavailable — in-process deep " +
             s"clean before fallback retry (forced-GC delta ${gcMs() - g0} ms)")
         }
-        idleRetry(name)
+        val m = idleRetry(name)
+        if (m.isDefined) fallbackSampled += name
+        m
       }
     val (forkUpdates, slow) =
       forkAdjudicate(inJvmConfirmed, inflated, freshMins.get, fallbackMin)
@@ -742,9 +777,11 @@ object Bench {
         // didn't perform (the r14 failure mode, inverted).
         val how =
           if (freshMins.contains(n)) "confirmed by fresh-JVM isolated retry"
-          else if (retrySampled.contains(n))
+          else if (fallbackSampled.contains(n))
             "fork unavailable; confirmed by deep-cleaned in-JVM retry"
-          else "main-pass evidence only; no isolated sample ran"
+          else if (retrySampled.contains(n))
+            "confirmed by same-JVM idle-suite retry only; no isolated sample ran"
+          else "main-pass evidence only; no retry sample ran"
         System.err.println(s"[bench] SLOW-QUERY GUARD ($how): $n ran ${fmt(t, 2)} s " +
           s"(limit ${fmt(lim, 2)} s) with no committed PLANS.md slow-budget " +
           s"line — add `slow-budget: $n <sec>` with a justification section " +

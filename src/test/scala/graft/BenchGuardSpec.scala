@@ -208,9 +208,11 @@ class BenchGuardSpec extends AnyFunSuite {
       "q176" -> 1.73,    // equal -> unchanged
       "q197" -> 1.83,    // new -> added
       "q_fail" -> -1.0,  // failure sentinel -> never enters
-      "q_zero" -> 0.0))  // would disable slowRelative forever -> never enters
+      "q_zero" -> 0.0,   // would disable slowRelative forever -> never enters
+      "q_tiny" -> 0.004, // serializes as 0.00 through the 2-dp formatter
+      "q_edge" -> 0.005)) // smallest value that round-trips non-zero
     assert(merged == Map("q01" -> 0.18, "q74" -> 1.88, "q176" -> 1.73,
-      "q197" -> 1.83))
+      "q197" -> 1.83, "q_edge" -> 0.005))
     // idempotent on itself
     assert(Bench.mergeRefMins(merged, merged) == merged)
   }
