@@ -42,7 +42,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    any query > 2x its all-time reference min is re-taken isolated
   *    before it may enter the canonical snapshot. See [[forkAdjudicate]]
   *    and [[forkRetime]]; the reference ledger (BENCH_ref_<sf>.json,
-  *    [[mergeRefMins]]) only ever moves downward.
+  *    [[mergeRefMins]]) only ever moves downward. A refusal that would
+  *    rest on fresh-JVM evidence escalates once more: a SECOND child
+  *    re-times just those names and the final fresh min is the min across
+  *    both children — min-of-2 within one child cannot see past a host
+  *    window longer than the child itself (observed once at ~80x).
   *  - BETWEEN-QUERY hygiene (round 15): each query's leftover persists,
   *    cache entries, and final localCheckpoint blocks are dropped after
   *    its last run (SPARK_GRAFT_BENCH_KEEP_STATE=1 opts out for
@@ -245,6 +249,17 @@ object Bench {
     * disable [[slowRelative]] and the commit gate for that query. The
     * threshold is the smallest value that round-trips the format non-zero.
     */
+  /** Per-name min across two fork children's evidence (union of keys):
+    * the second-opinion escalation takes the best honest sample either
+    * child produced, so one contaminated child can delay a refusal only
+    * until the other child measures the query honestly.
+    */
+  private[graft] def combineFreshMins(a: Map[String, Double],
+                                      b: Map[String, Double]): Map[String, Double] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> (a.get(k).toSeq ++ b.get(k).toSeq).min
+    }.toMap
+
   private[graft] def mergeRefMins(ref: Map[String, Double],
                                   fresh: Map[String, Double]): Map[String, Double] =
     fresh.filter(_._2 >= 0.005).foldLeft(ref) { case (acc, (k, v)) =>
@@ -680,8 +695,36 @@ object Bench {
         if (m.isDefined) fallbackSampled += name
         m
       }
+    // memoized: adjudication may run twice (second-opinion fork below) and
+    // the fallback's retry batches must not double for names whose answer
+    // the first pass already produced
+    val fallbackCache = scala.collection.mutable.Map[String, Option[Double]]()
+    def fallbackMemo(name: String): Option[Double] =
+      fallbackCache.getOrElseUpdate(name, fallbackMin(name))
+    val (forkUpdates0, slow0) =
+      forkAdjudicate(inJvmConfirmed, inflated, freshMins.get, fallbackMemo)
+    // Second-opinion fork: a refusal about to rest on fresh-JVM evidence
+    // gets ONE more child, and the final fresh min is the min across both.
+    // Rationale: the one contaminated fork observed (round 15's keep-state
+    // stress test) was a transient ~85 s host window that spanned the
+    // child's whole lifetime and inflated its queries ~80x — min-of-2
+    // WITHIN one child cannot see past a window longer than the child, but
+    // a second child launched after the first has ended usually can. The
+    // escalation runs only for would-be refusals (rare), so its cost is
+    // bounded by the refusal path itself; a genuinely slow query is slow
+    // in both children and still refuses.
+    val secondNames = slow0.map(_._1).filter(freshMins.contains)
+    val freshSecond: Map[String, Double] =
+      if (doIsolate && secondNames.nonEmpty) {
+        System.err.println(s"[bench] second-opinion fork: " +
+          s"${secondNames.mkString(",")} would be refused on first-child " +
+          "evidence; launching one more fresh JVM")
+        forkRetime(secondNames, sfDir, cpus, 2)
+      } else Map.empty
+    val freshAll = combineFreshMins(freshMins, freshSecond)
     val (forkUpdates, slow) =
-      forkAdjudicate(inJvmConfirmed, inflated, freshMins.get, fallbackMin)
+      if (freshSecond.isEmpty) (forkUpdates0, slow0)
+      else forkAdjudicate(inJvmConfirmed, inflated, freshAll.get, fallbackMemo)
     val slowRel = slowRelative(
       timedAfterAbs.map { case (n, v) => n -> forkUpdates.getOrElse(n, v) },
       keyOf, refMins).sortBy(_._1)
@@ -725,7 +768,7 @@ object Bench {
           ",\"med\":" + fmt(med, 2) +
           ",\"min_run\":" + ts.indexOf(ts.min) +
           retryFrom.get(name).fold("")(i => s""",\"retry_from\":$i""") +
-          freshMins.get(name).fold("")(v => s""",\"fork_min\":${fmt(v, 2)}""") +
+          freshAll.get(name).fold("")(v => s""",\"fork_min\":${fmt(v, 2)}""") +
           sessionStats.get(name).fold("") { case (st, rd, hp) =>
             s""",\"stor_mb\":$st,\"rdds\":$rd,\"heap_mb\":$hp""" } +
           ",\"t\":[" + ts.map(fmt(_, 2)).mkString(",") + "]" +
@@ -776,7 +819,9 @@ object Bench {
         // main-pass only — a refusal must never claim isolation it
         // didn't perform (the r14 failure mode, inverted).
         val how =
-          if (freshMins.contains(n)) "confirmed by fresh-JVM isolated retry"
+          if (freshSecond.contains(n))
+            "confirmed by TWO independent fresh-JVM isolated retries"
+          else if (freshAll.contains(n)) "confirmed by fresh-JVM isolated retry"
           else if (fallbackSampled.contains(n))
             "fork unavailable; confirmed by deep-cleaned in-JVM retry"
           else if (retrySampled.contains(n))

@@ -61,15 +61,20 @@ object Clustering {
       val labelMin = labels.join(
           labels.select(col("id").as("comp"), col("comp").as("lcomp")), Seq("comp"))
         .select(col("id"), col("lcomp"))
+      // The convergence test rides the new relation as a flag column
+      // (newComp < comp compares against the SAME row's old label), so
+      // counting "changed" is one scan of the just-materialized checkpoint
+      // blocks — the previous formulation joined next back to labels by id,
+      // a whole extra shuffle stage per round that existed only to compare
+      // a row with itself.
+      val newComp = least(col("comp"),
+        coalesce(col("ncomp"), col("comp")),
+        coalesce(col("lcomp"), col("comp")))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .join(labelMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"),
-            coalesce(col("ncomp"), col("comp")),
-            coalesce(col("lcomp"), col("comp"))).as("comp"))
+        .select(col("id"), newComp.as("comp"), (newComp < col("comp")).as("__chg"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") < col("prev")).count()
+      changed = next.filter(col("__chg")).count()
       // `next` is already materialized, so the previous round's blocks are
       // dead — free them now rather than waiting for a driver GC.
       dropCheckpoint(labels)
@@ -82,8 +87,11 @@ object Clustering {
         "components spanning longer chains are split; raise maxIter")
     // The final labels relation is a materialized checkpoint independent of
     // the edge blocks; only `labels` itself stays persisted for the caller.
+    // The flag column is loop plumbing — callers get the (id, comp) contract
+    // as a projection over the persisted blocks.
     dropCheckpoint(e)
-    labels
+    if (labels.columns.contains("__chg")) labels.select(col("id"), col("comp"))
+    else labels
   }
 
   /** Keep one representative (the component's min id) per duplicate cluster:

@@ -217,6 +217,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.mergeRefMins(merged, merged) == merged)
   }
 
+  test("second-opinion fork evidence combines as the per-name min") {
+    // q_a: both children sampled, best wins; q_b: only child 1; q_c: only
+    // child 2 (child 1 lost it — a query can fail in one child and not the
+    // other); empty second child leaves the first untouched
+    val c1 = Map("q_a" -> 6.2, "q_b" -> 1.1)
+    val c2 = Map("q_a" -> 1.4, "q_c" -> 0.9)
+    assert(Bench.combineFreshMins(c1, c2) ==
+      Map("q_a" -> 1.4, "q_b" -> 1.1, "q_c" -> 0.9))
+    assert(Bench.combineFreshMins(c1, Map.empty) == c1)
+  }
+
   test("shortKeys shortens to the q-number prefix only when unambiguous") {
     val ok = Bench.shortKeys(Seq("q01_filter", "q02_rename"))
     assert(ok == Map("q01_filter" -> "q01", "q02_rename" -> "q02"))
