@@ -2797,6 +2797,52 @@ object SparkEntry {
           tmpDir() + "/tfidf_champ_index"))
       graft.operators.Retrieval.sparseTfIdfTopKWith(
         index, docs.filter(col("doc_id") === 0), "doc_id", "text", k = 5)
+    }),
+    "q199_tfidf_champion_stream" -> ((s, d) => {
+      // The STREAMING serve tier of the stored champion index (round 15 —
+      // completes the q197/q198 treatment): query documents arrive through
+      // a MemoryStream and rank against the persisted champion lists
+      // without re-tokenizing the corpus, the shape of a live retrieval
+      // intake (RAG queries, decontamination triage) over a 100 TB release.
+      // Streaming legality comes from the round-15 termCounts kernel:
+      // per-query tf is row-local (no aggregation), the index joins
+      // STREAM-STATIC (broadcast — champion lists are |vocab|×maxPostings
+      // bounded by construction, so no per-microbatch exchange), and the
+      // one streaming aggregation is the (query, doc) score sum in
+      // complete mode. The rank-at-k cut (a window — not streaming-legal)
+      // runs batch over the drained sink table, bounded by
+      // |queries| × |query terms| × maxPostings rows. Feed = the
+      // deterministic sample doc_id % 97 == 0 collected into the
+      // MemoryStream (test-harness boundary, as q193); the oracle is the
+      // q198 SQL with the same sample predicate — batch parity IS the
+      // check.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val index = servedIndexes.getOrElseUpdate("tfidf_champ:" + d,
+        graft.operators.Memoize.memoize(
+          graft.operators.Retrieval.sparseTfIdfIndex(
+            docs, "doc_id", "text", maxPostings = 100),
+          tmpDir() + "/tfidf_champ_index"))
+      val sample = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      mem.addData(sample: _*)
+      val queries = mem.toDF().toDF("doc_id", "text")
+      val scored = graft.operators.Retrieval.sparseTfIdfScored(
+        broadcast(index), queries, "doc_id", "text")
+      val qn = s"q199_champ_${memSeq.incrementAndGet()}"
+      // one state store per shuffle partition for the query's life (q193):
+      // 8 is plenty for the (query_id, doc_id) state width
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try scored.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.Retrieval.sparseTfIdfRankCutK(s.table(qn), k = 5)
     }))
 
   /** The full driver fixture set — shared by the q145 schema canary, the
@@ -3711,6 +3757,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t_us
     // the oracle rebuilds the truncated index, the engine serves the
     // memoized one; identical rows prove the stored index is the built one
     "q198_tfidf_champion_serve" -> sparseTfIdfOracleSql("doc_id = 0", maxPostings = 100),
+    // q198's SQL with the streamed sample's predicate: the streaming serve
+    // tier must match the batch serve bit-for-bit (complete-mode score agg
+    // + batch rank cut ≡ sparseTfIdfTopKWith — the q193 parity pattern)
+    "q199_tfidf_champion_stream" ->
+      sparseTfIdfOracleSql("doc_id % 97 = 0", maxPostings = 100),
     "q131_cube" ->
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
   CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid

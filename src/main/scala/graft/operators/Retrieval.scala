@@ -26,6 +26,50 @@ object Retrieval {
     docs.select(col(idCol).as("doc_id"),
       explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("t"))
 
+  /** Per-document term counts (doc_id, t, tf) WITHOUT a shuffle: every
+    * token of a document lives in that document's own row, so the
+    * (doc, term) frequency is a row-local computation — the
+    * `explode → groupBy(doc_id, t)` formulation paid a corpus-sized
+    * exchange (plus a two-pass hash aggregation) for what one in-row hash
+    * map produces in place. Runs as a typed `mapPartitions` kernel (the
+    * [[graft.operators.NearDedup.winnowFpSets]] pattern), which also makes
+    * it STREAMING-SAFE: per-query tf on a `readStream` intake costs no
+    * streaming aggregation, so a serve pipeline built on it keeps its one
+    * allowed aggregation for the (query, doc) score sum.
+    *
+    * Tokenization parity with [[toks]]+`length(t) > 0` is exact and pinned
+    * by spec: java.util.regex `\s+` split (Spark's `split` uses the same
+    * engine), empty tokens dropped, null text = no tokens. Output order
+    * within a document is hash-map order — irrelevant, every consumer
+    * treats the relation as a set.
+    */
+  private[graft] def termCounts(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = docs.select(col(idCol).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val outSchema = StructType(Seq(
+      src.schema.fields(0),
+      StructField("t", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val m = new scala.collection.mutable.HashMap[String, Long]()
+        val parts = r.getString(1).split("\\s+")
+        var i = 0
+        while (i < parts.length) {
+          val t = parts(i)
+          if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          i += 1
+        }
+        val id = r.get(0)
+        m.iterator.map { case (t, n) => org.apache.spark.sql.Row(id, t, n) }
+      }
+    }
+  }
+
   /** Top-k documents by total query-term frequency (integer-exact scoring;
     * ties broken by ascending doc id so the cut at k is deterministic).
     * Returns (doc_id, score, n_terms) — n_terms = distinct query terms
@@ -116,8 +160,12 @@ object Retrieval {
                        scale: Long = 1000000L,
                        maxDf: Long = Long.MaxValue,
                        maxPostings: Int = 0): DataFrame = {
-    val tf = toks(docs, idCol, textCol).filter(length(col("t")) > 0)
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    // per-doc tf is row-local (termCounts): the explode → groupBy(doc_id, t)
+    // formulation shuffled the whole token relation just to count within
+    // rows — at corpus scale that exchange was the build's largest
+    // avoidable term. df and the champion cut still shuffle on t (they are
+    // genuinely cross-document).
+    val tf = termCounts(docs, idCol, textCol)
     val dfT = tf.groupBy(col("t"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -170,9 +218,12 @@ object Retrieval {
     */
   private def scoredCandidates(index: DataFrame, queries: DataFrame,
                                idCol: String, textCol: String): DataFrame = {
-    val qtf = toks(queries, idCol, textCol).filter(length(col("t")) > 0)
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("qtf"))
+    // query tf is row-local (termCounts' typed kernel) — no exchange on
+    // the query batch, and on a STREAMING intake no streaming aggregation,
+    // so the score sum below stays the pipeline's single allowed agg
+    val qtf = termCounts(queries, idCol, textCol)
       .withColumnRenamed("doc_id", "query_id")
+      .withColumnRenamed("tf", "qtf")
     qtf.join(index, Seq("t"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -195,6 +246,29 @@ object Retrieval {
                           idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "sparseTfIdfTopKWith needs k > 0")
     rankCut(scoredCandidates(index, queries, idCol, textCol), k)
+  }
+
+  /** [[sparseTfIdfTopKWith]] decomposed for STRUCTURED STREAMING, where
+    * the rank cut's window function is not allowed in a streaming plan.
+    * [[sparseTfIdfScored]] is the streaming-legal half: query tokenization
+    * runs in [[termCounts]]' row-local kernel (no aggregation), the stored
+    * index joins stream-static (broadcast it — champion lists are
+    * |vocab| × maxPostings bounded by construction), and the (query, doc)
+    * score sum is the pipeline's ONE streaming aggregation — run it in
+    * complete output mode. [[sparseTfIdfRankCutK]] is the batch half:
+    * apply it to the drained sink table (bounded by
+    * |queries| × |query terms| × maxPostings rows) for the exact
+    * rank-at-k contract of the batch serve path. Composing the two halves
+    * on a static frame is bit-identical to [[sparseTfIdfTopKWith]].
+    */
+  def sparseTfIdfScored(index: DataFrame, queries: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    scoredCandidates(index, queries, idCol, textCol)
+
+  /** Batch rank cut over a [[sparseTfIdfScored]] result — see there. */
+  def sparseTfIdfRankCutK(scored: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "sparseTfIdfRankCutK needs k > 0")
+    rankCut(scored, k)
   }
 
   /** Hard-negative mining for retrieval-model training (Karpukhin et al.

@@ -288,6 +288,31 @@ class PlanShapeSpec extends SparkSpec {
       s"serve plan windows partitioned by $windowParts (expected query_id only):\n$p")
   }
 
+  test("tfidf index build: per-doc tf is row-local — no (doc, term) exchange") {
+    // Round 15: termCounts computes per-document term frequency inside the
+    // document's own row (a typed mapPartitions kernel), replacing the
+    // explode → groupBy(doc_id, t) formulation whose corpus-sized exchange
+    // was the index build's largest avoidable term. The kernel alone must
+    // plan as a pure narrow map...
+    val docs = spark.read.parquet(sf + "/documents.parquet")
+    val tf = graft.operators.Retrieval.termCounts(docs, "doc_id", "text")
+    tf.count()
+    val tfPlan = tf.queryExecution.executedPlan.toString
+    assert(!tfPlan.contains("Exchange"), s"tf kernel shuffled:\n$tfPlan")
+    // ...and the full champion build shuffles only on the TERM axis (df
+    // aggregation, champion-cut windows, postings join): no exchange may
+    // key directly on doc_id — the signature of the removed per-(doc, term)
+    // tf shuffle. (The salted pre-cut's pmod(xxhash64(doc_id)) references
+    // doc_id inside a hash, not as a direct key — that one is by design.)
+    val idx = graft.operators.Retrieval.sparseTfIdfIndex(
+      docs, "doc_id", "text", maxPostings = 100)
+    idx.count()
+    val p = idx.queryExecution.executedPlan.toString
+    val docKeyed = "hashpartitioning\\(doc_id#\\d+".r.findAllIn(p).size
+    assert(docKeyed == 0, s"doc_id-keyed exchange reappeared in the build:\n$p")
+    assert(p.contains("Exchange"), s"expected the term-axis exchanges in:\n$p")
+  }
+
   test("q150 snapshot diff joins fingerprints, not payloads") {
     val p = planOf("q150_snapshot_diff")
     // the md5 fingerprint must be computed BELOW the join (each side reduces

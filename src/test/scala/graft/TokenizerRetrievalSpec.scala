@@ -215,4 +215,61 @@ class TokenizerRetrievalSpec extends SparkSpec {
       .orderBy(col("rank")).as[(Long, Long, Long, Long, Int)].collect().toSeq
     assert(plain.map(_._2) == Seq(2L, 3L))
   }
+
+  test("termCounts kernel ≡ explode+groupBy tokenization (parity law)") {
+    // the row-local tf kernel replaced a corpus-sized exchange; this law
+    // pins its tokenization to the SQL formulation every oracle replays:
+    // java-regex \s+ split, empty tokens dropped, null text = no tokens
+    val docs = Seq(
+      (1L, "plain words plain"),
+      (2L, "\t tabform\ffeed\r\nnewline  tab"),
+      (3L, "   "),                       // whitespace only: no tokens
+      (4L, null.asInstanceOf[String]),   // null: no tokens
+      (5L, ""),                          // empty: no tokens
+      (6L, "ünïcode ünïcode 漢字"),       // non-ASCII tokens count fine
+      (7L, " lead and trail "),
+      (8L, "a a a a b")).toDF("doc_id", "text")
+    val kernel = graft.operators.Retrieval.termCounts(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    val sql = docs.select(col("doc_id"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(kernel == sql)
+    assert(!kernel.exists(r => r._1 == 3L || r._1 == 4L || r._1 == 5L))
+    assert(kernel((8L, "a", 4L)) && kernel((8L, "b", 1L)))
+  }
+
+  test("streaming serve decomposition ≡ batch serve (scored + rankCut law)") {
+    // q199's legality argument, pinned as a law: per-query tf is row-local
+    // (no streaming aggregation), the score sum is the ONE streaming agg
+    // (complete mode), and the batch rank cut over the drained sink equals
+    // sparseTfIdfTopKWith bit-for-bit on the same queries
+    val docs = Seq(
+      (1L, "apple banana cherry apple"),
+      (2L, "apple banana cherry"),
+      (3L, "apple banana date banana"),
+      (4L, "apple fig grape"),
+      (5L, "kiwi lemon mango"),
+      (6L, "banana date fig")).toDF("doc_id", "text")
+    val idx = Retrieval.sparseTfIdfIndex(docs, "doc_id", "text", maxPostings = 2)
+    val qs = Seq((1L, "apple banana cherry apple"), (5L, "kiwi lemon mango"))
+    val batch = Retrieval.sparseTfIdfTopKWith(
+        idx, qs.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    mem.addData(qs: _*)
+    val scored = Retrieval.sparseTfIdfScored(
+      broadcast(idx), mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = scored.writeStream.format("memory")
+      .queryName("champ_stream_law").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Retrieval.sparseTfIdfRankCutK(
+        spark.table("champ_stream_law"), k = 3)
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
