@@ -569,8 +569,16 @@ object NearDedup {
                   k: Int = 16, w: Int = 8, minShared: Int = 2,
                   maxDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"winnowPairs needs minShared >= 1, got $minShared")
+    // The fingerprint lineage (two windowed selects over per-document
+    // sorts) feeds THREE consumers: the df/hot branch and both sides of
+    // the self-join. Postings are 16 bytes/row — the hammingPairs64 trade
+    // (materialize once, probe cheap blocks) — so one EAGER localCheckpoint
+    // here replaces three full window-pipeline recomputations; storage is
+    // ContextCleaner-reclaimed. Before this, the operator's wall time was
+    // bimodal under scheduler variance (the three lineages race for the
+    // same cores: 1.9 s vs 5.4 s fresh-JVM isolated at sf0.1).
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct()
+      .select(col(idCol).as("id"), col("fp")).distinct().localCheckpoint()
     val kept = if (maxDf <= 0) fps else {
       val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .observe(s"winnow_dropped_fps_${dropSeq.incrementAndGet()}",
