@@ -71,6 +71,43 @@ object Probe {
       var e = observed.poll()
       while (e != null) { println(s"  observed ${e._1}: ${e._2}"); e = observed.poll() }
     }
+    // Job-level attribution (SPARK_GRAFT_JOBPROF=1): per Spark job, the
+    // wall time, stage/task counts, and the job group/description — the
+    // "where do a multi-action query's seconds go" view (localCheckpoint
+    // materializations, loop rounds, and streaming micro-batches are all
+    // separate jobs that a single wall number can't separate).
+    val jobProf = sys.env.get("SPARK_GRAFT_JOBPROF").contains("1")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (jobProf) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("")
+          jobStart.put(js.jobId, (js.time, s"stages=${js.stageIds.size} $desc"))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStart.remove(je.jobId)).foreach { case (t0, meta) =>
+            jobLines.add(f"  job ${je.jobId}%4d ${(je.time - t0) / 1000.0}%7.3f s  $meta")
+          }
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b)
+            .getOrElse(-1L)
+          jobLines.add(f"    stage ${si.stageId}%4d ${ms / 1000.0}%7.3f s " +
+            f"tasks=${si.numTasks}%4d  ${si.name.take(110)}")
+        }
+      })
+    def drainJobs(): Unit = if (jobProf) {
+      Thread.sleep(300)
+      var l = jobLines.poll()
+      while (l != null) { println(l); l = jobLines.poll() }
+    }
     try {
       for (i <- 1 to runs) {
         val g0 = gcMs(); val t0 = System.nanoTime()
@@ -78,6 +115,7 @@ object Probe {
           .write.format("noop").mode("overwrite").save()
         println(f"OK $q run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, gc ${gcMs() - g0} ms")
         drainObserved()
+        drainJobs()
       }
     } catch { case e: Throwable =>
       var c: Throwable = e

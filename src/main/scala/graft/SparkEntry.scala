@@ -21,6 +21,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Table scan spread across the cluster before a CPU-heavy per-row
+    * kernel (regex scoring, hashing, decode): a single-file/single-row-
+    * group table scans as ONE partition, serializing every narrow map
+    * stacked on it on one core. `Tuning.spread` repartitions by `key`
+    * only in that degenerate case — on an already-parallel scan (any
+    * production-scale table) it is a verbatim no-op. Use ONLY for
+    * kernel-bound queries: a repartition ahead of a plain aggregation
+    * would add an exchange the aggregation's partial pass doesn't need.
+    */
+  private def tS(s: SparkSession, dir: String, name: String, key: String): DataFrame =
+    graft.operators.Tuning.spread(t(s, dir, name), col(key))
+
+  /** Start a streaming query with `n` shuffle partitions (default 8): a
+    * stateful streaming query pins ONE state store per shuffle partition
+    * for its whole life, and a session-wide 32 is pure init/commit
+    * overhead for the bounded-sample parity gates (each micro-batch
+    * creates, commits, and snapshots every store). The q193/q199 pattern,
+    * shared. The session value is restored immediately after `.start()` —
+    * a started stream keeps its own partitioning from its checkpoint.
+    */
+  private def startStreamFewParts[A](s: SparkSession, n: Int = 8)(start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val derbySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Microsecond epoch axis for an event-time column, adaptive to the
@@ -748,7 +774,7 @@ object SparkEntry {
     // Typing / schema inference (SURVEY §1.2, §2.6)
     // ------------------------------------------------------------------
     "q29_typedetect" -> ((s, d) => {
-      val strings = t(s, d, "lineitem").select(
+      val strings = tS(s, d, "lineitem", "l_orderkey").select(
         col("l_orderkey").cast(StringType).as("okey"),
         col("l_quantity").cast(StringType).as("qty"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("sdate"),
@@ -838,26 +864,26 @@ object SparkEntry {
     // LLM-pipeline: text analysis
     // ------------------------------------------------------------------
     "q40_wordcount" -> ((s, d) => {
-      val words = t(s, d, "documents")
+      val words = tS(s, d, "documents", "doc_id")
         .select(explode(TextFunctions.tokens(col("text"))).as("word"))
       Grouping.group(words, Seq("word"), "cnt" -> count(lit(1)))
         .maxN("cnt", 20, Seq(col("word")))
     }),
     "q41_text_stats" -> ((s, d) =>
-      t(s, d, "documents").select(
+      tS(s, d, "documents", "doc_id").select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
         TextFunctions.punctRatio(col("text")).as("punct_ratio"),
         TextFunctions.meanWordLength(col("text")).as("mean_word_len"),
         TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))),
     "q42_lang_id" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      tS(s, d, "documents", "doc_id").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_id"))),
     "q43_quality_score" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      tS(s, d, "documents", "doc_id").select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("score"))),
     "q44_subword_count" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      tS(s, d, "documents", "doc_id").select(col("doc_id"),
         TextFunctions.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
 
     // ------------------------------------------------------------------
@@ -866,7 +892,7 @@ object SparkEntry {
     "q45_exact_dedup" -> ((s, d) => {
       // documents has no exact dups, so inject copies (doc_id+100000) to
       // make the dedup path non-trivial; exactDedup keeps the min-id rep.
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       val dups = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 100000L)
       NearDedup.exactDedupMd5(docs.unionByName(dups), "doc_id", "text")
@@ -1034,7 +1060,7 @@ object SparkEntry {
       val lined = TextFunctions.repetitionStats(
         regexp_replace(col("text"), "\\. ", ".\n"), 2)
       val flat = TextFunctions.repetitionStats(col("text"), 2)
-      t(s, d, "documents").select(
+      tS(s, d, "documents", "doc_id").select(
         col("doc_id"),
         element_at(lined, 1).as("dup_line_frac"),
         element_at(lined, 2).as("dup_char_frac"),
@@ -1049,7 +1075,7 @@ object SparkEntry {
         "user_id", "ts_us", 1800L * 1000 * 1000)
     }),
     "q72_top_terms" -> ((s, d) =>
-      TextFunctions.topTermsWithDf(t(s, d, "documents"), "doc_id", "text", 3)),
+      TextFunctions.topTermsWithDf(tS(s, d, "documents", "doc_id"), "doc_id", "text", 3)),
     "q73_media_decode" -> ((s, d) => {
       // real parsers over deterministic fixtures: BMP pixels (hist bin
       // exactly 0.5), PNG pixels through inflate + all five scanline
@@ -1105,12 +1131,20 @@ object SparkEntry {
       // composite C4-style cleaning pipeline: language filter -> quality
       // floor -> repetition cap -> exact dedup -> PII redaction; every
       // stage individually oracle-verified (q42/q43/q66/q45/q67)
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
+      // Materialize the scored relation: the keep-filter below would
+      // otherwise be PUSHED beneath the spread exchange (PushDownPredicate
+      // substitutes the score aliases), re-serializing the whole regex
+      // battery onto the single scan split — the filter-only columns made
+      // the pushed filter the sole (serial) evaluation site. The
+      // checkpoint pins scoring above the exchange: parallel, and exactly
+      // once per doc.
       val scored = docs.select(col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).as("lang_id"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         element_at(TextFunctions.repetitionStats(
           regexp_replace(col("text"), "\\. ", ".\n"), 2), 1).as("dlf"))
+        .localCheckpoint()
       val kept = scored
         .filter(col("lang_id") === "en" && col("quality") >= 0.5 && col("dlf") <= 0.3)
       NearDedup.exactDedupMd5(kept, "doc_id", "text")
@@ -1118,7 +1152,7 @@ object SparkEntry {
     }),
     "q67_redact_pii" -> ((s, d) =>
       // inject PII shapes so every row exercises all three redactions
-      t(s, d, "documents").select(
+      tS(s, d, "documents", "doc_id").select(
         col("doc_id"),
         TextFunctions.redactPii(concat(col("text"),
           lit(" contact bob@example.com at 10.1.2.3 or +12025550123 now")))
@@ -1181,7 +1215,7 @@ object SparkEntry {
     "q80_decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs 0-4 stand in for the eval set; any
       // doc sharing a word-5-gram with them (including themselves) is out
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       graft.operators.Contamination.decontaminate(
         docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text", n = 5)
         .select(col("doc_id"), col("lang"), col("source"))
@@ -1190,7 +1224,7 @@ object SparkEntry {
       // C4-style boilerplate-line filter; the synthetic corpus has no
       // punctuation, so inject per-row keep/drop lines (q67's pattern):
       // the raw text line and 'nav' must drop, the two sentences survive
-      t(s, d, "documents").select(col("doc_id"),
+      tS(s, d, "documents", "doc_id").select(col("doc_id"),
         TextFunctions.cleanLines(concat_ws("\n",
           col("text"),
           lit("This synthetic doc ends properly."),
@@ -1301,7 +1335,7 @@ object SparkEntry {
       // Train/serve split like q132: the corpus-global gram table is built
       // once per sf dir ("offline" per corpus snapshot) and every scoring
       // pass reuses it — the serve side is ONE narrow compiled scan.
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       val table = gramTables.getOrElseUpdate(d,
         TextFunctions.buildGramTable(docs, "text"))
       TextFunctions.corpusFrequencyScoreWith(docs, "doc_id", "text", table)
@@ -1495,7 +1529,7 @@ object SparkEntry {
       // filtering pass of CCNet/FineWeb-Edu/DCLM): integer bucket weights
       // make the whole narrow-map pipeline oracle-replayable bit-for-bit
       graft.functions.Classifier.scoreDocsPortable(
-        t(s, d, "documents"), "doc_id", "text")),
+        tS(s, d, "documents", "doc_id"), "doc_id", "text")),
     "q107_keyword_topk" -> ((s, d) =>
       // inverted-index keyword retrieval: integer tf scoring, term filter
       // before any shuffle, TakeOrderedAndProject top-k (BM25 is the
@@ -1532,7 +1566,7 @@ object SparkEntry {
       // m=4096) instead of the exact gram set; per-doc count of grams the
       // filter claims. m is deliberately small enough that the driver also
       // exercises the false-positive path at sf0.1.
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       val bits = graft.operators.Contamination.bloomBuild(
         docs.filter(col("doc_id") < 5), "text", n = 5, k = 3, m = 4096L)
       graft.operators.Contamination.bloomContaminatedIds(
@@ -1542,7 +1576,7 @@ object SparkEntry {
       // DSIR (Xie et al. 2023) importance weights: make the corpus look
       // like the src0/src1 slice; hashed unigram+bigram buckets, portable
       // exact-integer ratio scoring (the log-weight twin is spec-verified)
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       graft.operators.Importance.importanceScoresPortable(
         docs, "doc_id", "text",
         docs.filter(col("source").isin("src0", "src1")), "text",
@@ -1593,7 +1627,7 @@ object SparkEntry {
       // count-min point-frequency estimates for the whole vocabulary next
       // to exact counts — est >= exact always; width 512 forces visible
       // collisions so the bound is exercised, not vacuous
-      val words = t(s, d, "documents")
+      val words = tS(s, d, "documents", "doc_id")
         .select(explode(split(trim(col("text")), "\\s+")).as("item"))
         .filter(length(col("item")) > 0)
       val sketch = graft.operators.Sketches.countMinSketch(
@@ -1605,7 +1639,7 @@ object SparkEntry {
     "q117_hll" -> ((s, d) => {
       // portable HyperLogLog distinct-word estimate (exact-integer harmonic
       // sum, one final double division) next to the exact distinct count
-      val words = t(s, d, "documents")
+      val words = tS(s, d, "documents", "doc_id")
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
       graft.operators.Sketches.hllEstimate(words, col("w"), p = 8)
@@ -1644,7 +1678,7 @@ object SparkEntry {
       // stopword lines injected per doc (q81's pattern) so every counter
       // and both keep verdicts are exercised
       graft.functions.TextFunctions.gopherRules(
-        t(s, d, "documents").select(col("doc_id"),
+        tS(s, d, "documents", "doc_id").select(col("doc_id"),
           concat_ws("\n",
             col("text"),
             lit("- a bullet item"),
@@ -1660,7 +1694,7 @@ object SparkEntry {
       // (e + combining acute, i + combining diaeresis) injected per doc
       // must compose; DuckDB's nfc_normalize is the independent oracle
       val raw = concat(col("text"), lit(" café naïve"))
-      t(s, d, "documents").select(col("doc_id"), raw.as("raw"))
+      tS(s, d, "documents", "doc_id").select(col("doc_id"), raw.as("raw"))
         .select(col("doc_id"),
           graft.expressions.GraftFunctions.unicodeNormalize(col("raw"), "NFC").as("norm"),
           length(col("raw")).cast("long").as("n_before"))
@@ -1670,7 +1704,7 @@ object SparkEntry {
       // writing-system routing profile; non-Latin snippets injected on
       // doc_id % 4 so every counter and the tie-break order are exercised
       graft.functions.TextFunctions.scriptProfile(
-        t(s, d, "documents").select(col("doc_id"),
+        tS(s, d, "documents", "doc_id").select(col("doc_id"),
           concat(col("text"),
             when(col("doc_id") % 4 === 1, lit(" привет мир"))
               .when(col("doc_id") % 4 === 2, lit(" 你好世界 こんにちは"))
@@ -1683,7 +1717,7 @@ object SparkEntry {
       // daily-ingest dedup: docs < 250 are the released snapshot, the whole
       // corpus is the fresh batch; %5 boilerplate injection (q120) gives
       // real cross-batch and in-batch duplication
-      val all = t(s, d, "documents").select(col("doc_id"), col("source"),
+      val all = tS(s, d, "documents", "doc_id").select(col("doc_id"), col("source"),
         when(col("doc_id") % 5 === 0, lit("shared boilerplate snippet"))
           .otherwise(col("text")).as("text"))
       graft.operators.NearDedup.dedupAgainstSnapshot(
@@ -1804,8 +1838,9 @@ object SparkEntry {
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
       mem.addData(rows: _*)
       val qn = s"q133_sessions_${memSeq.incrementAndGet()}"
-      val q = graft.streaming.Streams.sessionize(mem.toDS(), gapMs)
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      val q = startStreamFewParts(s)(
+        graft.streaming.Streams.sessionize(mem.toDS(), gapMs)
+          .writeStream.format("memory").queryName(qn).outputMode("append").start())
       // ProcessingTimeTimeout makes the engine trigger batches continuously,
       // so processAllAvailable never latches noNewData — poll the sink
       // instead. ALL real sessions close inside batch 1 (every user's last
@@ -1849,11 +1884,12 @@ object SparkEntry {
         .MemoryStream[(Long, String, java.sql.Timestamp)]
       mem.addData(rows: _*)
       val qn = s"q134_dedup_${memSeq.incrementAndGet()}"
-      val q = graft.streaming.Streams.dedupWithinWatermark(
-          mem.toDF().toDF("user_id", "event_type", "ts"), "ts", "30 minutes",
-          Seq("user_id", "event_type"))
-        .select("user_id", "event_type")
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      val q = startStreamFewParts(s)(
+        graft.streaming.Streams.dedupWithinWatermark(
+            mem.toDF().toDF("user_id", "event_type", "ts"), "ts", "30 minutes",
+            Seq("user_id", "event_type"))
+          .select("user_id", "event_type")
+          .writeStream.format("memory").queryName(qn).outputMode("append").start())
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select(col("user_id"), col("event_type"))
     }),
@@ -1990,7 +2026,7 @@ object SparkEntry {
       // broadcast join + aggregation over the shard being scored. Same
       // output as q112 by construction ⇒ shares q112's oracle; its bench
       // time is the per-shard serve cost q112's in-query training hides.
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       val weights = dsirWeights.getOrElseUpdate(d, {
         val w = graft.operators.Importance.importanceWeightsPortable(
           docs, docs.filter(col("source").isin("src0", "src1")), "text", "text",
@@ -2098,8 +2134,9 @@ object SparkEntry {
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
       mem.addData(feed: _*)
       val qn = s"q147_hh_${memSeq.incrementAndGet()}"
-      val q = graft.streaming.Streams.streamingHeavyHitters(mem.toDS(), capacity = hhCapacity)
-        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      val q = startStreamFewParts(s)(
+        graft.streaming.Streams.streamingHeavyHitters(mem.toDS(), capacity = hhCapacity)
+          .writeStream.format("memory").queryName(qn).outputMode("update").start())
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select(col("shard"), col("item"), col("est"), col("err"))
     }),
@@ -2265,7 +2302,7 @@ object SparkEntry {
       // counted on the even-id half (the "trusted" corpus), every doc
       // scored under it — integer-exact, so seen/backoff branch choices
       // and the final means replay bit-for-bit in the oracle
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       graft.operators.LanguageModel.stupidBackoffScore(
         docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
     }),
@@ -2327,8 +2364,9 @@ object SparkEntry {
         .MemoryStream[graft.streaming.Streams.CdcChange]
       mem.addData(rows: _*)
       val qn = s"q164_cdc_${memSeq.incrementAndGet()}"
-      val q = graft.streaming.Streams.applyCdcStream(mem.toDS())
-        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      val q = startStreamFewParts(s)(
+        graft.streaming.Streams.applyCdcStream(mem.toDS())
+          .writeStream.format("memory").queryName(qn).outputMode("update").start())
       try q.processAllAvailable() finally q.stop()
       s.table(qn).select(col("key").as("doc_id"), col("source"),
         col("nChars").as("n_chars"))
@@ -2422,7 +2460,7 @@ object SparkEntry {
       // benchmark 5-gram hits — the reviewer-facing view behind q80's
       // drop decision (docs 0-4 are the benchmark, so they self-attribute
       // as full-length spans and true leaks show as partial ones)
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       graft.operators.Contamination.contaminationSpans(
         docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text", n = 5)
     }),
@@ -2432,7 +2470,7 @@ object SparkEntry {
       // Benchmark docs (0-4) self-attribute fully and come out empty; clean
       // docs pass through rejoined with 0 removed. Disjoint spans (the
       // round-9 merge fix) are what make the removed-word count exact.
-      val docs = t(s, d, "documents")
+      val docs = tS(s, d, "documents", "doc_id")
       graft.operators.Contamination.exciseContaminatedSpans(
         docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text", n = 5)
     }),
@@ -2558,10 +2596,11 @@ object SparkEntry {
         ("c.bmp", fixtureGradientBmp(invert = true)),
         ("f.bmp", fixtureGradientBmp(dip = true)))
       val qn = s"q189_imghash_${memSeq.incrementAndGet()}"
-      val q = graft.operators.Multimodal.imageDHashes(
-          mem.toDF().toDF("path", "content"))
-        .groupBy(col("dhash")).agg(count(lit(1)).as("n_images"))
-        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+      val q = startStreamFewParts(s)(
+        graft.operators.Multimodal.imageDHashes(
+            mem.toDF().toDF("path", "content"))
+          .groupBy(col("dhash")).agg(count(lit(1)).as("n_images"))
+          .writeStream.format("memory").queryName(qn).outputMode("complete").start())
       try q.processAllAvailable() finally q.stop()
       s.table(qn)
     }),
@@ -2640,7 +2679,7 @@ object SparkEntry {
         when(col("doc_id") % 7 === 0, lit(" mail a@b.co and c@d.org")).otherwise(lit("")),
         when(col("doc_id") % 11 === 0, lit(" from 10.0.0.1")).otherwise(lit("")),
         when(col("doc_id") % 13 === 0, lit(" call +15551234567")).otherwise(lit("")))
-      docs.select(col("doc_id"),
+      graft.operators.Tuning.spread(docs, col("doc_id")).select(col("doc_id"),
           graft.functions.TextFunctions.piiCounts(injected).as("p"))
         .select(col("doc_id"), col("p.n_emails"), col("p.n_ips"), col("p.n_phones"),
           (col("p.n_emails") + col("p.n_ips") + col("p.n_phones")).as("pii_total"))
@@ -2705,10 +2744,11 @@ object SparkEntry {
         .MemoryStream[(Long, String, String)]
       mem.addData(rows: _*)
       val qn = s"q170_manifest_${memSeq.incrementAndGet()}"
-      val q = graft.streaming.Streams.streamingManifest(
-          mem.toDF().toDF("doc_id", "source", "text"),
-          "source", "doc_id", "text")
-        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      val q = startStreamFewParts(s)(
+        graft.streaming.Streams.streamingManifest(
+            mem.toDF().toDF("doc_id", "source", "text"),
+            "source", "doc_id", "text")
+          .writeStream.format("memory").queryName(qn).outputMode("update").start())
       try q.processAllAvailable() finally q.stop()
       s.table(qn)
     }),

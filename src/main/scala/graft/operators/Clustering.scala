@@ -36,8 +36,75 @@ object Clustering {
     * component representative. Nodes not present in any edge are absent —
     * callers treat them as singleton components.
     */
+  /** Edge budget for the one-box CC fast path (see below): a bounded
+    * `limit(budget + 1).collect()` probe, the same contract family as
+    * VectorFunctions' `MaxCollectedCodebook` — 1M edges is ≤ 16 MB of
+    * longs on the driver, well under any result-size limit. Over budget,
+    * the distributed label loop runs unchanged, so the 100 TB path never
+    * depends on the driver. 0 disables the fast path (specs exercise the
+    * loop through this).
+    */
+  val MaxLocalEdges: Int = 1000000
+
+  /** Union-find with path halving over a collected edge array; labels are
+    * canonicalized to the MIN member id of each component — exactly the
+    * fixed point the distributed loop converges to, so the two paths are
+    * value-identical (a spec law pins it).
+    */
+  private[graft] def localComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { val gp = parent.get(p); parent.put(x, gp); x = gp; p = parent.get(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    // Roots are unioned min-first, so find() already yields the component's
+    // min id for every member.
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+    out
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 20,
+                          maxLocalEdges: Int = MaxLocalEdges): DataFrame = {
+    // ONE-BOX FAST PATH: the edge relation of a near-dup pipeline is
+    // pair-bounded (docs that HAVE a duplicate), orders of magnitude
+    // smaller than the corpus — at bench scale it is dozens of rows, and
+    // the distributed loop's ~8 jobs per round are pure orchestration
+    // overhead on it. Probe with a BOUNDED collect (limit budget+1 — over
+    // budget the probe proves it cheaply and the loop below runs
+    // unchanged); under budget, union-find on the driver and return the
+    // labels as a LocalRelation, which downstream joins broadcast. Longs
+    // only — any other id type takes the loop.
+    if (maxLocalEdges > 0 &&
+        edges.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
+        edges.schema(bCol).dataType == org.apache.spark.sql.types.LongType) {
+      val probe = edges.select(col(aCol), col(bCol))
+        .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .limit(maxLocalEdges + 1).collect()
+      if (probe.length <= maxLocalEdges) {
+        val labels = localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
+        val spark = edges.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("comp",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        return spark.createDataFrame(
+          java.util.Arrays.asList(labels.map(p =>
+            org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+      }
+    }
     // Symmetrize once and materialize: the loop re-reads the edges every
     // round, and without the checkpoint each round would recompute the
     // upstream candidate-generation plan from scratch.

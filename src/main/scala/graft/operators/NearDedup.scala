@@ -106,9 +106,12 @@ object NearDedup {
                    bands: Int = 8, threshold: Double = 0.7,
                    maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rowsPerBand = numPerms / bands
-    val shingled = df.select(
-      col(idCol).as("id"),
-      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    // Spread before the shingle+signature kernel (single-split scans
+    // serialize it on one core; no-op when the scan is already parallel).
+    val shingled = Tuning.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"),
+        graft.expressions.GraftFunctions.shingles(col("__t"), shingleSize).as("sh"))
     val banded = shingled
       .withColumn("sig", minhashSignature(col("sh"), numPerms))
       .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
@@ -171,8 +174,13 @@ object NearDedup {
     */
   private def portableShingles(df: DataFrame, idCol: String, textCol: String,
                                shingleSize: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    // Spread a single-split scan before the shingle kernel: every md5 of
+    // the portable pipeline evaluates downstream of this projection, and a
+    // one-row-group input otherwise serializes all of it on one core
+    // (Tuning.spread is a no-op on an already-parallel scan).
+    Tuning.spread(df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"),
+        graft.expressions.GraftFunctions.shingles(col("__t"), shingleSize).as("sh"))
 
   /** (id, band, bk) banded minhash keys on the portable md5 basis — the
     * candidate-stage relation. Together with [[portableShingles]] this IS
@@ -272,8 +280,11 @@ object NearDedup {
                            maxHamming: Int = 3,
                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bits = 60
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("t"))
+    // Spread before the tokenize+md5 kernel (single-split scans serialize
+    // it on one core otherwise; no-op on an already-parallel scan).
+    val toks = Tuning.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"), explode(split(trim(col("__t")), "\\s+")).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType))
     val votes = (0 until bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
@@ -414,8 +425,13 @@ object NearDedup {
     */
   private def shingleTokens(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int, maxDf: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      graft.expressions.GraftFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    // Spread before the shingle kernel — same single-split rationale as
+    // portableShingles; the df-cap/anti-join branches all re-execute this
+    // front end, so each re-execution is parallel too.
+    val sh = Tuning.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"),
+        graft.expressions.GraftFunctions.shingles(col("__t"), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     val allTok = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
     if (maxDf <= 0) allTok else {
@@ -743,6 +759,10 @@ object NearDedup {
     // both the partition key and the shuffle write.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
+    // No spread here: the input is an arbitrary caller pipeline (q70 feeds
+    // a regex-scored select), so probing its layout re-plans the whole
+    // lineage and the exchange would land ABOVE the expensive kernel
+    // anyway. Callers with single-split scans spread at the scan instead.
     df.withColumn("__fp", fp)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn", "__fp")
@@ -771,10 +791,13 @@ object NearDedup {
     // coalesce: fingerprint(NULL) is NULL, and NULL keys neither match the
     // anti-join nor group consistently — null-text docs dedup as empty docs
     def fp(c: Column) = TextFunctions.fingerprint(coalesce(c, lit("")))
-    val priorFps = prior.select(fp(col(priorTextCol)).as("__fp")).distinct()
+    // Spread both sides before hashing (single-split scans serialize the
+    // canonicalize+md5 kernel on one core; no-op on parallel scans).
+    val priorFps = Tuning.spread(prior.select(col(priorTextCol).as("__pt")))
+      .select(fp(col("__pt")).as("__fp")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
-    fresh
+    Tuning.spread(fresh, col(idCol))
       .withColumn("__fp", fp(col(textCol))) // materialized ONCE: anti-join key and dedup key
       .join(priorFps, Seq("__fp"), "left_anti")
       .withColumn("__rn", row_number().over(w))
@@ -855,8 +878,10 @@ object NearDedup {
     */
   def crossSourceOverlap(docs: DataFrame, textCol: String,
                          sourceCol: String): DataFrame = {
-    val d = docs.select(TextFunctions.fingerprint(col(textCol)).as("fp"),
-      col(sourceCol).as("source")).distinct()
+    val d = Tuning.spread(docs.select(col(textCol).as("__t"),
+        col(sourceCol).as("source")))
+      .select(TextFunctions.fingerprint(col("__t")).as("fp"), col("source"))
+      .distinct()
     d.as("a").join(d.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   private def toks(docs: DataFrame, idCol: String, textCol: String) =
-    docs.select(col(idCol).as("doc_id"),
-      explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+")).as("t"))
+    // Spread a single-split scan before the tokenize explode (no-op on an
+    // already-parallel scan — Tuning.spread).
+    Tuning.spread(docs.select(col(idCol).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("__t")), col("doc_id"))
+      .select(col("doc_id"), explode(split(trim(col("__t")), "\\s+")).as("t"))
 
   /** Per-document term counts (doc_id, t, tf) WITHOUT a shuffle: every
     * token of a document lives in that document's own row, so the
@@ -44,10 +47,17 @@ object Retrieval {
     * treats the relation as a set.
     */
   private[graft] def termCounts(docs: DataFrame, idCol: String,
-                                textCol: String): DataFrame = {
+                                textCol: String,
+                                spreadInput: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val src = docs.select(col(idCol).as("doc_id"),
+    // Spread the corpus side before the in-row tf kernel: a single-split
+    // scan otherwise runs the whole tokenization on one core (no-op on an
+    // already-parallel scan). Streaming callers pass a MemoryStream frame,
+    // whose partitioning is the stream's — spread only batch inputs.
+    val src0 = docs.select(col(idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("__text"))
+    val src = if (spreadInput && !docs.isStreaming)
+      Tuning.spread(src0, col("doc_id")) else src0
     val outSchema = StructType(Seq(
       src.schema.fields(0),
       StructField("t", StringType, nullable = false),
@@ -221,7 +231,10 @@ object Retrieval {
     // query tf is row-local (termCounts' typed kernel) — no exchange on
     // the query batch, and on a STREAMING intake no streaming aggregation,
     // so the score sum below stays the pipeline's single allowed agg
-    val qtf = termCounts(queries, idCol, textCol)
+    // spreadInput=false: the query batch is dimension-sized (a handful of
+    // docs per serve call) — fanning it across the cluster is pure task
+    // overhead, and a streaming intake keeps the stream's own partitioning
+    val qtf = termCounts(queries, idCol, textCol, spreadInput = false)
       .withColumnRenamed("doc_id", "query_id")
       .withColumnRenamed("tf", "qtf")
     qtf.join(index, Seq("t"))

@@ -53,8 +53,14 @@ object SpanDedup {
     // Two consumers (the dup-gram aggregation and the membership join)
     // re-execute the scan -> split -> gram kernel without a materialization
     // boundary — same localCheckpoint rationale as removeDupSpans below.
-    val grams = docs
-      .select(col(idCol).as("__id"), split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+    // Spread a single-split scan before the tokenize+gram kernel (the
+    // measured hot stage: one task owned the whole corpus at bench scale);
+    // the exchange moves narrow doc rows, not the n×-bigger gram relation,
+    // and is a no-op when the scan is already parallel.
+    val grams = Tuning.spread(
+        docs.select(col(idCol).as("__id"),
+          split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks")),
+        col("__id"))
       .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
       .localCheckpoint()
     // A gram is duplicated when >= 2 distinct documents contain it. The
@@ -125,8 +131,12 @@ object SpanDedup {
     // ContextCleaner, spills to disk, blocks only executor-loss recovery —
     // acceptable for a materialize-once scratch stage. Sizes are linear:
     // token arrays ~ corpus, grams ~ n x corpus.
-    val tokenized = docs
-      .select(col(idCol).as("__id"), split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks"))
+    // Spread before tokenizing (see spanStats): the checkpointed token
+    // blocks then carry the parallel layout into all three consumers.
+    val tokenized = Tuning.spread(
+        docs.select(col(idCol).as("__id"),
+          split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks")),
+        col("__id"))
       .localCheckpoint()
     val toks = tokenized
       .select(col("__id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
@@ -186,9 +196,10 @@ object SpanDedup {
     * length). Linear end-to-end, no driver state.
     */
   def removeDupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = docs
-      .select(col(idCol).as("__id"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+    val lines = Tuning.spread(docs.select(col(idCol).as("__id"),
+        coalesce(col(textCol), lit("")).as("__t")), col("__id"))
+      .select(col("__id"),
+        posexplode(split(col("__t"), "\n")).as(Seq("pos", "line")))
     val wFirst = Window.partitionBy(trim(col("line")))
       .orderBy(col("__id"), col("pos"))
     // blank lines are all "equal" under trim — routing them through the

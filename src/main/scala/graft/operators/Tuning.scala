@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
+
 /** Cross-cutting execution-regime switches.
   *
   * [[noBroadcast]] disables every EXPLICIT broadcast hint the library's
@@ -41,4 +43,39 @@ object Tuning {
     sys.props.get("graft.observeMetrics")
       .orElse(sys.env.get("SPARK_GRAFT_OBSERVE"))
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
+  /** Spread a DEGENERATE input layout across the cluster before a CPU-heavy
+    * per-row kernel (gram/shingle explodes, md5/regex scoring, vector math).
+    *
+    * The problem this fixes is input skew in the §2.5 sense: a table that
+    * arrives as one unsplittable unit — one small file, or one parquet ROW
+    * GROUP, which the reader never splits across tasks — scans as a single
+    * partition, so every narrow map stacked on the scan (exactly where the
+    * per-row kernels live) serializes on one core while the rest of the
+    * cluster idles. The fix is the guide's: repartition immediately after
+    * the read, paying one exchange of the NARROW input rows before any
+    * explode multiplies them.
+    *
+    * Scale-adaptive by construction, not by configuration: the repartition
+    * fires only when the plan's existing partitioning supplies less than
+    * half of `defaultParallelism`. A production-scale table arrives as
+    * thousands of splits, so this is a verbatim no-op there — no shuffle is
+    * ever added where the scan is already parallel. The threshold is halves
+    * (not exact equality) so an input already "parallel enough" (e.g. 20
+    * splits on 32 cores) is left alone.
+    *
+    * Keyed when the caller passes `key` columns (pre-satisfying any
+    * downstream per-key window/aggregation partitioning); round-robin
+    * otherwise. Results are unaffected either way: every caller's output is
+    * keyed, never positional.
+    */
+  def spread(df: DataFrame, key: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions plans the (narrow) lineage but runs no job; at scale
+    // the answer is the split count and the branch below never fires.
+    val cur = df.rdd.getNumPartitions
+    if (cur * 2 >= target) df
+    else if (key.isEmpty) df.repartition(target)
+    else df.repartition(target, key: _*)
+  }
 }

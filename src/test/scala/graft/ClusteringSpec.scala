@@ -53,11 +53,40 @@ class ClusteringSpec extends SparkSpec {
   test("long chain converges under the DEFAULT maxIter (pointer doubling)") {
     // a 60-node path needs ~59 rounds of plain neighbor propagation; the
     // label-of-label shortcut must collapse it in O(log n) rounds, well
-    // inside the default bound of 20.
+    // inside the default bound of 20. maxLocalEdges = 0 pins the
+    // DISTRIBUTED loop — the convergence property under test lives there.
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Clustering.connectedComponents(pairs)
+    val comps = Clustering.connectedComponents(pairs, maxLocalEdges = 0)
       .agg(countDistinct(col("comp")), min(col("comp"))).as[(Long, Long)].head()
     assert(comps == ((1L, 1L)))
+  }
+
+  test("one-box fast path is value-identical to the distributed loop") {
+    // chains, a star, a cycle, self-contained singleton pairs, and edges
+    // given in both directions — the local union-find and the label loop
+    // must agree on every (id, comp) row, and the fast path's output must
+    // be a driver-local relation (no jobs at consumption time).
+    val pairs = (Seq((9L, 3L), (3L, 12L), (12L, 9L), (40L, 41L), (41L, 42L),
+      (50L, 7L), (7L, 50L), (60L, 60L)) ++ (100L until 130L).map(i => (i + 1, i)))
+      .toDF("id_a", "id_b")
+    val local = Clustering.connectedComponents(pairs)
+    val loop = Clustering.connectedComponents(pairs, maxLocalEdges = 0)
+    assert(local.schema.map(f => (f.name, f.dataType)) ==
+      loop.schema.map(f => (f.name, f.dataType)))
+    assert(local.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      loop.orderBy("id").as[(Long, Long)].collect().toSeq)
+    assert(local.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "fast-path labels must be a LocalRelation")
+  }
+
+  test("over-budget edge relations take the distributed loop") {
+    val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val viaTinyBudget = Clustering.connectedComponents(pairs, maxLocalEdges = 5)
+    assert(viaTinyBudget.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "over-budget input must not collect")
+    assert(viaTinyBudget.filter(col("comp") === 1L).count() == 41L)
   }
 
   test("empty pair relation yields empty labels") {
