@@ -892,7 +892,7 @@ object SparkEntry {
     "q45_exact_dedup" -> ((s, d) => {
       // documents has no exact dups, so inject copies (doc_id+100000) to
       // make the dedup path non-trivial; exactDedup keeps the min-id rep.
-      val docs = tS(s, d, "documents", "doc_id")
+      val docs = t(s, d, "documents")
       val dups = docs.filter(col("doc_id") < 50)
         .withColumn("doc_id", col("doc_id") + 100000L)
       NearDedup.exactDedupMd5(docs.unionByName(dups), "doc_id", "text")
@@ -1717,7 +1717,7 @@ object SparkEntry {
       // daily-ingest dedup: docs < 250 are the released snapshot, the whole
       // corpus is the fresh batch; %5 boilerplate injection (q120) gives
       // real cross-batch and in-batch duplication
-      val all = tS(s, d, "documents", "doc_id").select(col("doc_id"), col("source"),
+      val all = t(s, d, "documents").select(col("doc_id"), col("source"),
         when(col("doc_id") % 5 === 0, lit("shared boilerplate snippet"))
           .otherwise(col("text")).as("text"))
       graft.operators.NearDedup.dedupAgainstSnapshot(

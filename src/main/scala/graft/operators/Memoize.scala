@@ -25,9 +25,19 @@ object Memoize {
     * and replay the wrong cache.
     */
   def planFingerprint(df: DataFrame): String = {
+    // checkpointed/RDD-backed subtrees print as a bare `LogicalRDD [cols]`
+    // and report NO input files, so two pipelines over DIFFERENT corpora
+    // collide on the same fingerprint (round 15: a localCheckpoint inside
+    // an index build made the stored-index serve replay another scale
+    // factor's cache). Salt each LogicalRDD with its session-unique RDD id:
+    // such plans memoize per-session at worst, never wrongly across inputs.
+    val rddIds = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
     val canon = df.queryExecution.analyzed.toString
       .replaceAll("#\\d+", "#") + // strip per-session expression ids
-      "\n" + df.inputFiles.sorted.mkString("\n")
+      "\n" + df.inputFiles.sorted.mkString("\n") +
+      (if (rddIds.isEmpty) "" else "\nrdds:" + rddIds.mkString(","))
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

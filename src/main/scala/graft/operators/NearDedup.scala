@@ -581,20 +581,33 @@ object NearDedup {
     * volume observable, and the pair space is bounded by Σ df² over kept
     * fingerprints, never n².
     */
+  /** Distinct (idCol, fp) winnow postings through the compiled deque
+    * kernel: [[winnowFpSets]] is spec-pinned bit-identical to
+    * `winnowFingerprints(...).select(id, fp).distinct()` grouped per doc,
+    * and its per-doc arrays are already distinct — exploding them yields
+    * the postings relation with NO distinct exchange and no per-document
+    * sort windows (the SQL formulation paid both, plus a Catalyst md5 per
+    * gram; [[winnowFingerprints]] stays the (id, pos, fp) surface for
+    * position-carrying consumers like q175).
+    */
+  private def winnowFpPostings(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, w: Int): DataFrame =
+    winnowFpSets(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 16, w: Int = 8, minShared: Int = 2,
                   maxDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"winnowPairs needs minShared >= 1, got $minShared")
-    // The fingerprint lineage (two windowed selects over per-document
-    // sorts) feeds THREE consumers: the df/hot branch and both sides of
-    // the self-join. Postings are 16 bytes/row — the hammingPairs64 trade
-    // (materialize once, probe cheap blocks) — so one EAGER localCheckpoint
-    // here replaces three full window-pipeline recomputations; storage is
-    // ContextCleaner-reclaimed. Before this, the operator's wall time was
-    // bimodal under scheduler variance (the three lineages race for the
-    // same cores: 1.9 s vs 5.4 s fresh-JVM isolated at sf0.1).
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp")).distinct().localCheckpoint()
+    // The fingerprint lineage feeds THREE consumers: the df/hot branch and
+    // both sides of the self-join. Postings are 16 bytes/row — the
+    // hammingPairs64 trade (materialize once, probe cheap blocks) — so one
+    // EAGER localCheckpoint here replaces three kernel recomputations;
+    // storage is ContextCleaner-reclaimed. Before this, the operator's
+    // wall time was bimodal under scheduler variance (the three lineages
+    // race for the same cores: 1.9 s vs 5.4 s fresh-JVM isolated at sf0.1).
+    val fps = winnowFpPostings(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).localCheckpoint()
     val kept = if (maxDf <= 0) fps else {
       val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .observe(s"winnow_dropped_fps_${dropSeq.incrementAndGet()}",
@@ -632,8 +645,8 @@ object NearDedup {
                             k: Int = 16, w: Int = 8, minShared: Int = 2,
                             maxDf: Int = 1000): DataFrame = {
     require(minShared >= 1, s"winnowAgainstSnapshot needs minShared >= 1, got $minShared")
-    val ffps = winnowFingerprints(fresh, idCol, textCol, k, w)
-      .select(col(idCol).as("fresh_id"), col("fp")).distinct()
+    val ffps = winnowFpPostings(fresh, idCol, textCol, k, w)
+      .select(col(idCol).as("fresh_id"), col("fp"))
     ffps.join(winnowSnapshotIndex(prior, idCol, textCol, k, w, maxDf), Seq("fp"))
       .groupBy(col("fresh_id"), col("prior_id"))
       .agg(count(lit(1)).as("shared"))
@@ -651,8 +664,8 @@ object NearDedup {
   def winnowSnapshotIndex(prior: DataFrame, idCol: String, textCol: String,
                           k: Int = 16, w: Int = 8,
                           maxDf: Int = 1000): DataFrame = {
-    val pfps0 = winnowFingerprints(prior, idCol, textCol, k, w)
-      .select(col(idCol).as("prior_id"), col("fp")).distinct()
+    val pfps0 = winnowFpPostings(prior, idCol, textCol, k, w)
+      .select(col(idCol).as("prior_id"), col("fp"))
     if (maxDf <= 0) pfps0 else {
       val hot = pfps0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .observe(s"winnow_snapshot_dropped_fps_${dropSeq.incrementAndGet()}",
@@ -684,9 +697,13 @@ object NearDedup {
   def winnowFpSets(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFpSets needs k >= 1, w >= 1 (got k=$k, w=$w)")
-    val canon = df.select(col(idCol),
+    val canon0 = df.select(col(idCol),
         lower(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", "")).as("__c"))
       .filter(length(col("__c")) >= k + w - 1)
+    // Spread batch inputs before the per-doc hash kernel (single-split
+    // scans serialize it on one core); a streaming intake keeps the
+    // stream's own partitioning.
+    val canon = if (df.isStreaming) canon0 else Tuning.spread(canon0, col(idCol))
     val outSchema = StructType(Seq(
       canon.schema.fields(0),
       StructField("fps", ArrayType(LongType, containsNull = false), nullable = false)))
@@ -791,13 +808,10 @@ object NearDedup {
     // coalesce: fingerprint(NULL) is NULL, and NULL keys neither match the
     // anti-join nor group consistently — null-text docs dedup as empty docs
     def fp(c: Column) = TextFunctions.fingerprint(coalesce(c, lit("")))
-    // Spread both sides before hashing (single-split scans serialize the
-    // canonicalize+md5 kernel on one core; no-op on parallel scans).
-    val priorFps = Tuning.spread(prior.select(col(priorTextCol).as("__pt")))
-      .select(fp(col("__pt")).as("__fp")).distinct()
+    val priorFps = prior.select(fp(col(priorTextCol)).as("__fp")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
-    Tuning.spread(fresh, col(idCol))
+    fresh
       .withColumn("__fp", fp(col(textCol))) // materialized ONCE: anti-join key and dedup key
       .join(priorFps, Seq("__fp"), "left_anti")
       .withColumn("__rn", row_number().over(w))
@@ -878,10 +892,8 @@ object NearDedup {
     */
   def crossSourceOverlap(docs: DataFrame, textCol: String,
                          sourceCol: String): DataFrame = {
-    val d = Tuning.spread(docs.select(col(textCol).as("__t"),
-        col(sourceCol).as("source")))
-      .select(TextFunctions.fingerprint(col("__t")).as("fp"), col("source"))
-      .distinct()
+    val d = docs.select(TextFunctions.fingerprint(col(textCol)).as("fp"),
+      col(sourceCol).as("source")).distinct()
     d.as("a").join(d.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))

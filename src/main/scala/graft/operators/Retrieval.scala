@@ -47,17 +47,15 @@ object Retrieval {
     * treats the relation as a set.
     */
   private[graft] def termCounts(docs: DataFrame, idCol: String,
-                                textCol: String,
-                                spreadInput: Boolean = true): DataFrame = {
+                                textCol: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    // Spread the corpus side before the in-row tf kernel: a single-split
-    // scan otherwise runs the whole tokenization on one core (no-op on an
-    // already-parallel scan). Streaming callers pass a MemoryStream frame,
-    // whose partitioning is the stream's — spread only batch inputs.
-    val src0 = docs.select(col(idCol).as("doc_id"),
+    // No input spread here: the index build's tf feeds two branches with
+    // no exchange reuse between them, so a spread exchange executed twice
+    // and regressed the champion build (q197 0.57 -> 1.29 s measured);
+    // single-task tokenization of the build input is the cheaper evil at
+    // bench scale and a non-issue on a multi-split production corpus.
+    val src = docs.select(col(idCol).as("doc_id"),
       coalesce(col(textCol), lit("")).as("__text"))
-    val src = if (spreadInput && !docs.isStreaming)
-      Tuning.spread(src0, col("doc_id")) else src0
     val outSchema = StructType(Seq(
       src.schema.fields(0),
       StructField("t", StringType, nullable = false),
@@ -174,7 +172,13 @@ object Retrieval {
     // formulation shuffled the whole token relation just to count within
     // rows — at corpus scale that exchange was the build's largest
     // avoidable term. df and the champion cut still shuffle on t (they are
-    // genuinely cross-document).
+    // genuinely cross-document). NOT materialized here even though two
+    // build branches re-run the kernel: a localCheckpoint turns the plan
+    // into a LogicalRDD, whose Memoize fingerprint is input-independent —
+    // the stored-index serve tiers (q143/q198/q199) would replay a cache
+    // built from a DIFFERENT corpus (observed: the sf0.001 spec-suite
+    // index served to the sf0.01 oracle gate). The double kernel run is
+    // the same re-scan-beats-caching trade minhash documents.
     val tf = termCounts(docs, idCol, textCol)
     val dfT = tf.groupBy(col("t"))
       .agg(count(lit(1)).as("df"))
@@ -231,10 +235,7 @@ object Retrieval {
     // query tf is row-local (termCounts' typed kernel) — no exchange on
     // the query batch, and on a STREAMING intake no streaming aggregation,
     // so the score sum below stays the pipeline's single allowed agg
-    // spreadInput=false: the query batch is dimension-sized (a handful of
-    // docs per serve call) — fanning it across the cluster is pure task
-    // overhead, and a streaming intake keeps the stream's own partitioning
-    val qtf = termCounts(queries, idCol, textCol, spreadInput = false)
+    val qtf = termCounts(queries, idCol, textCol)
       .withColumnRenamed("doc_id", "query_id")
       .withColumnRenamed("tf", "qtf")
     qtf.join(index, Seq("t"))

@@ -196,10 +196,9 @@ object SpanDedup {
     * length). Linear end-to-end, no driver state.
     */
   def removeDupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = Tuning.spread(docs.select(col(idCol).as("__id"),
-        coalesce(col(textCol), lit("")).as("__t")), col("__id"))
-      .select(col("__id"),
-        posexplode(split(col("__t"), "\n")).as(Seq("pos", "line")))
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
     val wFirst = Window.partitionBy(trim(col("line")))
       .orderBy(col("__id"), col("pos"))
     // blank lines are all "equal" under trim — routing them through the

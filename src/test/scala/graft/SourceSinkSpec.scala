@@ -250,6 +250,25 @@ class SourceSinkSpec extends SparkSpec {
     assert(new java.io.File(dir).list().length == 2)
   }
 
+  test("memoize fingerprint distinguishes checkpointed (LogicalRDD) plans over different inputs") {
+    // a localCheckpoint erases both the plan text and the input-file list
+    // (bare `LogicalRDD [cols]`), so two checkpointed pipelines over
+    // DIFFERENT data printed identically and collided on one cache entry —
+    // round 15's stored-index-serve bug (the sf0.001 spec-suite index was
+    // replayed for the sf0.01 oracle gate). The RDD-id salt must keep them
+    // apart.
+    val dir = tmp("memo_ckpt")
+    val a = Seq((1, "a")).toDF("k", "v").localCheckpoint()
+    val b = Seq((2, "b"), (3, "c")).toDF("k", "v").localCheckpoint()
+    assert(Memoize.planFingerprint(a.groupBy("v").count()) !=
+      Memoize.planFingerprint(b.groupBy("v").count()))
+    val r1 = Memoize.memoize(a.groupBy("v").count(), dir)
+    assert(r1.count() == 1)
+    val r2 = Memoize.memoize(b.groupBy("v").count(), dir)
+    assert(r2.count() == 2)
+    assert(new java.io.File(dir).list().length == 2)
+  }
+
   test("pushPartitionReload overwrites only the loaded partitions, idempotently") {
     import spark.implicits._
     val dir = tmp("partreload") + "/t"
