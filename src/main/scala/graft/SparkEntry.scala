@@ -864,7 +864,7 @@ object SparkEntry {
     // LLM-pipeline: text analysis
     // ------------------------------------------------------------------
     "q40_wordcount" -> ((s, d) => {
-      val words = tS(s, d, "documents", "doc_id")
+      val words = t(s, d, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("word"))
       Grouping.group(words, Seq("word"), "cnt" -> count(lit(1)))
         .maxN("cnt", 20, Seq(col("word")))
@@ -2278,9 +2278,14 @@ object SparkEntry {
       // partner tops the raw ranking and must be absent from the output
       val docs = t(s, d, "documents")
       val idx = graft.operators.Retrieval.sparseTfIdfIndex(docs, "doc_id", "text")
+      // Materialize the pair list once: the positives union's two branches
+      // (and every downstream consumer of positives) re-execute the whole
+      // inverted-shingle pipeline otherwise — measured as the dominant
+      // stage of this query. Pair lists are id-only and pair-bounded (the
+      // CC-edge contract).
       val jp = NearDedup.ngramJaccardPairs(
         docs.filter(col("doc_id") < 600), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+        shingleSize = 3, threshold = 0.5).localCheckpoint()
       val positives = jp.select(col("id_a").as("query_id"), col("id_b").as("doc_id"))
         .union(jp.select(col("id_b").as("query_id"), col("id_a").as("doc_id")))
       graft.operators.Retrieval.hardNegatives(idx,
@@ -2441,9 +2446,12 @@ object SparkEntry {
       // DPR-style trainer consumes
       val docs = t(s, d, "documents")
       val idx = graft.operators.Retrieval.sparseTfIdfIndex(docs, "doc_id", "text")
+      // jp materialized once — see q158: positives fans out to three
+      // consumers here (query derivation, the anti-join, the final join),
+      // each of which re-executed both union branches' full pair pipeline.
       val jp = NearDedup.ngramJaccardPairs(
         docs.filter(col("doc_id") < 600), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+        shingleSize = 3, threshold = 0.5).localCheckpoint()
       val positives = jp.select(col("id_a").as("query_id"), col("id_b").as("positive_id"))
         .union(jp.select(col("id_b").as("query_id"), col("id_a").as("positive_id")))
       val queries = docs.join(

@@ -275,6 +275,14 @@ object Clustering {
       .union(ew.select(col("dst").as("n"))).distinct().localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes.withColumn("r", lit(scale))
+    // Rounds CHAIN LAZILY: unlike connectedComponents, no per-round action
+    // exists (the convergence count is what forces CC to materialize every
+    // round), so materializing each round here bought nothing and cost one
+    // job + a node-sized block write per iteration — the final action runs
+    // all rounds as one pipelined multi-stage job. A mid-loop checkpoint
+    // every `ckptEvery` rounds bounds plan depth for deep loops; at the
+    // default 3 iterations none fires.
+    val ckptEvery = 8
     for (i <- 1 to iters) {
       val contrib = ew
         .join(ranks.select(col("n").as("src"), col("r")), Seq("src"))
@@ -283,15 +291,13 @@ object Clustering {
       val next = nodes.join(contrib, Seq("n"), "left")
         .select(col("n"),
           (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")).as("r"))
-        .localCheckpoint()
-      // iteration 1's `ranks` is the un-checkpointed seed (dropCheckpoint
-      // no-ops on it); every later round frees its predecessor's blocks
-      if (i > 1) dropCheckpoint(ranks)
-      ranks = next
+      ranks = if (i % ckptEvery == 0 && i < iters) next.localCheckpoint() else next
     }
-    // the returned relation is materialized; the edge/node blocks are dead
+    // Materialize the result before freeing the edge/node blocks the lazy
+    // chain still references (the eager-return contract callers rely on).
+    val out = ranks.localCheckpoint()
     dropCheckpoint(ew)
     dropCheckpoint(nodes)
-    ranks
+    out
   }
 }
