@@ -77,41 +77,45 @@ object Clustering {
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 20,
                           maxLocalEdges: Int = MaxLocalEdges): DataFrame = {
-    // ONE-BOX FAST PATH: the edge relation of a near-dup pipeline is
-    // pair-bounded (docs that HAVE a duplicate), orders of magnitude
-    // smaller than the corpus — at bench scale it is dozens of rows, and
-    // the distributed loop's ~8 jobs per round are pure orchestration
-    // overhead on it. Probe with a BOUNDED collect (limit budget+1 — over
-    // budget the probe proves it cheaply and the loop below runs
-    // unchanged); under budget, union-find on the driver and return the
-    // labels as a LocalRelation, which downstream joins broadcast. Longs
-    // only — any other id type takes the loop.
-    if (maxLocalEdges > 0 &&
-        edges.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
-        edges.schema(bCol).dataType == org.apache.spark.sql.types.LongType) {
-      val probe = edges.select(col(aCol), col(bCol))
-        .filter(col(aCol).isNotNull && col(bCol).isNotNull)
-        .limit(maxLocalEdges + 1).collect()
-      if (probe.length <= maxLocalEdges) {
-        val labels = localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
-        val spark = edges.sparkSession
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType, nullable = true),
-          org.apache.spark.sql.types.StructField("comp",
-            org.apache.spark.sql.types.LongType, nullable = true)))
-        return spark.createDataFrame(
-          java.util.Arrays.asList(labels.map(p =>
-            org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
-      }
-    }
-    // Symmetrize once and materialize: the loop re-reads the edges every
-    // round, and without the checkpoint each round would recompute the
-    // upstream candidate-generation plan from scratch.
+    // Symmetrize once and materialize: this relation is needed by EITHER
+    // path below (the loop re-reads it every round; the one-box path
+    // collects it), the union's two branches share the upstream pair
+    // pipeline's exchanges (ReusedExchange — the pipeline executes once),
+    // and every fast-vs-loop decision afterwards reads these BLOCKS, never
+    // the pipeline. Earlier round-15 formulations that probed the lazy
+    // edge relation directly paid a whole extra pipeline execution at
+    // scale (q154 at sf10: 97 s committed → 140 s measured) — the probe
+    // must be block-backed.
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    // ONE-BOX FAST PATH: the edge relation of a near-dup pipeline is
+    // pair-bounded (docs that HAVE a duplicate), orders of magnitude
+    // smaller than the corpus — at bench scale it is dozens of rows, and
+    // the distributed loop's ~8 jobs per round are pure orchestration
+    // overhead on it. The count over the materialized blocks is one cheap
+    // job; under budget (≤ 2×maxLocalEdges symmetrized rows ≈ ≤ 32 MB of
+    // longs), collect the blocks, union-find on the driver, and return the
+    // labels as a LocalRelation, which downstream joins broadcast. Longs
+    // only — any other id type takes the loop.
+    if (maxLocalEdges > 0 &&
+        edges.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
+        edges.schema(bCol).dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= 2L * maxLocalEdges) {
+      val probe = e.filter(col("src").isNotNull && col("dst").isNotNull).collect()
+      val labels = localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
+      dropCheckpoint(e)
+      val spark = edges.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark.createDataFrame(
+        java.util.Arrays.asList(labels.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*), schema)
+    }
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

@@ -57,12 +57,17 @@ object SpanDedup {
     // measured hot stage: one task owned the whole corpus at bench scale);
     // the exchange moves narrow doc rows, not the n×-bigger gram relation,
     // and is a no-op when the scan is already parallel.
+    // The TOKEN arrays are materialized (narrow, ~corpus-sized) and both
+    // consumers re-derive grams from the blocks: checkpointing the GRAMS
+    // (n× the corpus in string form) cost more to write than the
+    // spread-parallel gram kernel costs to run twice — the same trade
+    // removeDupSpans documents below.
     val grams = Tuning.spread(
         docs.select(col(idCol).as("__id"),
           split(trim(coalesce(col(textCol), lit(""))), "\\s+").as("__toks")),
         col("__id"))
-      .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
       .localCheckpoint()
+      .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
     // A gram is duplicated when >= 2 distinct documents contain it. The
     // aggregation is two-phase (partial count-distinct per map task), so a
     // boilerplate gram never concentrates rows on one reducer beyond its
@@ -141,9 +146,15 @@ object SpanDedup {
     val toks = tokenized
       .select(col("__id"), posexplode(col("__toks")).as(Seq("pos", "tok")))
       .select(col("__id"), col("pos").cast("long").as("pos"), col("tok"))
+    // grams deliberately NOT materialized (round 15): the gram relation is
+    // ~n× the corpus in STRING form, and writing it to block storage cost
+    // more than re-running the (now spread-parallel) gram kernel once per
+    // consumer — measured at sf1: the gram-checkpoint stage alone was
+    // 4.5 s of q102's 5.5 s. Both consumers re-derive grams from the
+    // checkpointed token arrays, which ARE materialized (narrow, shared by
+    // three branches).
     val grams = tokenized
       .select(col("__id"), posexplode(posGramArray(col("__toks"), n)).as(Seq("pos", "g")))
-      .localCheckpoint()
     val dupGrams = grams.groupBy(col("g"))
       .agg(count_distinct(col("__id")).as("nd"))
       .filter(col("nd") >= 2)

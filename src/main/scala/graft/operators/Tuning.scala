@@ -57,12 +57,15 @@ object Tuning {
     * explode multiplies them.
     *
     * Scale-adaptive by construction, not by configuration: the repartition
-    * fires only when the plan's existing partitioning supplies less than
-    * half of `defaultParallelism`. A production-scale table arrives as
+    * fires only when the plan's existing partitioning supplies less than a
+    * QUARTER of `defaultParallelism`. A production-scale table arrives as
     * thousands of splits, so this is a verbatim no-op there — no shuffle is
-    * ever added where the scan is already parallel. The threshold is halves
-    * (not exact equality) so an input already "parallel enough" (e.g. 20
-    * splits on 32 cores) is left alone.
+    * ever added where the scan is already parallel. The quarter threshold
+    * is measured, not aesthetic: a 1-split scan on 32 cores is the
+    * degenerate case this exists for (31 cores idle), while widening a
+    * 10-split scan to 32 cost more in exchange than the extra cores repaid
+    * (same-JVM A/B at sf10: q93 ratio 1.07 with a half threshold) — a scan
+    * already within 4x of the cores is left alone.
     *
     * Keyed when the caller passes `key` columns (pre-satisfying any
     * downstream per-key window/aggregation partitioning); round-robin
@@ -74,7 +77,7 @@ object Tuning {
     // getNumPartitions plans the (narrow) lineage but runs no job; at scale
     // the answer is the split count and the branch below never fires.
     val cur = df.rdd.getNumPartitions
-    if (cur * 2 >= target) df
+    if (cur * 4 >= target) df
     else if (key.isEmpty) df.repartition(target)
     else df.repartition(target, key: _*)
   }
