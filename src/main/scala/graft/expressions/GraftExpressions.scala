@@ -891,6 +891,43 @@ object Kernels {
     sig
   }
 
+  /** Per-table sign-LSH signatures over a LITERAL plane matrix (the
+    * PORTABLE basis, planes(t*bits + b) = table t's plane b): one compiled
+    * loop over tables × bits × dim per row, replacing tables × bits
+    * interpreted zip_with/aggregate HOF folds. Bit-parity with that fold
+    * (and the oracle's list_sum replay): the dot sums products
+    * left-to-right, and a null element or a length mismatch — which the
+    * HOF turns into a NULL dot via zip_with's null padding — leaves the
+    * bit unset exactly as `WHEN null >= 0` does.
+    */
+  def planeSigs(vec: ArrayData, planes: Array[Array[Double]], bits: Int): ArrayData = {
+    val tables = planes.length / bits
+    val nv = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t * bits + b)
+        if (nv == plane.length) {
+          var dot = 0.0
+          var sawNull = false
+          var j = 0
+          while (j < nv && !sawNull) {
+            if (vec.isNullAt(j)) sawNull = true
+            else { dot += vec.getDouble(j) * plane(j); j += 1 }
+          }
+          if (!sawNull && dot >= 0.0) sig |= (1L << b)
+        }
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Subword count in ONE byte scan — value parity with
     * `size(split(trim(text), "\\s+|…lookaround transitions…"))` (the
     * five-branch regex in TextFunctions), asserted in ExpressionsSpec.
@@ -1064,6 +1101,23 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
       s"${ev.value} = graft.expressions.Kernels.hyperplaneSig($c, $pRef);")
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+}
+
+case class PlaneSigsExpr(child: Expression, planes: Seq[Seq[Double]], bits: Int)
+    extends UnaryExpression {
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_plane_sigs"
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.planeSigs(v.asInstanceOf[ArrayData], planeArr, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.Kernels.planeSigs($c, $pRef, $bits);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigsExpr =
     copy(child = newChild)
 }
 
@@ -1298,6 +1352,8 @@ object GraftFunctions {
     Shim.column(CosineSimExpr(Shim.expression(a), Shim.expression(b)))
   def hyperplaneSignature(c: Column, dim: Int, bits: Int, seed: Long = 7L): Column =
     Shim.column(HyperplaneSigExpr(Shim.expression(c), dim, bits, seed))
+  def planeSigs(c: Column, planes: Seq[Seq[Double]], bits: Int): Column =
+    Shim.column(PlaneSigsExpr(Shim.expression(c), planes, bits))
   def nearestCentroids(c: Column, cents: Array[Array[Double]], n: Int): Column =
     Shim.column(NearestCentroidsExpr(Shim.expression(c), cents, n))
 

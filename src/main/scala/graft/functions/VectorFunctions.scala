@@ -657,15 +657,21 @@ object VectorFunctions {
     val planes = portablePlanes(dim, bits, tables, seed)
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    val sigStructs = (0 until tables).map { t =>
-      val sig = (0 until bits).map { b =>
-        val d = dot(col("__v"), typedLit(planes(t * bits + b)))
-        when(d >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), sig.as("sig"))
-    }
-    val bucketed = v.select(col("id"), explode(array(sigStructs: _*)).as("c"))
-      .select(col("id"), col("c.t").as("t"), col("c.sig").as("sig"))
+    // Round 16: the tables × bits plane projections run in ONE compiled
+    // loop per row (PlaneSigsExpr — bit-parity with the zip_with/aggregate
+    // HOF fold the oracle replays, spec-pinned), the scan is spread before
+    // the kernel (a 2-split embeddings scan serialized it on 2 of 32
+    // cores), and the bucketed keys (id, t, sig — 24 bytes/row, the
+    // hammingPairs64 size class) are materialized once: the candidate
+    // self-join's broadcast side re-executed the whole projection pipeline
+    // otherwise, and the triplicated subtree dominated driver planning
+    // time at bench SF. The vector payloads (vA/vB) stay un-materialized —
+    // the rejoin re-scans, the cast is free.
+    val bucketed = graft.operators.Tuning.spread(v, col("id"))
+      .select(col("id"), posexplode(
+        graft.expressions.GraftFunctions.planeSigs(col("__v"), planes, bits)))
+      .select(col("id"), col("pos").cast("int").as("t"), col("col").as("sig"))
+      .localCheckpoint()
     val a = bucketed.select(col("t"), col("sig"), col("id").as("id_a"))
     val b = bucketed.select(col("t"), col("sig"), col("id").as("id_b"))
     val cand = a.join(b, Seq("t", "sig")).filter(col("id_a") < col("id_b"))

@@ -86,24 +86,35 @@ object Clustering {
     // edge relation directly paid a whole extra pipeline execution at
     // scale (q154 at sf10: 97 s committed → 140 s measured) — the probe
     // must be block-backed.
+    //
+    // Null-endpoint edges are dropped HERE, before the budget count and
+    // before either path's seed, so the one-box path and the distributed
+    // loop see the SAME edge relation (round 15 shipped the filter on the
+    // fast path's collect alone, so the two paths — selected silently by
+    // data size — diverged on null-id edges, and nulls inflated the budget
+    // count). A null endpoint carries no linkage: callers treat absent
+    // nodes as singleton components either way.
     val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
     // ONE-BOX FAST PATH: the edge relation of a near-dup pipeline is
     // pair-bounded (docs that HAVE a duplicate), orders of magnitude
     // smaller than the corpus — at bench scale it is dozens of rows, and
     // the distributed loop's ~8 jobs per round are pure orchestration
-    // overhead on it. The count over the materialized blocks is one cheap
-    // job; under budget (≤ 2×maxLocalEdges symmetrized rows ≈ ≤ 32 MB of
-    // longs), collect the blocks, union-find on the driver, and return the
-    // labels as a LocalRelation, which downstream joins broadcast. Longs
-    // only — any other id type takes the loop.
+    // overhead on it. Mechanically: one count job over the materialized
+    // blocks, then (under budget) a collect of ≤ 2×maxLocalEdges
+    // symmetrized (src, dst) rows — boxed Rows on the driver, ~100 MB
+    // transient at the 2M-row ceiling — union-find, and the labels return
+    // as a LocalRelation, which downstream joins broadcast. Over budget
+    // the loop runs unchanged, so the 100 TB path never depends on the
+    // driver. Longs only — any other id type takes the loop.
     if (maxLocalEdges > 0 &&
         edges.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
         edges.schema(bCol).dataType == org.apache.spark.sql.types.LongType &&
         e.count() <= 2L * maxLocalEdges) {
-      val probe = e.filter(col("src").isNotNull && col("dst").isNotNull).collect()
+      val probe = e.collect()
       val labels = localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
       dropCheckpoint(e)
       val spark = edges.sparkSession
@@ -269,8 +280,19 @@ object Clustering {
         s"got iters=$iters, damp=$dampNum/$dampDen")
     // degree rides ON the edge list via a src-partitioned count window (no
     // deg self-join, no second materialization), checkpointed ONCE — the
-    // loop then joins only the rank relation per iteration
+    // loop then joins only the rank relation per iteration.
+    //
+    // ONE pinned exchange for the whole prologue (§2.4): an explicit
+    // repartition by src at defaultParallelism width. HashPartitioning(src)
+    // satisfies both the distinct's ClusteredDistribution(src, dst) and the
+    // degree window's partitionBy(src), so neither adds its own exchange —
+    // the previous shape paid an AQE exchange for the distinct AND one for
+    // the window, and byte-based coalescing ran the CPU-dense
+    // distinct+window+checkpoint stage on 3-4 tasks of 32 (the suite's
+    // slowest stage at sf0.1). REPARTITION_BY_NUM pins the width against
+    // that coalescing; the target scales with the cluster, not a config.
     val ew = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("src"))
       .distinct()
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
@@ -287,6 +309,10 @@ object Clustering {
     // every `ckptEvery` rounds bounds plan depth for deep loops; at the
     // default 3 iterations none fires.
     val ckptEvery = 8
+    // Mid-loop checkpoints supersede each other: once a new one (or the
+    // final `out`) is materialized, the previous one's blocks are dead —
+    // free them eagerly instead of waiting for the ContextCleaner.
+    var prevMid: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = ew
         .join(ranks.select(col("n").as("src"), col("r")), Seq("src"))
@@ -295,13 +321,19 @@ object Clustering {
       val next = nodes.join(contrib, Seq("n"), "left")
         .select(col("n"),
           (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen")).as("r"))
-      ranks = if (i % ckptEvery == 0 && i < iters) next.localCheckpoint() else next
+      ranks = if (i % ckptEvery == 0 && i < iters) {
+        val ck = next.localCheckpoint()
+        prevMid.foreach(dropCheckpoint)
+        prevMid = Some(ck)
+        ck
+      } else next
     }
     // Materialize the result before freeing the edge/node blocks the lazy
     // chain still references (the eager-return contract callers rely on).
     val out = ranks.localCheckpoint()
     dropCheckpoint(ew)
     dropCheckpoint(nodes)
+    prevMid.foreach(dropCheckpoint)
     out
   }
 }

@@ -242,7 +242,17 @@ object NearDedup {
                            seed: Long = 42L,
                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sh = portableShingles(df, idCol, textCol, shingleSize)
-    val banded = portableBands(sh, numPerms, bands, seed)
+    // Banded keys materialized ONCE (round 16 — the hammingPairs64 trade):
+    // (id, band, bk) is ~25 bytes × bands rows per doc, and its lineage —
+    // the md5 shingle hash + 32-permutation signature aggregation — is the
+    // pipeline's whole front-end cost. Runtime exchange reuse already made
+    // the two self-join sides share one signature pass, but the DUPLICATED
+    // SUBTREES still each get planned (and the window-cap branch carries a
+    // third copy): at bench SF the driver spent more time planning the
+    // ~300-operator plan than the executors spent running it. Blocks are
+    // ContextCleaner-reclaimed; the shingle ARRAYS stay un-materialized
+    // (re-scan beats caching for payload-sized relations — see above).
+    val banded = portableBands(sh, numPerms, bands, seed).localCheckpoint()
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bk"))
     val kept = banded.withColumn("__n", count(lit(1)).over(wB))
@@ -288,11 +298,18 @@ object NearDedup {
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType))
     val votes = (0 until bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
+    // (id, sig) materialized ONCE (round 16 — the hammingPairs64 trade,
+    // 16 bytes/row): the 60-vote majority aggregation feeds the chunk
+    // explode, the hot-bucket anti-join branch, AND both self-join sides —
+    // four planned copies of the signature pipeline whose AQE planning
+    // dominated the query at bench SF even though runtime stage reuse ran
+    // the aggregation once. Blocks are ContextCleaner-reclaimed.
     val sig = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
       .select(col("id"),
         (0 until bits).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a + b).as("sig"))
+      .localCheckpoint()
     val quarters = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
@@ -664,6 +681,11 @@ object NearDedup {
   def winnowSnapshotIndex(prior: DataFrame, idCol: String, textCol: String,
                           k: Int = 16, w: Int = 8,
                           maxDf: Int = 1000): DataFrame = {
+    // NOT materialized (round 16: tried the winnowPairs localCheckpoint
+    // trade here, measured a wash — q193 1.66→1.65, q182 1.10→1.16 — and
+    // reverted: the hot-fp branch and the kept anti-join already share the
+    // kernel through exchange reuse, so the eager checkpoint job was pure
+    // overhead).
     val pfps0 = winnowFpPostings(prior, idCol, textCol, k, w)
       .select(col(idCol).as("prior_id"), col("fp"))
     if (maxDf <= 0) pfps0 else {
@@ -856,10 +878,19 @@ object NearDedup {
                                       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val fsh = portableShingles(fresh, idCol, textCol, shingleSize)
     val psh = portableShingles(prior, idCol, textCol, shingleSize)
+    // Both sides' banded keys materialized ONCE (round 16 — the
+    // minhashPairsPortable trade, see there): the tagged union feeds the
+    // window count and both filtered candidate branches, so each side's
+    // md5+signature pipeline was planned three times over. (id, band, bk,
+    // bool) is ~26 bytes × bands rows per doc; at production scale the
+    // prior side of this relation is the persisted release index anyway.
+    // The shingle ARRAYS (fsh/psh) stay un-materialized for the verify
+    // rejoin — re-scan beats caching for payload-sized relations.
     val tagged = portableBands(fsh, numPerms, bands, seed)
       .select(col("band"), col("bk"), col("id"), lit(true).as("__fresh"))
       .unionAll(portableBands(psh, numPerms, bands, seed)
         .select(col("band"), col("bk"), col("id"), lit(false).as("__fresh")))
+      .localCheckpoint()
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bk"))
     val kept = tagged.withColumn("__n", count(lit(1)).over(wB))

@@ -177,9 +177,23 @@ object Retrieval {
     // into a LogicalRDD, whose Memoize fingerprint is input-independent —
     // the stored-index serve tiers (q143/q198/q199) would replay a cache
     // built from a DIFFERENT corpus (observed: the sf0.001 spec-suite
-    // index served to the sf0.01 oracle gate). The double kernel run is
-    // the same re-scan-beats-caching trade minhash documents.
-    val tf = termCounts(docs, idCol, textCol)
+    // index served to the sf0.01 oracle gate).
+    //
+    // Round 16: the two branches (df aggregation, postings/champion cut)
+    // now hang off ONE explicit term-keyed repartition, so the tokenize
+    // kernel runs once and both branches fetch from the same reused
+    // exchange — previously each branch re-ran the kernel from the scan.
+    // The exchange key keeps the salted two-stage contract: with champion
+    // lists on, partitioning by (t, salt) means no single task ever sorts
+    // a whole hot-term posting list (the round-14 q130-at-sf100 failure);
+    // the df aggregation still map-side-combines on top of it, and the
+    // final per-term rank runs on ≤ 64·maxPostings survivors. Without
+    // champion lists the t-keyed join concentrated hot terms anyway, so
+    // the plain-t repartition adds no new skew shape.
+    val tfRaw = termCounts(docs, idCol, textCol)
+    val tf =
+      if (maxPostings <= 0) tfRaw.repartition(col("t"))
+      else tfRaw.repartition(col("t"), pmod(xxhash64(col("doc_id")), lit(64L)))
     val dfT = tf.groupBy(col("t"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
