@@ -292,7 +292,7 @@ object Clustering {
     // slowest stage at sf0.1). REPARTITION_BY_NUM pins the width against
     // that coalescing; the target scales with the cluster, not a config.
     val ew = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .repartition(edges.sparkSession.sparkContext.defaultParallelism, col("src"))
+      .repartition(Tuning.spreadTarget(edges.sparkSession), col("src"))
       .distinct()
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))

@@ -44,13 +44,35 @@ object Memoize {
 
   /** Cross-session memoize: replay `cacheDir/<fingerprint>` if present, else
     * compute, write, and read back.
+    *
+    * GUARANTEE SCOPE: a plan containing a checkpoint (bare LogicalRDD)
+    * fingerprints with a session-unique salt (see [[planFingerprint]]), so
+    * such a plan memoizes within one session at best and its entries can
+    * never be hit by a later session. Keep checkpoint-free lineage upstream
+    * of memoize() when cross-session reuse matters. Stale entries — the
+    * salted kind, or any fingerprint orphaned by a plan change — are swept
+    * by age below so the cache dir cannot grow without bound.
     */
-  def memoize(df: DataFrame, cacheDir: String): DataFrame = {
+  def memoize(df: DataFrame, cacheDir: String, maxAgeDays: Int = 14): DataFrame = {
     val spark = df.sparkSession
     val path = s"$cacheDir/${planFingerprint(df)}"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    // Best-effort age sweep of SIBLING entries: anything in this cache dir
+    // other than the entry being served that hasn't been (re)written in
+    // maxAgeDays is orphaned — no live caller can produce its fingerprint.
+    try {
+      val dir = new org.apache.hadoop.fs.Path(cacheDir)
+      if (fs.exists(dir)) {
+        val cutoff = System.currentTimeMillis - maxAgeDays * 86400000L
+        fs.listStatus(dir).foreach { st =>
+          if (st.isDirectory && st.getPath.getName != p.getName &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
+      }
+    } catch { case _: Throwable => () }
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
       df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)

@@ -73,12 +73,28 @@ object Tuning {
     * keyed, never positional.
     */
   def spread(df: DataFrame, key: Column*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val target = spreadTarget(df.sparkSession)
     // getNumPartitions plans the (narrow) lineage but runs no job; at scale
     // the answer is the split count and the branch below never fires.
     val cur = df.rdd.getNumPartitions
     if (cur * 4 >= target) df
     else if (key.isEmpty) df.repartition(target)
     else df.repartition(target, key: _*)
+  }
+
+  /** Spread width: the larger of `defaultParallelism` and the session's
+    * shuffle-partition setting. On a static cluster (and the bench's
+    * local[N], which pins both to N) the two agree and plans are
+    * unchanged; under DYNAMIC allocation `defaultParallelism` at plan
+    * time reflects only the executors currently up — which can be far
+    * below the width the job will actually get — while
+    * `spark.sql.shuffle.partitions` is sized for the full cluster, so
+    * taking the max prevents silent under-spreading (round-15 advice).
+    */
+  private[graft] def spreadTarget(spark: org.apache.spark.sql.SparkSession): Int = {
+    val dp = spark.sparkContext.defaultParallelism
+    val sp = try spark.conf.get("spark.sql.shuffle.partitions").toInt
+             catch { case _: Throwable => dp } // e.g. "auto" under some AQE setups
+    math.max(dp, sp)
   }
 }

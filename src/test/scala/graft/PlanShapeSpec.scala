@@ -523,4 +523,23 @@ class PlanShapeSpec extends SparkSpec {
         s"opt-in observe missing from the attribution plan:\n$observed")
     } finally sys.props.remove("graft.observeMetrics")
   }
+
+  test("spreadTarget honors a cluster-sized shuffle width under dynamic allocation") {
+    // Static cluster / bench local[N]: both knobs agree -> target = cores
+    // (the shared test session pins shuffle.partitions = master threads = 4).
+    assert(operators.Tuning.spreadTarget(spark) === 4)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // Dynamic allocation: defaultParallelism at plan time reflects only
+      // the executors currently up, while shuffle.partitions is sized for
+      // the full cluster — the target must follow the larger width.
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      assert(operators.Tuning.spreadTarget(spark) === 64)
+      // A shuffle width BELOW the live parallelism (streaming gates pin 8
+      // state stores around .start()) must never shrink the target.
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(operators.Tuning.spreadTarget(spark) ===
+        spark.sparkContext.defaultParallelism)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

@@ -24,8 +24,11 @@ import sys
 BOUNDARY = "f122f38"
 
 def snapshots(path):
+    # BOUNDARY^..HEAD includes the boundary commit itself: the snapshot
+    # committed AT f122f38 is the first noop-measured one and must
+    # contribute to the re-seeded mins (rev-list's a..b excludes a).
     revs = subprocess.run(
-        ["git", "rev-list", f"{BOUNDARY}..HEAD", "--", path],
+        ["git", "rev-list", f"{BOUNDARY}^..HEAD", "--", path],
         capture_output=True, text=True, check=True).stdout.split()
     out = []
     for r in revs:
