@@ -1632,6 +1632,11 @@ object SparkEntry {
         .filter(length(col("item")) > 0)
       val sketch = graft.operators.Sketches.countMinSketch(
         words, col("item"), depth = 4, width = 512L)
+      // Three corpus explodes by design (round 16: tried anchoring the
+      // query side + comparison join on one checkpointed vocab-sized exact
+      // aggregate — 6-run A/B at sf0.1 was a wash, mins 0.99 vs 0.96 —
+      // the explode+partial-agg passes are cheap enough that the eager
+      // checkpoint job repaid nothing; reverted).
       graft.operators.Sketches.countMinEstimate(
           sketch, words.distinct(), depth = 4, width = 512L)
         .join(words.groupBy("item").agg(count(lit(1)).as("exact")), Seq("item"))

@@ -112,6 +112,14 @@ object NearDedup {
         df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
       .select(col("id"),
         graft.expressions.GraftFunctions.shingles(col("__t"), shingleSize).as("sh"))
+    // NOT materialized (round 16: tried the minhashPairsPortable
+    // localCheckpoint trade on these banded keys and measured a wash on
+    // clean same-host A/Bs — q47 mins 0.89 vs 0.87 s at sf0.1, 3.39 vs
+    // 3.68 s at sf1, both within run noise. Unlike the portable's
+    // md5/many-operator pipeline, this native xxhash64 front end is cheap
+    // to plan and the candidate self-join's sides already share it at
+    // runtime through exchange reuse, so there is nothing for the eager
+    // materialization to repay; declined).
     val banded = shingled
       .withColumn("sig", minhashSignature(col("sh"), numPerms))
       .withColumn("band", explode(bandKeys(col("sig"), bands, rowsPerBand)))
